@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import java.util.UUID
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{ExecutionContext, Future}
+
+/** The engine's user-facing session surface, mirroring the reference's
+  * scheduler front-end semantics on top of a `SparkSession`:
+  *
+  *  - external file-backed tables (`CREATE EXTERNAL TABLE ... LOCATION`,
+  *    reference README.md:34, datafusion.proto:99-115, 171-184)
+  *  - views (reference datafusion.proto:204-210)
+  *  - multi-tenant sessions — shared catalog, isolated conf (reference
+  *    flight_sql.rs:125-162 keys a SessionContext per bearer token; Spark's
+  *    `newSession()` is the same contract)
+  *  - prepared statements — plan once, execute many (reference
+  *    flight_sql.rs:581-670 caches a LogicalPlan under a UUID handle)
+  *  - job submit / status / cancel (reference REST api/handlers.rs:61-274)
+  *
+  * Spark is the scheduler/executor/shuffle layer the reference hand-built
+  * (SURVEY.md §0), so this class is deliberately thin: every query below
+  * flows through Catalyst + AQE and inherits stage splitting at exchange
+  * boundaries, two-phase aggregation, broadcast-vs-shuffle join selection,
+  * and runtime re-optimization — the reference's §3-§4 behavior.
+  */
+class Engine(val spark: SparkSession) {
+  functions.GraftFunctions.register(spark)
+
+  // ---- catalog ----------------------------------------------------------
+
+  /** `CREATE EXTERNAL TABLE name STORED AS <format> LOCATION <path>`.
+    * Formats: parquet | csv | json | orc | avro (reference §2.2 scans).
+    * An explicit schema pins types like the reference's serialized plans
+    * always do (SURVEY.md §1.3); omit it to use file self-description. */
+  def createExternalTable(
+      name: String,
+      location: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      schema: Option[StructType] = None): DataFrame = {
+    var r = spark.read.format(format).options(options)
+    schema.foreach(s => r = r.schema(s))
+    val df = r.load(location)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** `CREATE [OR REPLACE] VIEW name AS <df>` (reference
+    * datafusion.proto:204-210). */
+  def createView(name: String, df: DataFrame, orReplace: Boolean = true): Unit =
+    if (orReplace) df.createOrReplaceTempView(name) else df.createTempView(name)
+
+  def table(name: String): DataFrame = spark.table(name)
+  def dropView(name: String): Boolean = spark.catalog.dropTempView(name)
+
+  // ---- queries ----------------------------------------------------------
+
+  def sql(query: String): DataFrame = spark.sql(query)
+
+  /** Parameterized SQL (reference PrepareNode placeholders `$n`,
+    * datafusion.proto:186-190, 361-364 → Spark named/positional args). */
+  def sql(query: String, args: Map[String, Any]): DataFrame =
+    spark.sql(query, args)
+
+  private val prepared = TrieMap.empty[String, DataFrame]
+
+  /** Prepared statements: plan once under a UUID handle (reference
+    * flight_sql.rs:581-670). The returned handle replays the *analyzed*
+    * DataFrame; physical planning still adapts per execution via AQE. */
+  def prepare(query: String): String = {
+    val handle = UUID.randomUUID().toString
+    prepared.put(handle, spark.sql(query))
+    handle
+  }
+  def executePrepared(handle: String): DataFrame =
+    prepared.getOrElse(handle, sys.error(s"unknown prepared statement: $handle"))
+  def closePrepared(handle: String): Unit = prepared.remove(handle)
+
+  // ---- multi-tenancy ----------------------------------------------------
+
+  /** Isolated-conf, shared-catalog child session (reference's per-token
+    * SessionContext, flight_sql.rs:125-136). */
+  def newSession(): Engine = new Engine(spark.newSession())
+
+  // ---- jobs (reference REST api: list/status/cancel, api/handlers.rs) ---
+
+  sealed trait JobState
+  case object Running extends JobState
+  case class Finished(rows: Long) extends JobState
+  case class Failed(error: String) extends JobState
+
+  private val jobs = TrieMap.empty[String, JobState]
+
+  /** Submit a query as a cancellable job. Each job gets a Spark job group
+    * (= the reference's 7-char job id, task_manager.rs:517-525) so
+    * `cancel` maps to `cancelJobGroup` — Spark's task-interrupt path. */
+  def submitJob(df: DataFrame)(implicit ec: ExecutionContext): String = {
+    val jobId = UUID.randomUUID().toString.take(7)
+    jobs.put(jobId, Running)
+    Future {
+      try {
+        spark.sparkContext.setJobGroup(jobId, s"graft job $jobId", interruptOnCancel = true)
+        val n = df.count()
+        jobs.put(jobId, Finished(n))
+      } catch {
+        case e: Throwable => jobs.put(jobId, Failed(String.valueOf(e.getMessage)))
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    jobId
+  }
+  def jobStatus(jobId: String): Option[JobState] = jobs.get(jobId)
+  def listJobs(): Map[String, JobState] = jobs.toMap
+  def cancelJob(jobId: String): Unit = {
+    spark.sparkContext.cancelJobGroup(jobId)
+    jobs.put(jobId, Failed("cancelled"))
+  }
+}
+
+object Engine {
+  /** Build a session configured for the reference's execution semantics:
+    * AQE on (= the reference's stage-boundary re-optimization,
+    * execution_stage.rs:240-261), UTC, shuffle partitions sized to the
+    * machine rather than Spark's default 200. On a real cluster the same
+    * settings hold; only master/memory change. */
+  def session(
+      master: String = "local[*]",
+      shufflePartitions: Int = 32,
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def apply(spark: SparkSession): Engine = new Engine(spark)
+}

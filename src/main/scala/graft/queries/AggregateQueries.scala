@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** Aggregation parity (SURVEY.md §2.5): two-phase hash aggregation, the
+  * full aggregate-function set, DISTINCT + FILTER modifiers, GROUPING
+  * SETS / CUBE / ROLLUP, median/percentiles, approx sketches.
+  *
+  * Every groupBy here compiles to Spark's partial→shuffle→final
+  * HashAggregate pair — the same PARTIAL/FINAL_PARTITIONED split the
+  * reference serializes explicitly (reference datafusion.proto:1238-1244,
+  * planner.rs:285-299). Map-side partial aggregation is what keeps these
+  * queries shuffle-light at 100 TB: only group-cardinality rows cross the
+  * wire, not the fact table.
+  */
+object AggregateQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 — the reference's own golden-output anchor (reference
+    // README.md:42-50): min/max/sum/avg/count over 2 group keys.
+    Q("q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         |    AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+         |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+         |           * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+         |    AS sum_charge,
+         |  ${sqlDavg("l_quantity")} AS avg_qty,
+         |  ${sqlDavg("l_extendedprice")} AS avg_price,
+         |  (CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val one = lit(1).cast(D3)
+      val disc = col("l_discount").cast(D3)
+      val tax = col("l_tax").cast(D3)
+      val ext = col("l_extendedprice").cast(D12)
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(ext * (one - disc)).cast("double").as("sum_disc_price"),
+          sum(ext * (one - disc) * (one + tax)).cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          (sum(disc).cast("double") / count(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q_agg_minmax",
+      """SELECT l_returnflag,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // min/max over doubles & timestamps are order-independent (no
+      // decimal trick needed): safe at any parallelism.
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q_agg_distinct_filter",
+      s"""SELECT l_returnflag,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders,
+         |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+         |    AS qty_discounted
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // DISTINCT + FILTER aggregate modifiers (reference
+      // AggregateExprNode.distinct/filter, datafusion.proto:551-556).
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          count(when(col("l_quantity") > 25, 1)).as("n_big"),
+          sum(when(col("l_discount") > 0.05, col("l_quantity").cast(D12)))
+            .cast("double").as("qty_discounted"))
+        .orderBy("l_returnflag")
+    },
+
+    // Moment-based stats via exact decimal sums: the two-pass textbook
+    // formulas become one-pass order-independent sums, so the values are
+    // bit-identical between Spark and the oracle AND stable across any
+    // partitioning — the property native float var/stddev lacks.
+    Q("q_agg_stats_exact",
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+        |  (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |   - CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |     * CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) / (COUNT(*) - 1)
+        |    AS var_acctbal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val x = col("c_acctbal").cast(D12)
+      val n = count(lit(1))
+      val s1 = sum(x).cast("double")
+      val s2 = sum(x * x).cast("double")
+      t(s, d, "customer").groupBy("c_mktsegment")
+        .agg(n.as("n"), s1.as("s1"), s2.as("s2"),
+          ((s2 - s1 * s1 / n) / (n - lit(1))).as("var_acctbal"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Native variance/stddev/corr/covar (reference AggregateFunction ids
+    // 7-14, datafusion.proto:536-546) — float-merge nondeterminism means
+    // no byte-exact oracle; checked by shape + a ScalaTest tolerance
+    // test against the exact-moment query above.
+    Q.noOracle("q_agg_stats_native") { (s, d) =>
+      t(s, d, "customer").groupBy("c_mktsegment")
+        .agg(
+          var_samp(col("c_acctbal")).as("var_s"),
+          var_pop(col("c_acctbal")).as("var_p"),
+          stddev_samp(col("c_acctbal")).as("std_s"),
+          stddev_pop(col("c_acctbal")).as("std_p"),
+          corr(col("c_acctbal"), col("c_custkey")).as("corr_bal_key"),
+          covar_samp(col("c_acctbal"), col("c_custkey")).as("covar_s"),
+          covar_pop(col("c_acctbal"), col("c_custkey")).as("covar_p"))
+        .orderBy("c_mktsegment")
+    },
+
+    Q("q_agg_median",
+      """SELECT o_orderpriority, MEDIAN(o_totalprice) AS med_price, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Exact median (reference AggregateFunction MEDIAN id 18): an order
+      // statistic, not a sum → deterministic on doubles in both engines.
+      t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(median(col("o_totalprice")).as("med_price"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // approx_count_distinct (HLL++) / approx_percentile: sketch contents
+    // are engine-specific (reference uses DataFusion's HLL; Spark uses
+    // HLL++) — rows-only check here, accuracy asserted in ScalaTest
+    // against exact counts.
+    Q.noOracle("q_agg_approx") { (s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"))
+        .orderBy("l_returnflag")
+    },
+
+    Q("q_agg_collect",
+      """SELECT l_returnflag, list_sort(array_agg(DISTINCT l_linestatus)) AS statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // ARRAY_AGG (reference AggregateFunction id 6): collection order is
+      // nondeterministic under parallel merge, so parity (and 1000-executor
+      // stability) requires DISTINCT + an explicit sort of the array.
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .orderBy("l_returnflag")
+    },
+
+    // --- GROUPING SETS / CUBE / ROLLUP (reference datafusion.proto:
+    // 370-380) ------------------------------------------------------------
+    Q("q_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg((grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus"))).as("gid"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("gid"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    Q("q_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+        |       COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg((grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus"))).as("gid"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("gid"), col("n"))
+        .orderBy("gid", "rf", "ls")
+    },
+
+    Q("q_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      graft.Tables.register(s, d)
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |       COUNT(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+  )
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One catalog entry: a Spark-first query plus (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL run by the driver's correctness gate.
+  * Column names/aliases MUST match between the two — the driver sorts
+  * columns by name before hashing.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+}
+
+/** Shared helpers for oracle-exact results.
+  *
+  * The fact tables store money/quantity as `double`; a distributed
+  * `sum(double)` is association-dependent (partial aggregates merge in
+  * nondeterministic order at scale), so its low bits can differ run-to-run
+  * and engine-to-engine. Casting to decimal BEFORE aggregating makes the
+  * sum exact and order-independent — the same trick at 100 TB keeps
+  * results stable across 1000 executors — and the final cast back to
+  * double is then deterministic. Decimal precisions are chosen so products
+  * stay within 38 digits in both Spark and DuckDB (no precision-loss
+  * rounding on either side).
+  */
+object Qh {
+  val D12: DecimalType = DecimalType(12, 2) // prices, quantities
+  val D3: DecimalType = DecimalType(3, 2)   // rates in [0,1)
+
+  /** Exact, order-independent sum of a double money column. */
+  def dsum(c: Column): Column = sum(c.cast(D12)).cast(DoubleType)
+  /** Exact average: exact decimal sum, then one double division. */
+  def davg(c: Column): Column = sum(c.cast(D12)).cast(DoubleType) / count(c)
+  /** SQL fragments for the DuckDB side of the same computations. */
+  def sqlDsum(col: String): String = s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE)"
+  def sqlDavg(col: String): String = s"(${sqlDsum(col)} / COUNT($col))"
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** Relational-operator parity (SURVEY.md §2.2-§2.4, §2.7): scans,
+  * projection/filter/predicates, all 8 join types + theta residual +
+  * null-safe + cross, set ops, distinct, sort (nulls ordering), top-k,
+  * limit/offset, values, empty relation.
+  *
+  * Scale notes are per-query; the common ones: dimension joins are
+  * broadcast (no shuffle of the fact side), filters/projections are
+  * declarative so Catalyst pushes them into the parquet scan, and every
+  * result is deterministically ordered so the correctness gate is
+  * order-stable at any partition count.
+  */
+object RelationalQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    // --- scans / projection / filter (ProjectionNode+SelectionNode,
+    // reference datafusion.proto:134-145; pushdown per §4.1) -------------
+    Q("q_scan_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      // Filter + projection reach the parquet scan (PushedFilters /
+      // ReadSchema); at 100 TB this reads 5 of 16 columns and prunes
+      // row groups on l_shipdate stats.
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q_predicates",
+      """SELECT p_partkey,
+        |       CASE WHEN p_size BETWEEN 10 AND 20 THEN 'mid'
+        |            WHEN p_size IN (1, 2, 3) THEN 'small'
+        |            ELSE 'other' END AS bucket,
+        |       p_name LIKE '%gre%' AS has_gre,
+        |       p_brand IS NOT NULL AS brand_nn,
+        |       NOT (p_size = 7) AS not_seven
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // BETWEEN/IN/CASE/LIKE/IS NULL/NOT (reference datafusion.proto:
+      // 389-446, 596-633) — all codegen'd row-local expressions.
+      t(s, d, "part").select(
+        col("p_partkey"),
+        when(col("p_size").between(10, 20), "mid")
+          .when(col("p_size").isin(1, 2, 3), "small")
+          .otherwise("other").as("bucket"),
+        col("p_name").like("%gre%").as("has_gre"),
+        col("p_brand").isNotNull.as("brand_nn"),
+        (!(col("p_size") === 7)).as("not_seven"))
+        .orderBy("p_partkey")
+    },
+
+    // --- values / empty relation (reference datafusion.proto:167-169,
+    // 212-217) ----------------------------------------------------------
+    Q("q_values",
+      """SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) AS t(id, tag)
+        |ORDER BY id""".stripMargin) { (s, _) =>
+      s.sql("SELECT id, tag FROM VALUES (1, 'a'), (2, 'b'), (3, CAST(NULL AS STRING)) AS t(id, tag) ORDER BY id")
+    },
+
+    Q("q_empty_relation", "SELECT 1 AS one") { (s, _) =>
+      s.sql("SELECT 1 AS one")
+    },
+
+    // --- joins (reference datafusion.proto:240-265, 1173-1212) ----------
+    Q("q_join_inner_agg",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |       ${sqlDsum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      // Dimension side broadcast: at 100 TB customer is far smaller than
+      // orders — broadcast() avoids shuffling the fact table entirely.
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    Q("q_join_left",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q_join_right",
+      """SELECT c_custkey, COUNT(o_orderkey) AS n
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("n"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q_join_full",
+      """SELECT COALESCE(c_custkey, -1) AS ck, COUNT(o_orderkey) AS n
+        |FROM customer FULL JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY ck""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "full")
+        .groupBy(coalesce(col("c_custkey"), lit(-1L)).as("ck"))
+        .agg(count(col("o_orderkey")).as("n"))
+        .orderBy("ck")
+    },
+
+    Q("q_join_semi",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 100000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    Q("q_join_anti",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    Q("q_join_theta_residual",
+      s"""SELECT o_orderkey, COUNT(*) AS n_big_items
+         |FROM orders JOIN lineitem
+         |  ON o_orderkey = l_orderkey AND l_quantity > 45
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Equi-key + residual theta filter in one join condition (reference
+      // JoinNode.filter, datafusion.proto:256-265). Catalyst keeps the
+      // equi part as the join key and evaluates the residual post-probe.
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") && col("l_quantity") > 45)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n_big_items"))
+        .orderBy("o_orderkey")
+    },
+
+    Q("q_join_nullsafe",
+      """SELECT COALESCE(a.k, -1) AS k, COUNT(*) AS n
+        |FROM (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) a
+        |JOIN (SELECT NULLIF(s_nationkey, 3) AS k FROM supplier) b
+        |  ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+      // Null-safe equality <=> (reference null_equals_null,
+      // datafusion.proto:263): NULL keys match each other.
+      val a = t(s, d, "customer").select(nullif(col("c_nationkey"), lit(3)).as("k"))
+      val b = t(s, d, "supplier").select(nullif(col("s_nationkey"), lit(3)).as("kb"))
+      a.join(b, col("k") <=> col("kb"))
+        .groupBy(coalesce(col("k"), lit(-1)).as("k"))
+        .agg(count(lit(1)).as("n")).orderBy("k")
+    },
+
+    Q("q_cross_join",
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")
+    },
+
+    Q("q_join_using",
+      """SELECT n_nationkey, n_name, r_name
+        |FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation) n
+        |JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      // USING constraint (reference JoinConstraint, datafusion.proto:
+      // 251-254) — join on the shared column name, emitted once.
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey").as("rk"))
+      val r = t(s, d, "region").select(col("r_regionkey").as("rk"), col("r_name"))
+      n.join(broadcast(r), Seq("rk"))
+        .select("n_nationkey", "n_name", "r_name").orderBy("n_nationkey")
+    },
+
+    // --- set operations (reference datafusion.proto:267-273; INTERSECT/
+    // EXCEPT rewrite to semi/anti joins, SURVEY.md §2.7) ------------------
+    Q("q_union_all",
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier
+        |) GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n")).orderBy("nk")
+    },
+
+    Q("q_union_distinct",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct().orderBy("nk")
+    },
+
+    Q("q_intersect",
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    Q("q_except",
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")
+    },
+
+    Q("q_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct().orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // --- sort / top-k / limit+offset (reference datafusion.proto:147-152,
+    // 280-286, SortExecNode.fetch top-k 1264-1269) ------------------------
+    Q("q_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      // sort+limit fuses into TakeOrderedAndProject: each partition keeps
+      // its local top-10, only 10×nPartitions rows reach the driver —
+      // the plan that survives 100 TB (never a global sort).
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+    },
+
+    Q("q_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey").offset(10).limit(20)
+    },
+
+    Q("q_sort_nulls",
+      """SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pr
+        |FROM orders
+        |ORDER BY pr ASC NULLS FIRST, o_orderkey LIMIT 50""".stripMargin) { (s, d) =>
+      // Explicit nulls placement (reference SortExprNode nulls_first,
+      // datafusion.proto:645-649; DataFusion/Spark defaults differ —
+      // SURVEY.md §7.3 — so parity requires it spelled out).
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          nullif(col("o_orderpriority"), lit("1-URGENT")).as("pr"))
+        .orderBy(col("pr").asc_nulls_first, col("o_orderkey")).limit(50)
+    },
+
+    // --- subquery alias (reference datafusion.proto:292-295) -------------
+    Q("q_subquery_alias",
+      """SELECT big.o_orderkey, big.o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 200000) AS big
+        |ORDER BY big.o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").filter(col("o_totalprice") > 200000).alias("big")
+        .select(col("big.o_orderkey"), col("big.o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+  )
+}

@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function parity (SURVEY.md §2.6): all 11 built-in window
+  * functions + any-aggregate-as-window + ROWS / RANGE frames.
+  *
+  * Note: the reference REJECTS window aggregates in distributed mode
+  * (reference planner.rs:138-141 — "NotImplemented"); Spark executes them
+  * distributed by partitioning on the PARTITION BY key, so this engine is
+  * strictly more capable here. Each window below partitions on a real key
+  * (never an empty OVER ()), so at 100 TB the work spreads across
+  * executors with one shuffle on the partition key.
+  */
+object WindowQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_window_rank",
+      """SELECT c_custkey, c_mktsegment,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  CAST(PERCENT_RANK() OVER w AS DOUBLE) AS prnk,
+        |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cdist,
+        |  NTILE(4) OVER w AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+      // Deterministic tiebreak (c_custkey) in the window order — without
+      // it row_number/ntile are partition-order-dependent and would flap
+      // across cluster sizes.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).cast("double").as("prnk"),
+        cume_dist().over(w).cast("double").as("cdist"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    },
+
+    Q("q_window_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |  LAG(o_totalprice) OVER w AS prev_price,
+        |  LEAD(o_totalprice) OVER w AS next_price,
+        |  LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        lag(col("o_totalprice"), 2, -1.0).over(w).as("prev2_price"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(wFull).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    Q("q_window_agg_frames",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  MIN(o_totalprice) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min_last3,
+        |  COUNT(*) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice
+        |     RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS n_within_50k
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      // Aggregates as window functions over ROWS and RANGE frames
+      // (reference WindowFrame*, datafusion.proto:651-676). The running
+      // sum uses the exact-decimal trick (Qh) so it is order-exact.
+      val wOrd = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wLast3 = wOrd.rowsBetween(-2, Window.currentRow)
+      val wRange = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"))
+        .rangeBetween(-50000, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(Qh.D12)).over(wRun).cast("double").as("running_total"),
+        min(col("o_totalprice")).over(wLast3).as("min_last3"),
+        count(lit(1)).over(wRange).as("n_within_50k"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+  )
+}
