@@ -21,9 +21,21 @@ object Tables {
 
   /** Read one table. Single parquet file today; at 100 TB this would be a
     * directory of many files — `spark.read.parquet` handles both, splitting
-    * by `spark.sql.files.maxPartitionBytes`, so no code change at scale. */
+    * by `spark.sql.files.maxPartitionBytes`, so no code change at scale.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read it as raw nanos and convert to a micros
+    * TIMESTAMP_NTZ (the same truncation DuckDB applies), so downstream
+    * queries see a normal timestamp column. */
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (idempotent), so both the
     * DataFrame API and `spark.sql` can address them by bare name. */

@@ -15,7 +15,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset for fast local iteration (tools/check.py --only).
+    val onlyFilter: String => Boolean =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet) match {
+        case Some(set) => set.contains
+        case None      => _ => true
+      }
+    SparkEntry.queries.filter(kv => onlyFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

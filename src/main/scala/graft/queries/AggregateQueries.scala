@@ -208,12 +208,14 @@ object AggregateQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin) { (s, d) =>
-      graft.Tables.register(s, d)
+      // Scoped view name: registering the whole catalog here would clobber
+      // any user temp views sharing table names (a hidden side effect).
+      t(s, d, "lineitem").createOrReplaceTempView("graft_gs_lineitem")
       s.sql(
         """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
           |       COALESCE(l_linestatus, 'ALL') AS ls,
           |       COUNT(*) AS n
-          |FROM lineitem
+          |FROM graft_gs_lineitem
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin)
     },

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-format parity (SURVEY.md §2.2): CSV with delimiter+header,
+  * JSON, listing/multi-file scans, repartition as a user-visible op.
+  *
+  * The reference's TPC-H path is `|`-delimited CSV (reference
+  * datafusion.proto:1163-1167, scheduler/src/test_utils.rs:134-140). The
+  * driver ships only parquet, so each format query materializes a small
+  * derived copy of `nation`/`region` in that format under /tmp once, then
+  * queries it — proving the scan path (schema, delimiter, header,
+  * pushdown) end-to-end. The oracle reads the original parquet: results
+  * must agree exactly, which is the point.
+  */
+object SourceQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** Write `nation` as |-delimited headerless CSV (mirroring the
+    * reference's .tbl layout) once per (sfDir) and return its path. */
+  private def nationCsv(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/nation_csv"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      t(s, d, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("delimiter", "|").option("header", "false").csv(path)
+    }
+    path
+  }
+
+  private def ordersJson(s: SparkSession, d: String): String = {
+    val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/orders_json"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+    }
+    path
+  }
+
+  val all: Seq[Q] = Seq(
+
+    Q("q_csv_scan",
+      """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      // CSV scan with explicit delimiter + declared schema (reference
+      // CsvScanExecNode header/delimiter, datafusion.proto:1163-1167).
+      // Schema is pinned like the reference's serialized plans (§1.3).
+      val src = nationCsv(s, d)
+      s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("delimiter", "|").option("header", "false")
+        .csv(src)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), min("n_name").as("first_name"))
+        .orderBy("n_regionkey")
+    },
+
+    Q("q_json_scan",
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders WHERE o_totalprice > 150000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // JSON lines scan via format string (reference generic format
+      // support, Engine.createExternalTable path).
+      val src = ordersJson(s, d)
+      s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+        .json(src)
+        .filter(col("o_totalprice") > 150000)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q("q_repartition",
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // User-visible repartition (reference RepartitionNode hash
+      // partitioning, datafusion.proto:154-165): hash-distribute on the
+      // group key, then aggregate. AQE may still coalesce tiny partitions.
+      t(s, d, "lineitem")
+        .repartition(8, col("l_returnflag"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+  )
+}

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run graft.Verify (or another main) against the compiled classes without
+# sbt JVM startup overhead. Usage: tools/run_verify.sh [main] [args...]
+set -e
+cd "$(dirname "$0")/.."
+MAIN="${1:-graft.Verify}"; shift || true
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false \
+  -Dspark.sql.session.timeZone=UTC \
+  -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+  "$MAIN" "$@"
