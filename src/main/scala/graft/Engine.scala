@@ -60,6 +60,14 @@ class Engine(val spark: SparkSession) {
 
   def sql(query: String): DataFrame = spark.sql(query)
 
+  /** EXPLAIN surface (reference ExplainNode/AnalyzeNode,
+    * datafusion.proto:219-227): the formatted plan per optimization
+    * phase, like the reference's stringified-plans response. Modes:
+    * simple | extended | codegen | cost | formatted. */
+  def explain(df: DataFrame, mode: String = "formatted"): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+
   /** Parameterized SQL (reference PrepareNode placeholders `$n`,
     * datafusion.proto:186-190, 361-364 → Spark named/positional args). */
   def sql(query: String, args: Map[String, Any]): DataFrame =
@@ -93,29 +101,46 @@ class Engine(val spark: SparkSession) {
   case class Failed(error: String) extends JobState
 
   private val jobs = TrieMap.empty[String, JobState]
+  private val cancelRequested = TrieMap.empty[String, Boolean]
 
   /** Submit a query as a cancellable job. Each job gets a Spark job group
     * (= the reference's 7-char job id, task_manager.rs:517-525) so
-    * `cancel` maps to `cancelJobGroup` — Spark's task-interrupt path. */
+    * `cancel` maps to `cancelJobGroup` — Spark's task-interrupt path.
+    *
+    * Cancel-before-start race: `setJobGroup` is thread-local, so a
+    * cancel issued before the worker thread announced the group would be
+    * lost. The worker re-checks `cancelRequested` after announcing; the
+    * state map only transitions Running→terminal via compare-and-set, so
+    * a Finished job can never be stamped "cancelled". */
   def submitJob(df: DataFrame)(implicit ec: ExecutionContext): String = {
     val jobId = UUID.randomUUID().toString.take(7)
     jobs.put(jobId, Running)
     Future {
       try {
         spark.sparkContext.setJobGroup(jobId, s"graft job $jobId", interruptOnCancel = true)
+        if (cancelRequested.contains(jobId))
+          throw new RuntimeException("cancelled before start")
         val n = df.count()
-        jobs.put(jobId, Finished(n))
+        jobs.replace(jobId, Running, Finished(n))
       } catch {
-        case e: Throwable => jobs.put(jobId, Failed(String.valueOf(e.getMessage)))
+        case e: Throwable =>
+          val msg = if (cancelRequested.contains(jobId)) "cancelled"
+            else String.valueOf(e.getMessage)
+          jobs.replace(jobId, Running, Failed(msg))
       } finally spark.sparkContext.clearJobGroup()
     }
     jobId
   }
   def jobStatus(jobId: String): Option[JobState] = jobs.get(jobId)
   def listJobs(): Map[String, JobState] = jobs.toMap
-  def cancelJob(jobId: String): Unit = {
-    spark.sparkContext.cancelJobGroup(jobId)
-    jobs.put(jobId, Failed("cancelled"))
+
+  /** Cancel a Running job; no-op (false) for unknown or terminal jobs. */
+  def cancelJob(jobId: String): Boolean = jobs.get(jobId) match {
+    case Some(Running) =>
+      cancelRequested.put(jobId, true)
+      spark.sparkContext.cancelJobGroup(jobId)
+      jobs.replace(jobId, Running, Failed("cancelled"))
+    case _ => false
   }
 }
 

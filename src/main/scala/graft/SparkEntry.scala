@@ -18,7 +18,8 @@ object SparkEntry {
       WindowQueries.all ++
       FunctionQueries.all ++
       SourceQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 — the reference's own golden-output anchor (reference

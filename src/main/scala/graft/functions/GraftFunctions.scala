@@ -33,13 +33,16 @@ object GraftFunctions {
 
   /** `digest(x, algo)` dispatch (reference datafusion.proto:455 Digest):
     * md5 / sha224 / sha256 / sha384 / sha512 by name. Algo is almost
-    * always a literal, so the `when` chain constant-folds. */
+    * always a literal, so the `when` chain constant-folds. An unknown
+    * algorithm raises (like DataFusion's digest) instead of silently
+    * yielding NULL for every row. */
   def digest(x: Column, algo: Column): Column =
     when(lower(algo) === "md5", md5(x))
       .when(lower(algo) === "sha224", sha2(x, 224))
       .when(lower(algo) === "sha256", sha2(x, 256))
       .when(lower(algo) === "sha384", sha2(x, 384))
       .when(lower(algo) === "sha512", sha2(x, 512))
+      .otherwise(raise_error(concat(lit("unsupported digest algorithm: "), algo)))
 
   /** `strpos(s, sub)` (reference datafusion.proto:500): 1-based position
     * of first occurrence, 0 if absent — Spark's `instr` builtin, resolved
@@ -63,11 +66,10 @@ object GraftFunctions {
   def to_timestamp_millis(c: Column): Column = timestamp_millis(c)
   def to_timestamp_micros(c: Column): Column = timestamp_micros(c)
 
-  /** SQL-side registration so `spark.sql` text can call the gap fills —
-    * mirrors the reference exposing everything through its SQL front-end. */
-  def register(spark: SparkSession): Unit = {
-    spark.udf.register("graft_strpos",
-      (s: String, sub: String) =>
-        if (s == null || sub == null) null else Integer.valueOf(s.indexOf(sub) + 1))
-  }
+  /** These helpers are Scala-API gap fills. From SQL text every one has a
+    * native spelling (`instr` for strpos, `timestamp_seconds` for
+    * to_timestamp_seconds, `sha2`/`md5` for digest, …) — Spark built-ins
+    * are codegen'd, so no UDF registration exists or is needed (a Scala
+    * UDF where a built-in exists would block codegen and pushdown). */
+  def register(spark: SparkSession): Unit = ()
 }

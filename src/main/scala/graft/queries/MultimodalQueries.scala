@@ -1,0 +1,105 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: an opaque binary payload + typed metadata.
+  * At 100 TB this is the universal shape for image/audio/video corpora:
+  * bytes stay opaque to the engine, metadata is columnar and prunable. */
+final case class MmRecord(
+    doc_id: Long,
+    payload: Array[Byte],
+    mime: String,
+    width: Int,
+    height: Int)
+
+/** Extracted features for one record (the "decoded" output). */
+final case class MmFeature(
+    doc_id: Long,
+    mime: String,
+    n_bytes: Int,
+    mean_byte: Double,
+    byte_hist: Array[Long])
+
+/** Multimodal-column operators: treat image/audio/video as opaque
+  * `binary` columns with typed metadata; decode / feature-extract runs
+  * as a batched partition-local transform.
+  *
+  * The real decode libraries are not in this container, so the decode
+  * step is a clearly-marked deterministic STUB ([[MultimodalQueries
+  * .stubDecode]]); everything Spark-side — schema, encoders, partition
+  * batching, the binary column itself — is real and is what the same
+  * pipeline would use with a real codec.
+  */
+object MultimodalQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** Documents re-shaped as multimodal records: payload = utf-8 bytes of
+    * the text (a stand-in for image bytes), metadata derived
+    * deterministically so the oracle can replicate it. */
+  private def records(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      element_at(
+        array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")).as("mime"),
+      (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+      (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+
+  /** STUB decoder: a real implementation would call an image/audio codec
+    * here (per partition, batched). The fake is deterministic: "decode"
+    * = byte histogram (16 bins) + mean byte value. */
+  def stubDecode(rec: MmRecord): MmFeature = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var i = 0
+    while (i < rec.payload.length) {
+      val b = rec.payload(i) & 0xff
+      hist(b / 16) += 1
+      sum += b
+      i += 1
+    }
+    MmFeature(rec.doc_id, rec.mime, rec.payload.length,
+      if (rec.payload.length == 0) 0.0 else sum.toDouble / rec.payload.length,
+      hist)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // --- metadata projection over the binary column (SQL-expressible:
+    // proves the opaque-bytes + typed-metadata schema round-trips) ------
+    Q("q_mm_metadata",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS payload_sha,
+        |  ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+        |  CAST(16 + doc_id % 64 AS INT) AS width,
+        |  CAST(16 + doc_id % 48 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      records(s, d).select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("payload_sha"),
+        col("mime"), col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+
+    // --- batched partition-local "decode" + feature extraction ---------
+    Q.noOracle("q_mm_features") { (s, d) =>
+      // mapPartitions keeps the codec call batched per partition (the
+      // JVM analog of mapInPandas): one iterator pass, no per-row UDF
+      // dispatch, payload bytes never shuffled — only the small feature
+      // vectors move. Deterministic stub → stable gate; ScalaTest
+      // asserts the histogram/mean against hand-computed values.
+      import s.implicits._
+      records(s, d).as[MmRecord]
+        .mapPartitions(_.map(stubDecode))
+        .toDF()
+        .select(col("doc_id"), col("mime"), col("n_bytes"),
+          round(col("mean_byte"), 9).as("mean_byte"), col("byte_hist"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -85,18 +85,28 @@ object PipelineQueries {
       // all-pairs — that asymmetry is the point: at 100 TB only the
       // banded plan survives.
       val sh = shingled(s, d)
-      val sig = sh.select(col("doc_id"), col("sh"), expr(
+      val sig = sh.select(col("doc_id"), expr(
         "transform(sequence(0, 31), k -> array_min(transform(sh, x -> xxhash64(x, k))))").as("sig"))
       val bands = sig.select(col("doc_id"), expr(
         """explode(transform(sequence(0, 15),
           |  b -> struct(b AS band, element_at(sig, 2*b+1) AS h1, element_at(sig, 2*b+2) AS h2)))"""
           .stripMargin).as("bd"))
         .select(col("doc_id"), col("bd.band").as("band"), col("bd.h1").as("h1"), col("bd.h2").as("h2"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.h1") === col("b.h1") &&
-            col("a.h2") === col("b.h2") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      // One aggregation per band-bucket (computes signatures ONCE — a
+      // self-join would re-derive the whole shingle+minhash pipeline per
+      // branch), then in-bucket pair expansion. Bucket sizes are tiny
+      // (band collisions ≈ near-dup clusters), so the k² expansion is
+      // bounded; the shuffle carries only (band, h1, h2, doc_id).
+      val cand = bands
+        .groupBy("band", "h1", "h2")
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(ids) - 2),
+            |  a -> transform(sequence(a + 1, size(ids) - 1),
+            |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.i").as("i"), col("p.j").as("j"))
         .distinct()
       cand
         .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")

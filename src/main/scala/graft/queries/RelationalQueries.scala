@@ -173,6 +173,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n")).orderBy("k")
     },
 
+    Q("q_join_right_semi",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Right-semi join (reference JoinType RIGHTSEMI, datafusion.proto:
+      // 247): Spark has no right_semi type — swap inputs + left_semi, the
+      // same rewrite the reference's planner note prescribes (SURVEY §2.4).
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
+    Q("q_join_right_anti",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // Right-anti join (reference JoinType RIGHTANTI, datafusion.proto:
+      // 248): swap inputs + left_anti.
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").filter(col("l_quantity") > 49),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    },
+
     Q("q_cross_join",
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin) { (s, d) =>

@@ -73,6 +73,24 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     },
 
+    Q("q_avro_scan",
+      """SELECT n_regionkey, COUNT(*) AS n, MAX(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      // Avro scan (reference AvroScanExecNode, datafusion.proto:1169-1171).
+      // This deployment's spark-sql jar carries AvroFileFormat but not the
+      // "avro" DataSourceRegister alias, so address it by class name.
+      val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/nation_avro"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        t(s, d, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
+          .format(fmt).save(path)
+      }
+      s.read.format(fmt).load(path)
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"), max("n_name").as("last_name"))
+        .orderBy("n_regionkey")
+    },
+
     Q("q_repartition",
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** One input event (mirrors the driver's `events` table schema). */
+final case class Event(
+    event_id: Long,
+    ts: Timestamp,
+    user_id: Long,
+    event_type: String,
+    value: Double)
+
+/** Emitted when a user session closes (30 min idle gap). */
+final case class Session(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+/** In-flight session state kept per user between micro-batches. */
+final case class SessionState(
+    start: Long, last: Long, n: Long, total: Double)
+
+/** Structured Streaming operators over the events stream.
+  *
+  * The reference has NO streaming at all (SURVEY.md §2.9) — this module
+  * is the beyond-parity surface the brief asks for: `readStream` →
+  * transform → `writeStream` with watermarks, windowed aggregation, and
+  * custom session state via `flatMapGroupsWithState`.
+  *
+  * Every transform here is written against a plain `DataFrame`, so the
+  * SAME code runs in batch mode (tests drive it with `MemoryStream` for
+  * streaming semantics and with the parquet `events` table for batch
+  * parity). At scale the windowed aggregate is a streaming two-phase
+  * hash agg partitioned by (window, event_type); session state shuffles
+  * once on user_id and lives in the state store.
+  */
+object EventStreams {
+
+  /** Tumbling-window event counts with a watermark for late data.
+    * Streaming: emits finalized windows (append mode) once the watermark
+    * passes; batch: same result computed directly. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Stateful sessionization: groups a user's events into sessions split
+    * by >30 min gaps, via `flatMapGroupsWithState`. Emits each session
+    * when it closes.
+    *
+    * `timeout` controls idle-session flushing: pass
+    * `ProcessingTimeTimeout` in a long-running stream so sessions close
+    * after `gapMs` of silence. The default is `NoTimeout` (sessions close
+    * only when a later event arrives) — processing-time timeouts schedule
+    * recurrent empty micro-batches, which livelocks test harnesses that
+    * drain with `processAllAvailable`. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())(
+      implicit e1: org.apache.spark.sql.Encoder[Session]):
+      Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          if (state.hasTimedOut) {
+            cur.foreach(st => closed += Session(userId,
+              new Timestamp(st.start), new Timestamp(st.last), st.n, st.total))
+            cur = None
+            state.remove()
+          }
+          sorted.foreach { ev =>
+            val t = ev.ts.getTime
+            cur match {
+              case Some(st) if t - st.last <= gapMs =>
+                cur = Some(SessionState(st.start, t, st.n + 1, st.total + ev.value))
+              case Some(st) =>
+                closed += Session(userId,
+                  new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+                cur = Some(SessionState(t, t, 1, ev.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, ev.value))
+            }
+          }
+          cur.foreach { st =>
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
+              state.setTimeoutDuration(gapMs)
+          }
+          closed.result().iterator
+      }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import scala.concurrent.ExecutionContext.Implicits.global
+
+/** Engine session-surface tests: external tables, views, prepared
+  * statements, parameterized SQL, multi-tenant sessions, job lifecycle
+  * (reference flight_sql.rs session/prepared semantics + REST jobs API,
+  * api/handlers.rs:61-274). */
+class EngineSpec extends GraftSuite {
+  private lazy val engine = new Engine(spark)
+
+  test("createExternalTable registers a queryable parquet view") {
+    engine.createExternalTable("t_nation", s"$sf/nation.parquet")
+    assert(engine.sql("SELECT count(*) AS n FROM t_nation").head().getLong(0) == 25)
+  }
+
+  test("createExternalTable reads csv with delimiter options") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    engine.table("t_nation").write.mode("overwrite")
+      .option("delimiter", "|").csv(dir)
+    engine.createExternalTable("t_nation_csv", dir, format = "csv",
+      options = Map("delimiter" -> "|"),
+      schema = Some(org.apache.spark.sql.types.StructType.fromDDL(
+        "n_nationkey INT, n_name STRING, n_regionkey INT")))
+    assert(engine.sql("SELECT count(*) AS n FROM t_nation_csv").head().getLong(0) == 25)
+  }
+
+  test("views create/drop") {
+    engine.createView("v_small", engine.sql("SELECT 1 AS one"))
+    assert(engine.sql("SELECT * FROM v_small").count() == 1)
+    assert(engine.dropView("v_small"))
+  }
+
+  test("prepared statements: plan once, execute, close") {
+    val h = engine.prepare("SELECT n_regionkey, count(*) AS n FROM t_nation GROUP BY 1")
+    assert(engine.executePrepared(h).count() == 5)
+    engine.closePrepared(h)
+    intercept[RuntimeException](engine.executePrepared(h))
+  }
+
+  test("parameterized sql (reference PrepareNode placeholders)") {
+    val df = engine.sql("SELECT count(*) AS n FROM t_nation WHERE n_regionkey = :rk",
+      Map("rk" -> 2))
+    assert(df.head().getLong(0) == 5)
+  }
+
+  test("newSession isolates temp views but shares data access") {
+    val child = engine.newSession()
+    child.createView("only_child", child.sql("SELECT 42 AS v"))
+    assert(child.sql("SELECT * FROM only_child").count() == 1)
+    intercept[Exception](engine.sql("SELECT * FROM only_child").collect())
+  }
+
+  test("job submit reaches Finished with row count") {
+    val id = engine.submitJob(engine.sql("SELECT * FROM t_nation"))
+    var tries = 0
+    while (engine.jobStatus(id).contains(engine.Running) && tries < 100) {
+      Thread.sleep(100); tries += 1
+    }
+    assert(engine.jobStatus(id).contains(engine.Finished(25)))
+  }
+
+  test("cancel of unknown or finished jobs is a no-op") {
+    assert(!engine.cancelJob("nope123"))
+    val id = engine.submitJob(engine.sql("SELECT 1 AS one"))
+    var tries = 0
+    while (engine.jobStatus(id).contains(engine.Running) && tries < 100) {
+      Thread.sleep(100); tries += 1
+    }
+    val st = engine.jobStatus(id)
+    assert(!engine.cancelJob(id)) // terminal — must not be overwritten
+    assert(engine.jobStatus(id) == st)
+  }
+
+  test("explain returns the formatted physical plan") {
+    val p = engine.explain(engine.sql("SELECT count(*) FROM t_nation"))
+    assert(p.contains("Physical Plan"))
+    assert(p.contains("HashAggregate"))
+  }
+}

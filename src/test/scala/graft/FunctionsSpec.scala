@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+/** Function-parity table tests for every GraftFunctions gap-fill against
+  * literal expected values (reference scalar enumeration,
+  * datafusion.proto:448-522). */
+class FunctionsSpec extends GraftSuite {
+  import org.apache.spark.sql.Column
+
+  private def eval1(c: Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  test("trunc_num truncates toward zero at any scale") {
+    assert(eval1(trunc_num(lit(3.567), 0)) == 3.0)
+    assert(eval1(trunc_num(lit(3.567), 1)) == 3.5)
+    assert(eval1(trunc_num(lit(3.567), 2)) == 3.56)
+    assert(eval1(trunc_num(lit(-3.567), 1)) == -3.5) // toward zero, not floor
+    assert(eval1(trunc_num(lit(-3.567), 0)) == -3.0)
+  }
+
+  test("date_bin floors to stride multiples from the origin") {
+    val origin = lit("2000-01-03 00:00:00").cast("timestamp")
+    val ts = lit("2024-01-01 00:20:00").cast("timestamp")
+    // 15-minute stride: 00:20 floors to 00:15
+    assert(eval1(date_bin(900, ts, origin)).toString == "2024-01-01 00:15:00.0")
+    // before-origin timestamps floor downward (negative bins)
+    val before = lit("1999-12-31 23:50:00").cast("timestamp")
+    assert(eval1(date_bin(3600, before, origin)).toString == "1999-12-31 23:00:00.0")
+  }
+
+  test("digest dispatches by algorithm name") {
+    assert(eval1(digest(lit("abc"), lit("md5"))) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    assert(eval1(digest(lit("abc"), lit("sha256"))) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(eval1(digest(lit("abc"), lit("SHA256"))) == // case-insensitive
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("digest raises on unknown algorithm instead of silent NULL") {
+    val e = intercept[Exception](eval1(digest(lit("abc"), lit("crc99"))))
+    assert(e.getMessage.contains("unsupported digest algorithm"))
+  }
+
+  test("strpos is 1-based, 0 when absent") {
+    assert(eval1(strpos(lit("hello"), lit("ll"))) == 3)
+    assert(eval1(strpos(lit("hello"), lit("xyz"))) == 0)
+  }
+
+  test("regexp_match returns whole match as 1-element array, null when none") {
+    assert(eval1(regexp_match(lit("foo123"), "[0-9]+")) ==
+      scala.collection.mutable.ArraySeq.make(Array("123")))
+    assert(eval1(regexp_match(lit("foo"), "[0-9]+")) == null)
+  }
+
+  test("to_timestamp_* alias the numeric epoch builders") {
+    assert(eval1(to_timestamp_seconds(lit(1700000000L))).toString ==
+      "2023-11-14 22:13:20.0")
+    assert(eval1(to_timestamp_millis(lit(1700000000123L))).toString ==
+      "2023-11-14 22:13:20.123")
+    assert(eval1(to_timestamp_micros(lit(1700000000123456L))).toString ==
+      "2023-11-14 22:13:20.123456")
+  }
+
+  test("current_time renders HH:mm:ss") {
+    assert(eval1(graft.functions.GraftFunctions.current_time())
+      .toString.matches("\\d{2}:\\d{2}:\\d{2}"))
+  }
+}

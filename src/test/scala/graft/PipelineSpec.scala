@@ -1,0 +1,74 @@
+package graft
+
+import graft.queries.{MmRecord, MultimodalQueries}
+import org.apache.spark.sql.functions._
+
+/** Pipeline-operator semantics the oracle can't see: approx-aggregate
+  * accuracy, native-vs-exact stats tolerance, simhash locality, LSH
+  * recall, multimodal stub decode. */
+class PipelineSpec extends GraftSuite {
+
+  test("native var/stddev agree with exact moment formulas to 1e-6 relative") {
+    val native = SparkEntry.queries("q_agg_stats_native")(spark, sf)
+      .select("var_s").collect().map(_.getDouble(0))
+    val exact = SparkEntry.queries("q_agg_stats_exact")(spark, sf)
+      .select("var_acctbal").collect().map(_.getDouble(0))
+    assert(native.length == exact.length)
+    native.zip(exact).foreach { case (n, e) =>
+      assert(math.abs(n - e) / math.max(1.0, math.abs(e)) < 1e-6, s"$n vs $e")
+    }
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val approx = SparkEntry.queries("q_agg_approx")(spark, sf)
+      .select("l_returnflag", "approx_orders").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.df(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k).toDouble - e) / e < 0.10, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
+  test("simhash: near-dup pairs are close in hamming distance, random pairs far") {
+    val sims = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // near-dup pairs at this SF from the exact-jaccard gate:
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "expected planted near-dup pairs at sf0.001")
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val nearDist = pairs.map { case (i, j) => hamming(sims(i), sims(j)) }
+    val randomDist = sims.keys.toSeq.sorted.sliding(2).collect {
+      case Seq(a, b) if !pairs.contains((a, b)) => hamming(sims(a), sims(b))
+    }.toSeq
+    val nearAvg = nearDist.sum.toDouble / nearDist.size
+    val randAvg = randomDist.sum.toDouble / randomDist.size
+    assert(nearAvg < randAvg / 2, s"near=$nearAvg rand=$randAvg")
+  }
+
+  test("LSH ANN finds most of the brute-force top-10 (recall >= 0.5)") {
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("q_ann_lsh")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("multimodal stub decode: histogram + mean match a hand computation") {
+    val payload = "abcABC".getBytes("UTF-8")
+    val f = MultimodalQueries.stubDecode(MmRecord(7L, payload, "image/png", 16, 16))
+    assert(f.n_bytes == 6)
+    // 'a'=97,'b'=98,'c'=99 -> bin 6; 'A'=65,'B'=66,'C'=67 -> bin 4
+    assert(f.byte_hist(6) == 3 && f.byte_hist(4) == 3 && f.byte_hist.sum == 6)
+    assert(math.abs(f.mean_byte - (97 + 98 + 99 + 65 + 66 + 67) / 6.0) < 1e-12)
+  }
+
+  test("exact dedup groups only identical texts (all singletons at sf0.001)") {
+    val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val total = Tables.df(spark, sf, "documents").count()
+    assert(df.agg(sum("n_copies")).head().getLong(0) == total)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions (the analog of the reference's distributed-
+  * planner stage tests, planner.rs:257-570): the point is not that a
+  * query returns rows, but that Catalyst picked the plan that survives a
+  * 100× scale-up — broadcast where a side is small, top-k instead of
+  * global sort, partial+final aggregation, pushdown into the scan. */
+class PlanShapeSpec extends GraftSuite {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_topk fuses sort+limit into TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_inner_agg broadcasts the dimension side") {
+    assert(plan("q_join_inner_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_using broadcasts the region side") {
+    assert(plan("q_join_using").contains("BroadcastHashJoin"))
+  }
+
+  test("q1 aggregates in two phases (partial + final HashAggregate)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final HashAggregate:\n$p")
+    assert(p.contains("Exchange"))
+  }
+
+  test("q_scan_filter_project pushes filters and prunes columns at the scan") {
+    val p = plan("q_scan_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("LessThan(l_quantity"), p)
+    // 5 of 11 lineitem columns read — projection reached the scan
+    assert(p.contains("ReadSchema"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_tax"), s"column pruning failed: $readSchema")
+  }
+
+  test("q_join_semi/anti compile to semi/anti hash joins, not inner+distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("q_dedup_minhash never builds an all-pairs join (no CartesianProduct)") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ann_bruteforce broadcasts the query vector (no shuffle of corpus)") {
+    val p = plan("q_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("windows partition on a real key (no single-partition window)") {
+    val p = plan("q_window_rank")
+    assert(p.contains("Window"))
+    assert(p.contains("hashpartitioning(c_mktsegment"), p)
+  }
+}

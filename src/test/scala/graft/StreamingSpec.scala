@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.{Event, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics driven through MemoryStream — the
+  * beyond-parity surface (the reference has no streaming, SURVEY §2.9). */
+class StreamingSpec extends GraftSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates per tumbling window under a watermark") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0),
+      Event(3, ts("2024-01-01 01:10:00"), 2, "view", 5.0),
+      // watermark pusher: far-future event finalizes earlier windows
+      Event(4, ts("2024-01-01 09:00:00"), 2, "view", 1.0))
+    val q = EventStreams.windowedCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM wc ORDER BY window_start").collect()
+      // windows 00:00 and 01:00 are past the watermark (09:00 - 30min)
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows(0).getAs[Long]("n_events") == 2)       // two clicks in 00:00
+      assert(rows(0).getAs[Double]("total_value") == 3.0)
+      assert(rows(1).getAs[Long]("n_events") == 1)       // one view in 01:00
+    } finally q.stop()
+  }
+
+  test("windowedCounts: identical code runs in batch over the events table") {
+    val batch = EventStreams.windowedCounts(
+      Tables.df(spark, sf, "events"), "1 hour", "30 minutes")
+    assert(batch.count() > 0)
+  }
+
+  test("sessionize closes a session after a 30-minute gap") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // gap > 30 min within one batch: first session closes, second opens
+      in.addData(Event(3, ts("2024-01-01 01:00:00"), 7, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val s0 = rows.head
+      assert(s0.getAs[Long]("user_id") == 7)
+      assert(s0.getAs[Long]("n_events") == 2)
+      assert(s0.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+}
