@@ -84,13 +84,21 @@ object PipelineQueries {
       // the result equal to the oracle's exhaustive scan. The oracle IS
       // all-pairs — that asymmetry is the point: at 100 TB only the
       // banded plan survives.
+      // Signature via explode + 32 codegen'd min-aggregates: hash every
+      // shingle STRING once, re-hash the 8-byte long per seed k inside
+      // whole-stage codegen. (A higher-order `transform(sequence(0,31),
+      // k -> array_min(...))` formulation is interpreted per element and
+      // measured ~10× slower.) The groupBy shuffles only (doc_id, h) —
+      // with map-side partial min — and at 100 TB stays a thin exchange.
       val sh = shingled(s, d)
-      val sig = sh.select(col("doc_id"), expr(
-        "transform(sequence(0, 31), k -> array_min(transform(sh, x -> xxhash64(x, k))))").as("sig"))
-      val bands = sig.select(col("doc_id"), expr(
-        """explode(transform(sequence(0, 15),
-          |  b -> struct(b AS band, element_at(sig, 2*b+1) AS h1, element_at(sig, 2*b+2) AS h2)))"""
-          .stripMargin).as("bd"))
+      val hs = sh.select(col("doc_id"),
+        explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+      val sig = hs.groupBy("doc_id")
+        .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
+          (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 16).map(b => struct(lit(b).as("band"),
+          col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
         .select(col("doc_id"), col("bd.band").as("band"), col("bd.h1").as("h1"), col("bd.h2").as("h2"))
       // One aggregation per band-bucket (computes signatures ONCE — a
       // self-join would re-derive the whole shingle+minhash pipeline per
@@ -122,16 +130,23 @@ object PipelineQueries {
     // → rows-only gate; planted-pair hamming asserted in ScalaTest) ------
     Q.noOracle("q_dedup_simhash") { (s, d) =>
       // 32-bit SimHash over shingles: per bit, majority vote of shingle
-      // hashes. Row-local (one pass over the shingle array per bit) — at
-      // scale this is a pure map stage; near-dup detection then groups on
-      // the fingerprint (or bands of it) exactly like minhash.
-      shingled(s, d).select(
+      // hashes, computed as explode + 32 codegen'd conditional-sum
+      // aggregates (nested higher-order folds are interpreted per element
+      // and measured ~10× slower). Fingerprint assembly is a plain
+      // projection over the 32 vote counters.
+      val votes = shingled(s, d)
+        .select(col("doc_id"), explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
+          (1 until 32).map(b =>
+            sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+              .as(s"b$b")): _*)
+      votes.select(
         col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 31), 0L, (acc, b) ->
-            |  acc + if(
-            |    aggregate(sh, 0L, (v, x) -> v + if(((xxhash64(x) >> b) & 1) = 1, 1L, -1L)) > 0,
-            |    shiftleft(1L, b), 0L))""".stripMargin).as("simhash"))
+        (0 until 32).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -199,13 +214,12 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Engine-independent rolling hash (h*31+c mod 1e9+7) so the oracle
       // can replicate it exactly — unlike murmur/xxhash which differ per
-      // engine. Row-local map work.
+      // engine. Computed by the custom codegen'd RollingHash Catalyst
+      // expression (the equivalent higher-order fold is interpreted
+      // per-char: ~0.8 ms/doc vs ~µs here). Row-local map work.
       t(s, d, "documents").select(
         col("doc_id"),
-        expr(
-          """aggregate(sequence(1, length(text)), 0L,
-            |  (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)""".stripMargin)
-          .as("fp"))
+        graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
         .orderBy("doc_id")
     },
 
