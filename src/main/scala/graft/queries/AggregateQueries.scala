@@ -167,6 +167,20 @@ object AggregateQueries {
         .orderBy("l_returnflag")
     },
 
+    // APPROX_PERCENTILE_CONT_WITH_WEIGHT (reference datafusion.proto:545)
+    // via the custom WeightedPercentile Aggregator (= the reference's
+    // UDAF slot, datafusion.proto:558-562). Sketch contents are engine-
+    // specific → rows-only gate; accuracy vs the exact weighted
+    // percentile is asserted in ScalaTest.
+    Q.noOracle("q_agg_weighted_percentile") { (s, d) =>
+      val wmedian = udaf(new graft.functions.WeightedPercentile(0.5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double)]())
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(wmedian(col("l_extendedprice"), col("l_quantity")).as("w_median_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // --- GROUPING SETS / CUBE / ROLLUP (reference datafusion.proto:
     // 370-380) ------------------------------------------------------------
     Q("q_rollup",

@@ -91,6 +91,45 @@ object SourceQueries {
         .orderBy("n_regionkey")
     },
 
+    Q("q_listing_scan",
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      // Listing-table scan (reference ListingTableScanNode,
+      // datafusion.proto:99-115): a DIRECTORY of parquet files read as
+      // one relation — at 100 TB every table is this shape, split by
+      // spark.sql.files.maxPartitionBytes.
+      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/customer_multi"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        t(s, d, "customer").repartition(4).write.mode(SaveMode.Overwrite).parquet(path)
+      }
+      s.read.parquet(path)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    Q("q_partitioned_scan",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Hive-style partition pruning (reference table_partition_cols,
+      // datafusion.proto:107, 1153): data laid out as
+      // o_orderpriority=<v>/ dirs; the IN filter prunes partitions at
+      // planning time — at 100 TB only 2 of 5 directory trees are read
+      // (PartitionFilters in the scan node, asserted in PlanShapeSpec).
+      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/orders_part"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        t(s, d, "orders").write.mode(SaveMode.Overwrite)
+          .partitionBy("o_orderpriority").parquet(path)
+      }
+      s.read.parquet(path)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Qh.dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_repartition",
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>

@@ -66,6 +66,32 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(f.mean_byte - (97 + 98 + 99 + 65 + 66 + 67) / 6.0) < 1e-12)
   }
 
+  test("weighted percentile sketch within 2% of the exact weighted median") {
+    val approx = SparkEntry.queries("q_agg_weighted_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = Tables.df(spark, sf, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val sorted = grp.map(t => (t._2, t._3)).sortBy(_._1)
+      val total = sorted.map(_._2).sum
+      var cum = 0.0
+      val exact = sorted.find { case (_, w) => cum += w; cum >= 0.5 * total }.get._1
+      val a = approx(flag)
+      assert(math.abs(a - exact) / exact < 0.02, s"$flag: approx=$a exact=$exact")
+    }
+  }
+
+  test("weighted percentile buffer stays bounded and merge-stable") {
+    val agg = new graft.functions.WeightedPercentile(0.5, maxPairs = 64)
+    var buf = agg.zero
+    (1 to 10000).foreach(i => buf = agg.reduce(buf, (i.toDouble, 1.0)))
+    assert(buf.length / 2 <= 128, s"buffer grew to ${buf.length / 2} centroids")
+    val merged = agg.merge(buf, buf)
+    val med = agg.finish(merged)
+    assert(math.abs(med - 5000) / 5000 < 0.05, s"median=$med")
+  }
+
   test("exact dedup groups only identical texts (all singletons at sf0.001)") {
     val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val total = Tables.df(spark, sf, "documents").count()

@@ -60,6 +60,13 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_partitioned_scan prunes hive-style partitions at planning time") {
+    val p = plan("q_partitioned_scan")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("o_orderpriority"), s"partition filter not pushed: $pf")
+  }
+
   test("windows partition on a real key (no single-partition window)") {
     val p = plan("q_window_rank")
     assert(p.contains("Window"))
