@@ -56,6 +56,16 @@ class Engine(val spark: SparkSession) {
   def table(name: String): DataFrame = spark.table(name)
   def dropView(name: String): Boolean = spark.catalog.dropTempView(name)
 
+  /** Catalog/schema namespaces (reference CreateCatalogSchemaNode,
+    * datafusion.proto:192-202): 2/3-part table references resolve through
+    * Spark's session catalog. */
+  def createDatabase(name: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$name`")
+  def dropDatabase(name: String): Unit =
+    spark.sql(s"DROP DATABASE IF EXISTS `$name` CASCADE")
+  def listDatabases(): Seq[String] =
+    spark.catalog.listDatabases().collect().map(_.name).toSeq
+
   // ---- queries ----------------------------------------------------------
 
   def sql(query: String): DataFrame = spark.sql(query)

@@ -175,7 +175,9 @@ object FunctionQueries {
         |  CAST(epoch(l_shipdate) AS BIGINT) AS unix_s,
         |  CAST(to_timestamp(CAST(epoch(l_shipdate) AS BIGINT)) AS TIMESTAMP) AS ts_rt,
         |  epoch_ms(l_shipdate) AS unix_ms,
-        |  make_timestamp(epoch_ms(l_shipdate) * 1000) AS ts_ms_rt
+        |  make_timestamp(epoch_ms(l_shipdate) * 1000) AS ts_ms_rt,
+        |  l_shipdate + INTERVAL 3 DAY AS plus3d,
+        |  l_shipdate - INTERVAL 2 HOUR AS minus2h
         |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       // The parquet column is TIMESTAMP_NTZ; unix_* need TIMESTAMP. In a
       // UTC session the casts are value-preserving; results are cast back
@@ -195,7 +197,11 @@ object FunctionQueries {
           .cast("timestamp_ntz").as("ts_rt"),
         unix_millis(ship).as("unix_ms"),
         GraftFunctions.to_timestamp_millis(unix_millis(ship))
-          .cast("timestamp_ntz").as("ts_ms_rt"))
+          .cast("timestamp_ntz").as("ts_ms_rt"),
+        // date ± interval arithmetic (reference
+        // PhysicalDateTimeIntervalExprNode, datafusion.proto:1073-1077)
+        (col("l_shipdate") + expr("INTERVAL 3 DAY")).as("plus3d"),
+        (col("l_shipdate") - expr("INTERVAL 2 HOUR")).as("minus2h"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -220,6 +226,30 @@ object FunctionQueries {
         struct(col("p_size").cast("bigint").as("sz"), col("p_brand").as("brand"))
           .getField("sz").as("struct_field"),
         when(col("p_size") > 25, "big").otherwise("small").as("case_v"))
+        .orderBy("p_partkey")
+    },
+
+    // --- bitwise ops + string concat operator + IS DISTINCT FROM
+    // (reference binary-expr op strings, datafusion.proto:430-436) -------
+    Q("q_fn_bitwise",
+      """SELECT p_partkey,
+        |  p_size & 12 AS and_v,
+        |  p_size | 5 AS or_v,
+        |  xor(p_size, 9) AS xor_v,
+        |  p_size << 1 AS shl_v,
+        |  p_size >> 1 AS shr_v,
+        |  p_brand || '/' || p_type AS concat_op,
+        |  (p_size IS DISTINCT FROM 7) AS isdf_v
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_size").bitwiseAND(12).as("and_v"),
+        col("p_size").bitwiseOR(5).as("or_v"),
+        col("p_size").bitwiseXOR(9).as("xor_v"),
+        shiftleft(col("p_size"), 1).as("shl_v"),
+        shiftright(col("p_size"), 1).as("shr_v"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("concat_op"),
+        (!(col("p_size") <=> 7)).as("isdf_v"))
         .orderBy("p_partkey")
     },
 

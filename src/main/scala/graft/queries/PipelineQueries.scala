@@ -285,6 +285,28 @@ object PipelineQueries {
         .orderBy("label", "pos")
     },
 
+    // --- embedding-cosine near-dup pairs (blocked exact) ----------------
+    Q("q_embed_neardup",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 9) AS cs
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // Embedding near-dup with IVF-style blocking: pairs are only formed
+      // WITHIN a label (≈ coarse quantizer cell) — the join shuffles on
+      // label, never all-pairs across the corpus. At 100 TB the cell id
+      // comes from k-means/IVF instead of a given label; the plan shape
+      // is identical.
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("i"), col("label"), col("v"))
+      val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("v").as("qv"))
+      a.join(b, col("label") === col("lb") && col("i") < col("j"))
+        .select(col("i"), col("j"), expr(cosineQ).as("cs"))
+        .filter(col("cs") >= 0.4)
+        .orderBy("i", "j")
+    },
+
     // --- similarity search: LSH-bucketed ANN (the 100-TB scale path) ----
     Q.noOracle("q_ann_lsh") { (s, d) =>
       // Random-hyperplane LSH: L=8 tables × 6 sign bits. Deterministic

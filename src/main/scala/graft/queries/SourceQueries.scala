@@ -130,6 +130,16 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     },
 
+    Q("q_orc_scan",
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
+      // ORC via format string (reference generic format support §2.2).
+      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/region_orc"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        t(s, d, "region").coalesce(1).write.mode(SaveMode.Overwrite).orc(path)
+      }
+      s.read.orc(path).select("r_regionkey", "r_name").orderBy("r_regionkey")
+    },
+
     Q("q_repartition",
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>

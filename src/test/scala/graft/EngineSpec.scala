@@ -72,6 +72,15 @@ class EngineSpec extends GraftSuite {
     assert(engine.jobStatus(id) == st)
   }
 
+  test("database namespaces: create, 2-part reference, drop") {
+    engine.createDatabase("graft_db")
+    assert(engine.listDatabases().contains("graft_db"))
+    engine.sql("CREATE TABLE graft_db.t1 USING parquet AS SELECT 1 AS x")
+    assert(engine.sql("SELECT x FROM graft_db.t1").head().getInt(0) == 1)
+    engine.dropDatabase("graft_db")
+    assert(!engine.listDatabases().contains("graft_db"))
+  }
+
   test("explain returns the formatted physical plan") {
     val p = engine.explain(engine.sql("SELECT count(*) FROM t_nation"))
     assert(p.contains("Physical Plan"))

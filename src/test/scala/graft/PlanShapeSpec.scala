@@ -72,4 +72,29 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("Window"))
     assert(p.contains("hashpartitioning(c_mktsegment"), p)
   }
+
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    // The 100-TB co-location story: bucket both sides on the join key at
+    // write time and the join needs no exchange at read time (the analog
+    // of the reference pre-partitioning shuffles by key, SURVEY §4.2).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Tables.df(spark, sf, "orders").write.mode("overwrite")
+        .bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_bkt")
+      Tables.df(spark, sf, "customer").write.mode("overwrite")
+        .bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_bkt")
+      val j = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+      val p = j.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_bkt")
+      spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    }
+  }
 }
