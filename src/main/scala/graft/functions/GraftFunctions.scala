@@ -66,10 +66,12 @@ object GraftFunctions {
   def to_timestamp_millis(c: Column): Column = timestamp_millis(c)
   def to_timestamp_micros(c: Column): Column = timestamp_micros(c)
 
-  /** These helpers are Scala-API gap fills. From SQL text every one has a
-    * native spelling (`instr` for strpos, `timestamp_seconds` for
-    * to_timestamp_seconds, `sha2`/`md5` for digest, …) — Spark built-ins
-    * are codegen'd, so no UDF registration exists or is needed (a Scala
-    * UDF where a built-in exists would block codegen and pushdown). */
+  /** SQL-text access to these helpers is provided by
+    * [[graft.GraftExtensions]] (SparkSessionExtensions.injectFunction →
+    * `graft_rolling_hash`, `graft_date_bin`, `graft_trunc_num`,
+    * `graft_digest`, `graft_strpos`), all as codegen'd Catalyst
+    * expression compositions — never Scala UDFs, which would block
+    * codegen and pushdown. Kept for API compatibility; a no-op because
+    * registration happens at session build. */
   def register(spark: SparkSession): Unit = ()
 }

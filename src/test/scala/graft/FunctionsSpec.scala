@@ -65,6 +65,18 @@ class FunctionsSpec extends GraftSuite {
       "2023-11-14 22:13:20.123456")
   }
 
+  test("gap-fill functions are SQL-callable via GraftExtensions") {
+    assert(spark.sql("SELECT graft_rolling_hash('abc') AS h").head().getLong(0) ==
+      ((('a' * 31L + 'b') % 1000000007L) * 31 + 'c') % 1000000007L)
+    assert(spark.sql(
+      "SELECT graft_date_bin(900, TIMESTAMP '2024-01-01 00:20:00', TIMESTAMP '2000-01-03') AS b")
+      .head().getTimestamp(0).toString == "2024-01-01 00:15:00.0")
+    assert(spark.sql("SELECT graft_trunc_num(3.567, 1) AS t").head().getDouble(0) == 3.5)
+    assert(spark.sql("SELECT graft_digest('abc', 'md5') AS d").head().getString(0) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    assert(spark.sql("SELECT graft_strpos('hello', 'll') AS p").head().getInt(0) == 3)
+  }
+
   test("current_time renders HH:mm:ss") {
     assert(eval1(graft.functions.GraftFunctions.current_time())
       .toString.matches("\\d{2}:\\d{2}:\\d{2}"))
