@@ -78,10 +78,15 @@ class Engine(val spark: SparkSession) {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
-  /** Parameterized SQL (reference PrepareNode placeholders `$n`,
-    * datafusion.proto:186-190, 361-364 → Spark named/positional args). */
+  /** Parameterized SQL, named form (reference PrepareNode placeholders
+    * `$n`, datafusion.proto:186-190, 361-364 → Spark named args). */
   def sql(query: String, args: Map[String, Any]): DataFrame =
     spark.sql(query, args)
+
+  /** Parameterized SQL, positional form (`?` markers) — the closer
+    * analog of the reference's `$1`-style numbered placeholders. */
+  def sql(query: String, args: Seq[Any]): DataFrame =
+    spark.sql(query, args.toArray)
 
   private val prepared = TrieMap.empty[String, DataFrame]
 

@@ -234,6 +234,23 @@ object RelationalQueries {
         .groupBy("nk").agg(count(lit(1)).as("n")).orderBy("nk")
     },
 
+    Q("q_union_all_multi",
+      """SELECT nk, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier
+        |  UNION ALL
+        |  SELECT n_nationkey AS nk FROM nation
+        |) GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      // Multi-input union (reference UnionNode takes N inputs,
+      // datafusion.proto:271-273): chained unions flatten to one Union
+      // operator in Catalyst.
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .union(t(s, d, "nation").select(col("n_nationkey").cast("int").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n")).orderBy("nk")
+    },
+
     Q("q_union_distinct",
       """SELECT c_nationkey AS nk FROM customer
         |UNION

@@ -42,6 +42,11 @@ class EngineSpec extends GraftSuite {
     val df = engine.sql("SELECT count(*) AS n FROM t_nation WHERE n_regionkey = :rk",
       Map("rk" -> 2))
     assert(df.head().getLong(0) == 5)
+    // positional form (the reference's numbered-placeholder analog)
+    val df2 = engine.sql(
+      "SELECT count(*) AS n FROM t_nation WHERE n_regionkey = ? OR n_regionkey = ?",
+      Seq(2, 3))
+    assert(df2.head().getLong(0) == 10)
   }
 
   test("newSession isolates temp views but shares data access") {

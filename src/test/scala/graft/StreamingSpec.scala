@@ -43,6 +43,33 @@ class StreamingSpec extends GraftSuite {
     assert(batch.count() > 0)
   }
 
+  test("streaming result equals batch result on the same finalized windows") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:40:00"), 2, "click", 2.5),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 02:10:00"), 2, "view", 4.0),
+      Event(5, ts("2024-01-01 23:00:00"), 1, "click", 0.5)) // watermark pusher
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    val q = EventStreams.windowedCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wc_eq").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM wc_eq ORDER BY window_start, event_type").collect()
+      val batch = EventStreams.windowedCounts(events.toDF(), "1 hour", "30 minutes")
+        .filter($"window_start" < ts("2024-01-01 22:30:00")) // watermark-finalized only
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+        s"streamed=${streamed.mkString(";")} batch=${batch.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after a 30-minute gap") {
     val s = spark
     implicit val sq = s.sqlContext
