@@ -129,7 +129,9 @@ object FunctionQueries {
         |  regexp_extract(p_name, '[a-z]{5,}') AS long_word,
         |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT) AS n_vowel_runs,
         |  (p_name LIKE '%old%') AS like_v,
-        |  (p_name ILIKE '%OLD%') AS ilike_v
+        |  (p_name ILIKE '%OLD%') AS ilike_v,
+        |  (p_name LIKE '%X_%' ESCAPE 'X') AS like_esc_v,
+        |  (p_name SIMILAR TO '[a-z ]*gre[a-z ]*') AS similar_v
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       t(s, d, "part").select(
         col("p_partkey"),
@@ -138,7 +140,13 @@ object FunctionQueries {
         regexp_extract(col("p_name"), "([a-z]{5,})", 0).as("long_word"),
         size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).as("n_vowel_runs"),
         col("p_name").like("%old%").as("like_v"),
-        col("p_name").ilike("%OLD%").as("ilike_v"))
+        col("p_name").ilike("%OLD%").as("ilike_v"),
+        // LIKE with explicit escape char (reference LikeNode escape_char,
+        // datafusion.proto:603-622): literal '_' via escape
+        expr("p_name LIKE '%X_%' ESCAPE 'X'").as("like_esc_v"),
+        // SIMILAR TO has no Spark form → anchored-rlike rewrite
+        // (SURVEY §7.3 dialect note); semantics = full-string match
+        col("p_name").rlike("^(?:[a-z ]*gre[a-z ]*)$").as("similar_v"))
         .orderBy("p_partkey")
     },
 
@@ -214,7 +222,11 @@ object FunctionQueries {
         |  [CAST(p_size AS BIGINT), CAST(p_size AS BIGINT) * 2][1] AS arr_el,
         |  {'sz': CAST(p_size AS BIGINT), 'brand': p_brand} AS struct_v,
         |  CAST(p_size AS BIGINT) AS struct_field,
-        |  CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS case_v
+        |  CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS case_v,
+        |  TRY_CAST(p_brand AS INT) AS try_cast_v,
+        |  TRY_CAST(CAST(p_size AS VARCHAR) AS INT) AS try_cast_ok,
+        |  ((p_size > 25) IS TRUE) AS is_true_v,
+        |  ((NULLIF(p_size, p_size) > 0) IS NULL) AS is_unknown_v
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val arr = array(col("p_size").cast("bigint"), col("p_size").cast("bigint") * 2)
       t(s, d, "part").select(
@@ -225,7 +237,13 @@ object FunctionQueries {
         struct(col("p_size").cast("bigint").as("sz"), col("p_brand").as("brand")).as("struct_v"),
         struct(col("p_size").cast("bigint").as("sz"), col("p_brand").as("brand"))
           .getField("sz").as("struct_field"),
-        when(col("p_size") > 25, "big").otherwise("small").as("case_v"))
+        when(col("p_size") > 25, "big").otherwise("small").as("case_v"),
+        // TRY_CAST (reference datafusion.proto:635-643): null, not error
+        col("p_brand").try_cast("int").as("try_cast_v"),
+        col("p_size").cast("string").try_cast("int").as("try_cast_ok"),
+        // IS TRUE / IS NULL-as-UNKNOWN (reference datafusion.proto:389-419)
+        expr("(p_size > 25) IS TRUE").as("is_true_v"),
+        (nullif(col("p_size"), col("p_size")) > 0).isNull.as("is_unknown_v"))
         .orderBy("p_partkey")
     },
 
