@@ -66,6 +66,16 @@ class Engine(val spark: SparkSession) {
   def listDatabases(): Seq[String] =
     spark.catalog.listDatabases().collect().map(_.name).toSeq
 
+  /** ANALYZE: compute table + column statistics for the CBO (reference
+    * statistics model §1.4 — per-column min/max/null/distinct feeding
+    * the optimizer; Spark's equivalent is catalog stats + AQE runtime
+    * stats). Catalog tables only (temp views carry no stats). */
+  def analyze(table: String, columns: Seq[String] = Nil): Unit =
+    if (columns.isEmpty)
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR ALL COLUMNS")
+    else
+      spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+
   // ---- queries ----------------------------------------------------------
 
   def sql(query: String): DataFrame = spark.sql(query)
@@ -148,6 +158,19 @@ class Engine(val spark: SparkSession) {
   }
   def jobStatus(jobId: String): Option[JobState] = jobs.get(jobId)
   def listJobs(): Map[String, JobState] = jobs.toMap
+
+  /** Per-stage progress for a running job (reference
+    * `GET /api/job/{id}/stages` with per-stage input/output rows,
+    * api/handlers.rs:61-274): Spark's status tracker keyed by the job
+    * group. Returns (stageId, numTasks, numCompletedTasks). */
+  def jobProgress(jobId: String): Seq[(Int, Int, Int)] = {
+    val st = spark.sparkContext.statusTracker
+    st.getJobIdsForGroup(jobId).toSeq.flatMap { jid =>
+      st.getJobInfo(jid).toSeq.flatMap(_.stageIds().toSeq).flatMap { sid =>
+        st.getStageInfo(sid).map(si => (si.stageId(), si.numTasks(), si.numCompletedTasks()))
+      }
+    }
+  }
 
   /** Cancel a Running job; no-op (false) for unknown or terminal jobs. */
   def cancelJob(jobId: String): Boolean = jobs.get(jobId) match {

@@ -65,6 +65,24 @@ class EngineSpec extends GraftSuite {
     assert(engine.jobStatus(id).contains(engine.Finished(25)))
   }
 
+  test("jobProgress reports stage/task counts for a job group") {
+    val slow = engine.sql(
+      "SELECT count(*) FROM (SELECT java_method('java.lang.Thread', 'sleep', 30L) FROM t_nation)")
+    val id = engine.submitJob(slow)
+    var progress = Seq.empty[(Int, Int, Int)]
+    var tries = 0
+    while (engine.jobStatus(id).contains(engine.Running) && tries < 200) {
+      val p = engine.jobProgress(id)
+      if (p.nonEmpty) progress = p
+      Thread.sleep(20); tries += 1
+    }
+    assert(engine.jobStatus(id).contains(engine.Finished(1)))
+    // stages observed while running have sane task counts
+    progress.foreach { case (_, numTasks, completed) =>
+      assert(numTasks >= 1 && completed <= numTasks)
+    }
+  }
+
   test("cancel of unknown or finished jobs is a no-op") {
     assert(!engine.cancelJob("nope123"))
     val id = engine.submitJob(engine.sql("SELECT 1 AS one"))
@@ -84,6 +102,17 @@ class EngineSpec extends GraftSuite {
     assert(engine.sql("SELECT x FROM graft_db.t1").head().getInt(0) == 1)
     engine.dropDatabase("graft_db")
     assert(!engine.listDatabases().contains("graft_db"))
+  }
+
+  test("analyze computes column statistics usable by the CBO") {
+    engine.sql("CREATE TABLE graft_stats_t USING parquet AS SELECT * FROM t_nation")
+    try {
+      engine.analyze("graft_stats_t", Seq("n_regionkey"))
+      val desc = engine.sql("DESCRIBE EXTENDED graft_stats_t n_regionkey")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc("distinct_count") == "5", desc.toString)
+      assert(desc("max") == "4")
+    } finally engine.sql("DROP TABLE IF EXISTS graft_stats_t")
   }
 
   test("explain returns the formatted physical plan") {
