@@ -287,6 +287,36 @@ object PipelineQueries {
         .orderBy("label", "pos")
     },
 
+    // --- grouped top-k via bounded-heap aggregate (same result as the
+    // window form, but map-side partials shuffle ≤k rows per partition
+    // per group instead of sorting the whole corpus) ---------------------
+    Q("q_ann_topk_agg",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (SELECT vec_id, label, ROUND(list_cosine_similarity(v, qv), 9) AS cs FROM e, q)
+        |SELECT label, vec_id, cs, rn FROM (
+        |  SELECT label, vec_id, cs,
+        |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("label"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
+        .groupBy("label")
+        .agg(topk(col("cs"), col("vec_id")).as("arr"))
+        .select(col("label"), posexplode(expr(
+          """transform(sequence(0, size(arr) div 2 - 1),
+            |  i -> struct(element_at(arr, CAST(2*i+1 AS INT)) AS cs,
+            |              CAST(element_at(arr, CAST(2*i+2 AS INT)) AS BIGINT) AS vec_id))"""
+            .stripMargin)).as(Seq("pos", "p")))
+        .select(col("label"), col("p.vec_id").as("vec_id"), col("p.cs").as("cs"),
+          (col("pos") + 1).cast("int").as("rn"))
+        .orderBy("label", "rn")
+    },
+
     // --- embedding-cosine near-dup pairs (blocked exact) ----------------
     Q("q_embed_neardup",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

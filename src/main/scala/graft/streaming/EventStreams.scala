@@ -60,6 +60,16 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup on event_id: state is scoped by the watermark
+    * (dropDuplicatesWithinWatermark), so the dedup map doesn't grow
+    * unboundedly — the streaming face of the corpus-prep exact-dedup
+    * operator (q_dedup_exact). */
+  def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful sessionization: groups a user's events into sessions split
     * by >30 min gaps, via `flatMapGroupsWithState`. Emits each session
     * when it closes.

@@ -57,6 +57,20 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("TopKAggregator keeps best-first order, ties to smaller id, bounded at k") {
+    val agg = new graft.functions.TopKAggregator(3)
+    var buf = agg.zero
+    Seq((0.5, 10L), (0.9, 7L), (0.5, 3L), (0.1, 99L), (0.9, 2L)).foreach { case (s, i) =>
+      buf = agg.reduce(buf, (s, i))
+    }
+    val pairs = buf.grouped(2).map(a => (a(0), a(1).toLong)).toSeq
+    assert(pairs == Seq((0.9, 2L), (0.9, 7L), (0.5, 3L)), pairs.toString)
+    // merge of two partial heaps == top-k of the union
+    val other = agg.reduce(agg.zero, (0.7, 50L))
+    val merged = agg.merge(buf, other).grouped(2).map(a => (a(0), a(1).toLong)).toSeq
+    assert(merged == Seq((0.9, 2L), (0.9, 7L), (0.7, 50L)), merged.toString)
+  }
+
   test("multimodal stub decode: histogram + mean match a hand computation") {
     val payload = "abcABC".getBytes("UTF-8")
     val f = MultimodalQueries.stubDecode(MmRecord(7L, payload, "image/png", 16, 16))

@@ -70,6 +70,28 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 00:00:01"), 1, "click", 1.0), // dup id
+      Event(2, ts("2024-01-01 00:05:00"), 2, "view", 2.0))
+    val q = EventStreams.dedupe(in.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      in.addData(Event(2, ts("2024-01-01 00:06:00"), 2, "view", 2.0)) // dup in later batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dd ORDER BY event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(1L, 2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after a 30-minute gap") {
     val s = spark
     implicit val sq = s.sqlContext
