@@ -247,6 +247,23 @@ object FunctionQueries {
         .orderBy("p_partkey")
     },
 
+    // --- remaining reference scalars: Btrim w/ char set, ToTimestamp
+    // (string parse), FromUnixtime (reference datafusion.proto:452, 503,
+    // 511) ---------------------------------------------------------------
+    Q("q_fn_extra",
+      """SELECT p_partkey,
+        |  trim(lpad(p_brand, 12, '#'), '#') AS btrim_v,
+        |  CAST('1994-05-15 12:30:00' AS TIMESTAMP) AS ts_parse,
+        |  strftime(to_timestamp(p_size * 86400), '%Y-%m-%d %H:%M:%S') AS from_unix_v
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        expr("trim(BOTH '#' FROM lpad(p_brand, 12, '#'))").as("btrim_v"),
+        to_timestamp(lit("1994-05-15 12:30:00")).cast("timestamp_ntz").as("ts_parse"),
+        from_unixtime(col("p_size").cast("bigint") * 86400).as("from_unix_v"))
+        .orderBy("p_partkey")
+    },
+
     // --- bitwise ops + string concat operator + IS DISTINCT FROM
     // (reference binary-expr op strings, datafusion.proto:430-436) -------
     Q("q_fn_bitwise",

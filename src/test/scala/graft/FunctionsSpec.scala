@@ -77,6 +77,17 @@ class FunctionsSpec extends GraftSuite {
     assert(spark.sql("SELECT graft_strpos('hello', 'll') AS p").head().getInt(0) == 3)
   }
 
+  test("nondeterministic scalars: rand/uuid/now/current_date/typeof are sane") {
+    val r = spark.sql(
+      "SELECT rand() AS r, uuid() AS u, now() AS n, current_date() AS d, typeof(1) AS t")
+      .head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) < 1.0)
+    assert(r.getString(1).matches("[0-9a-f-]{36}"))
+    assert(r.getTimestamp(2).getTime > 0)
+    assert(r.getDate(3).toString.matches("\\d{4}-\\d{2}-\\d{2}"))
+    assert(r.getString(4) == "int")
+  }
+
   test("current_time renders HH:mm:ss") {
     assert(eval1(graft.functions.GraftFunctions.current_time())
       .toString.matches("\\d{2}:\\d{2}:\\d{2}"))
