@@ -439,6 +439,30 @@ object PipelineQueries {
         .orderBy("l_returnflag")
     },
 
+    // --- similarity search: IVF variant (k-means coarse quantizer) ------
+    Q.noOracle("q_ann_ivf") { (s, d) =>
+      // Train a 16-cell coarse quantizer (3 Lloyd iterations, all
+      // DataFrame ops; only the 16 centroid vectors ever reach the
+      // driver), bucket the corpus by nearest centroid, probe the 4
+      // cells nearest the query, score candidates exactly with the
+      // codegen'd DotProduct. Approximate → rows-only gate; recall vs
+      // q_ann_bruteforce asserted in ScalaTest. At 100 TB: train on a
+      // sample, assignment is a map stage, each probe reads ~k/nProbe
+      // of the corpus.
+      import graft.functions.IvfIndex
+      val e = vecs(s, d)
+      val centers = IvfIndex.trainCentroids(e.select(col("vec_id"), col("v")), k = 16)
+      val qv = e.filter(col("vec_id") === 0).select("v")
+        .head().getSeq[Double](0).toArray
+      val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
+      val qCol = array(qv.map(lit): _*)
+      e.withColumn("cell", IvfIndex.cellCol(centers, col("v")))
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // --- event sessionization (gap > 30 min ⇒ new session) --------------
     Q("q_events_sessionize",
       """WITH x AS (
