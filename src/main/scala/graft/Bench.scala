@@ -48,13 +48,16 @@ object Bench {
       val times = (1 to runs).map(_ => runOnce(n))
       n -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Locale.ROOT: the default-locale f-interpolator would print decimal
+    // commas on e.g. a de_DE JVM and corrupt the JSON line.
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size}}""")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size}}""")
     spark.stop()
   }
 }

@@ -34,22 +34,32 @@ class Engine(val spark: SparkSession) {
   /** `CREATE EXTERNAL TABLE name STORED AS <format> LOCATION <path>`.
     * Formats: parquet | csv | json | orc | avro (reference §2.2 scans).
     * An explicit schema pins types like the reference's serialized plans
-    * always do (SURVEY.md §1.3); omit it to use file self-description. */
+    * always do (SURVEY.md §1.3); omit it to use file self-description.
+    *
+    * Registered as a temp view — visible to THIS session only. Pass
+    * `global = true` to register a global temp view instead (query as
+    * `global_temp.name`), which is the cross-session sharing Spark
+    * offers short of a persistent catalog table; for full reference-like
+    * shared-catalog semantics use `sql("CREATE TABLE ... USING ...
+    * LOCATION ...")` against the session catalog. */
   def createExternalTable(
       name: String,
       location: String,
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      schema: Option[StructType] = None): DataFrame = {
+      schema: Option[StructType] = None,
+      global: Boolean = false): DataFrame = {
     var r = spark.read.format(format).options(options)
     schema.foreach(s => r = r.schema(s))
     val df = r.load(location)
-    df.createOrReplaceTempView(name)
+    if (global) df.createOrReplaceGlobalTempView(name)
+    else df.createOrReplaceTempView(name)
     df
   }
 
   /** `CREATE [OR REPLACE] VIEW name AS <df>` (reference
-    * datafusion.proto:204-210). */
+    * datafusion.proto:204-210). Session-local (see createExternalTable
+    * note on cross-session visibility). */
   def createView(name: String, df: DataFrame, orReplace: Boolean = true): Unit =
     if (orReplace) df.createOrReplaceTempView(name) else df.createTempView(name)
 
@@ -114,8 +124,11 @@ class Engine(val spark: SparkSession) {
 
   // ---- multi-tenancy ----------------------------------------------------
 
-  /** Isolated-conf, shared-catalog child session (reference's per-token
-    * SessionContext, flight_sql.rs:125-136). */
+  /** Child session with isolated conf and isolated TEMP views; the
+    * persistent catalog (databases, `CREATE TABLE` tables) and global
+    * temp views are shared (reference's per-token SessionContext,
+    * flight_sql.rs:125-136 — its catalog sharing maps to Spark's
+    * metastore catalog + `global_temp`, not to session-local views). */
   def newSession(): Engine = new Engine(spark.newSession())
 
   // ---- jobs (reference REST api: list/status/cancel, api/handlers.rs) ---
@@ -139,6 +152,7 @@ class Engine(val spark: SparkSession) {
     * a Finished job can never be stamped "cancelled". */
   def submitJob(df: DataFrame)(implicit ec: ExecutionContext): String = {
     val jobId = UUID.randomUUID().toString.take(7)
+    pruneTerminalJobs()
     jobs.put(jobId, Running)
     Future {
       try {
@@ -152,10 +166,26 @@ class Engine(val spark: SparkSession) {
           val msg = if (cancelRequested.contains(jobId)) "cancelled"
             else String.valueOf(e.getMessage)
           jobs.replace(jobId, Running, Failed(msg))
-      } finally spark.sparkContext.clearJobGroup()
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        cancelRequested.remove(jobId)
+      }
     }
     jobId
   }
+
+  /** Bounded job history: evict terminal records beyond the cap so a
+    * long-lived multi-tenant engine doesn't leak one entry per job
+    * forever (the reference's REST handlers likewise prune completed
+    * jobs). Running jobs are never evicted. */
+  private val maxJobHistory = 1024
+  private def pruneTerminalJobs(): Unit =
+    if (jobs.size >= maxJobHistory) {
+      jobs.iterator
+        .collect { case (id, st) if st != Running => id }
+        .take(jobs.size - maxJobHistory + 1)
+        .foreach(jobs.remove)
+    }
   def jobStatus(jobId: String): Option[JobState] = jobs.get(jobId)
   def listJobs(): Map[String, JobState] = jobs.toMap
 
@@ -172,11 +202,14 @@ class Engine(val spark: SparkSession) {
     }
   }
 
-  /** Cancel a Running job; no-op (false) for unknown or terminal jobs. */
+  /** Cancel a Running job; no-op (false) for unknown or terminal jobs.
+    * Uses cancelJobGroupAndFutureJobs: an AQE query issues several
+    * sequential Spark jobs, and plain cancelJobGroup would miss one
+    * launched after the cancel (the query would keep running). */
   def cancelJob(jobId: String): Boolean = jobs.get(jobId) match {
     case Some(Running) =>
       cancelRequested.put(jobId, true)
-      spark.sparkContext.cancelJobGroup(jobId)
+      spark.sparkContext.cancelJobGroupAndFutureJobs(jobId)
       jobs.replace(jobId, Running, Failed("cancelled"))
     case _ => false
   }
@@ -201,7 +234,12 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // Engine-wide policy: parquet TIMESTAMP(NANOS) columns read as
+      // raw nanos BIGINT (Spark otherwise rejects the file outright);
+      // Tables.df converts them to micros TIMESTAMP_NTZ. Must match the
+      // runtime set in Tables.df — a session that flips this to false
+      // would make nanos files unreadable again.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -23,32 +23,39 @@ object IvfIndex {
       vecs: DataFrame, // columns: vec_id: long, v: array<double>
       k: Int,
       iters: Int = 3): Array[Array[Double]] = {
-    val n = vecs.count()
-    val stride = math.max(1L, n / k)
-    var centers: Array[Array[Double]] = vecs
-      .filter(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id")
-      .limit(k)
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    var it = 0
-    while (it < iters) {
-      val assigned = vecs.withColumn("cell", cellCol(centers, col("v")))
-      // new centroid = element-wise mean of the cell's vectors
-      centers = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(avg("x").as("m"))
-        .groupBy("cell")
-        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
-        .orderBy("cell")
-        .collect()
-        .map { r =>
-          val m = r.getMap[Int, Double](1)
-          Array.tabulate(m.size)(i => m(i))
-        }
-      it += 1
-    }
-    centers
+    // Training issues 1 + iters actions over the same lineage — cache it
+    // (at scale: train on a sample; 1 scan instead of iters+1).
+    val cached = vecs.persist()
+    try {
+      val n = cached.count()
+      val stride = math.max(1L, n / k)
+      var centers: Array[Array[Double]] = cached
+        .filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy("vec_id")
+        .limit(k)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      var it = 0
+      while (it < iters) {
+        val assigned = cached.withColumn("cell", cellCol(centers, col("v")))
+        // new centroid = element-wise mean of the cell's vectors, keyed
+        // by cell id. A cell that attracted no vectors keeps its previous
+        // centroid — positional indexing would shrink k and permute ids.
+        val byCell: Map[Int, Array[Double]] = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(avg("x").as("m"))
+          .groupBy("cell")
+          .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+          .collect()
+          .map { r =>
+            val m = r.getMap[Int, Double](1)
+            r.getInt(0) -> Array.tabulate(m.size)(i => m(i))
+          }.toMap
+        centers = centers.zipWithIndex.map { case (old, i) => byCell.getOrElse(i, old) }
+        it += 1
+      }
+      centers
+    } finally cached.unpersist()
   }
 
   /** Column: index of the nearest centroid (max cosine ≈ min L2 on

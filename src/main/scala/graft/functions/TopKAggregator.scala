@@ -42,11 +42,18 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Array[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
 
-  /** Insert (score, id) keeping the array sorted best-first, ≤ k pairs. */
+  /** Insert (score, id) keeping the array sorted best-first, ≤ k pairs.
+    * NaN ranks greatest (matching ORDER BY ... DESC in both Spark and
+    * DuckDB, so the aggregator stays result-equal to the window form
+    * even on degenerate scores). */
   private def insert(buf: Array[Double], score: Double, id: Double): Array[Double] = {
     val n = buf.length / 2
-    def better(s: Double, i: Double, idx: Int): Boolean =
-      s > buf(2 * idx) || (s == buf(2 * idx) && i < buf(2 * idx + 1))
+    def better(s: Double, i: Double, idx: Int): Boolean = {
+      val b = buf(2 * idx)
+      // java.lang.Double.compare orders NaN above all values
+      val c = java.lang.Double.compare(s, b)
+      c > 0 || (c == 0 && i < buf(2 * idx + 1))
+    }
     // full and worse than the current tail → drop
     if (n == k && !better(score, id, n - 1)) return buf
     val m = math.min(n + 1, k)

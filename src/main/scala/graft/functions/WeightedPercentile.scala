@@ -34,7 +34,9 @@ class WeightedPercentile(p: Double, maxPairs: Int = 2048)
 
   override def reduce(buf: Array[Double], in: (Double, Double)): Array[Double] = {
     val (v, w) = in
-    if (w <= 0 || v.isNaN) return buf
+    // !(w > 0) also drops NaN weights (NaN <= 0 is false but NaN > 0 is
+    // too) — one NaN weight would otherwise poison the group's total
+    if (!(w > 0) || v.isNaN) return buf
     val n = buf(0).toInt
     val target = if (n >= maxPairs) compress(buf) else ensureRoom(buf, n + 1)
     val m = target(0).toInt

@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
+  /** Collision-free cache dir per source sfDir: the readable sanitized
+    * name alone is lossy ('sf0.1' and 'sf0_1' collide), so the exact
+    * path's hash is appended. */
+  private[queries] def cacheDir(d: String): String =
+    s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(d.hashCode)}"
+
   /** Write `nation` as |-delimited headerless CSV (mirroring the
     * reference's .tbl layout) once per (sfDir) and return its path. */
   private def nationCsv(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/nation_csv"
+    val path = s"${cacheDir(d)}/nation_csv"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       t(s, d, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
         .option("delimiter", "|").option("header", "false").csv(path)
@@ -30,7 +36,7 @@ object SourceQueries {
   }
 
   private def ordersJson(s: SparkSession, d: String): String = {
-    val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/orders_json"
+    val path = s"${cacheDir(d)}/orders_json"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -80,7 +86,7 @@ object SourceQueries {
       // This deployment's spark-sql jar carries AvroFileFormat but not the
       // "avro" DataSourceRegister alias, so address it by class name.
       val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
-      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/nation_avro"
+      val path = s"${cacheDir(d)}/nation_avro"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         t(s, d, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
           .format(fmt).save(path)
@@ -98,7 +104,7 @@ object SourceQueries {
       // datafusion.proto:99-115): a DIRECTORY of parquet files read as
       // one relation — at 100 TB every table is this shape, split by
       // spark.sql.files.maxPartitionBytes.
-      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/customer_multi"
+      val path = s"${cacheDir(d)}/customer_multi"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         t(s, d, "customer").repartition(4).write.mode(SaveMode.Overwrite).parquet(path)
       }
@@ -117,7 +123,7 @@ object SourceQueries {
       // o_orderpriority=<v>/ dirs; the IN filter prunes partitions at
       // planning time — at 100 TB only 2 of 5 directory trees are read
       // (PartitionFilters in the scan node, asserted in PlanShapeSpec).
-      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/orders_part"
+      val path = s"${cacheDir(d)}/orders_part"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         t(s, d, "orders").write.mode(SaveMode.Overwrite)
           .partitionBy("o_orderpriority").parquet(path)
@@ -133,7 +139,7 @@ object SourceQueries {
     Q("q_orc_scan",
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
       // ORC via format string (reference generic format support §2.2).
-      val path = s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}/region_orc"
+      val path = s"${cacheDir(d)}/region_orc"
       if (!new java.io.File(path, "_SUCCESS").exists()) {
         t(s, d, "region").coalesce(1).write.mode(SaveMode.Overwrite).orc(path)
       }

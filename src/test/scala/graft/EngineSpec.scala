@@ -56,6 +56,13 @@ class EngineSpec extends GraftSuite {
     intercept[Exception](engine.sql("SELECT * FROM only_child").collect())
   }
 
+  test("global external tables are visible across sessions (global_temp)") {
+    engine.createExternalTable("nation_shared", s"$sf/nation.parquet", global = true)
+    val child = engine.newSession()
+    assert(child.sql("SELECT count(*) AS n FROM global_temp.nation_shared")
+      .head().getLong(0) == 25)
+  }
+
   test("job submit reaches Finished with row count") {
     val id = engine.submitJob(engine.sql("SELECT * FROM t_nation"))
     var tries = 0
