@@ -207,6 +207,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- text cleaning: strip URL-ish/email-ish tokens, collapse space --
+    Q("q_text_clean",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text,
+        |       '(https?://\S+|\S+@\S+)', '', 'g'),
+        |       ' +', ' ', 'g')) AS cleaned,
+        |  CAST(length(text) - length(trim(regexp_replace(regexp_replace(text,
+        |       '(https?://\S+|\S+@\S+)', '', 'g'),
+        |       ' +', ' ', 'g'))) AS INT) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Corpus scrubbing: URL/email removal + whitespace collapse, pure
+      // row-local regex (codegen'd) — the shape of any PII/boilerplate
+      // strip pass at 100 TB.
+      val stripped = regexp_replace(
+        regexp_replace(col("text"), lit("(https?://\\S+|\\S+@\\S+)"), lit("")),
+        lit(" +"), lit(" "))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        trim(stripped).as("cleaned"),
+        (length(col("text")) - length(trim(stripped))).cast("int").as("n_removed"))
+        .orderBy("doc_id")
+    },
+
+    // --- corpus vocabulary: global token frequencies --------------------
+    Q("q_text_vocab",
+      """SELECT token, COUNT(*) AS freq,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+      // explode → two-phase count: the shuffle carries only
+      // (token, partial count) pairs — vocabulary extraction stays
+      // cheap at any corpus size because token cardinality, not corpus
+      // size, bounds the exchange. Top-k fuses to TakeOrdered.
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(50)
+    },
+
+    // --- bigram frequencies (n-gram counting) ---------------------------
+    Q("q_text_bigrams",
+      """SELECT bigram, COUNT(*) AS freq FROM (
+        |  SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2)
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(20)
+    },
+
     // --- document fingerprinting: rolling polynomial hash ---------------
     Q("q_text_fingerprint",
       """SELECT doc_id,
