@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** AQE runtime re-optimization (SURVEY §4.3: the reference re-runs
+  * JoinSelection + AggregateStatistics at stage boundaries; Spark's AQE
+  * is the same mechanism). These tests pin that the behaviors actually
+  * ENGAGE under the engine's session config — not just that the flag is
+  * set. */
+class AqeSpec extends GraftSuite {
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p                        => p.toString
+    }
+  }
+
+  test("AQE splits a skewed partition in a sort-merge join (skew=true)") {
+    val s = spark
+    import s.implicits._
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // 95% of the fact rows share key 0 → one reducer partition dwarfs
+      // the median; AQE must split it instead of letting one task carry
+      // the join.
+      val fact = spark.range(0, 200000).map { i =>
+        (if (i % 20 != 0) 0L else i.toLong, s"payload_$i")
+      }.toDF("k", "pay")
+      val dim = spark.range(0, 5000).map(i => (i, s"dim_$i")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      val plan = executedPlan(joined)
+      assert(plan.contains("skew=true"), s"skew split did not engage:\n$plan")
+    }
+  }
+
+  test("AQE coalesces small shuffle partitions (fewer than configured)") {
+    withConf("spark.sql.shuffle.partitions" -> "64") {
+      val df = Tables.df(spark, sf, "nation").groupBy("n_regionkey").count()
+      df.collect()
+      val n = df.rdd.getNumPartitions
+      assert(n < 64, s"expected AQE to coalesce 64 shuffle partitions, got $n")
+    }
+  }
+}
