@@ -11,11 +11,16 @@ import org.apache.spark.sql.SparkSession
 class SchedulerSpec extends GraftSuite {
 
   test("a task that fails once is retried and the job succeeds") {
+    // needs its own SparkContext (special master) — one context per JVM,
+    // so park the shared one; it rebuilds lazily for later suites
+    SparkTestBase.reset()
     val s2 = SparkSession.builder()
       .master("local[2, 2]") // 2 threads, maxFailures=2 → one retry
       .appName("graft-retry")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    assert(s2.sparkContext.master == "local[2, 2]",
+      s"expected a fresh local[2,2] context, got ${s2.sparkContext.master}")
     try {
       SchedulerSpec.firstAttemptFailed.set(false)
       import s2.implicits._
@@ -31,7 +36,10 @@ class SchedulerSpec extends GraftSuite {
         .count()
       assert(out == 100)
       assert(SchedulerSpec.firstAttemptFailed.get(), "failure was never injected")
-    } finally s2.stop()
+    } finally {
+      s2.stop()
+      SparkTestBase.reset() // next suite rebuilds the shared session
+    }
   }
 
   test("job-level failure surfaces the task error (no silent data loss)") {

@@ -4,9 +4,31 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites (one JVM-wide session keeps the
-  * suite wall-time dominated by the queries, not session startup). */
+  * suite wall-time dominated by the queries, not session startup).
+  *
+  * `spark` transparently rebuilds if the active session was stopped —
+  * a suite that needs its own SparkContext (e.g. SchedulerSpec's
+  * `local[2,2]` retry master; Spark allows one context per JVM) must
+  * call `reset()` first and again when done. */
 object SparkTestBase {
-  lazy val spark: SparkSession = {
+  private var _spark: SparkSession = _
+
+  def spark: SparkSession = synchronized {
+    if (_spark == null || _spark.sparkContext.isStopped) _spark = build()
+    _spark
+  }
+
+  /** Stop and discard the shared session (next `spark` call rebuilds). */
+  def reset(): Unit = synchronized {
+    if (_spark != null) {
+      if (!_spark.sparkContext.isStopped) _spark.stop()
+      _spark = null
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  private def build(): SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
@@ -19,6 +41,7 @@ object SparkTestBase {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
   val sf: String = "/root/testdata/sf0.001"
 }
 
