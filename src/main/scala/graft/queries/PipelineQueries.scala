@@ -248,6 +248,40 @@ object PipelineQueries {
         .limit(50)
     },
 
+    // --- tf·idf: top-3 characteristic terms per document ----------------
+    Q("q_text_tfidf",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, token, score, rn FROM (
+        |  SELECT tf.doc_id, tf.token,
+        |         ROUND(tf.tf * ln(n.n::DOUBLE / df.df), 9) AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY ROUND(tf.tf * ln(n.n::DOUBLE / df.df), 9) DESC, tf.token) AS rn
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+      // tf·idf: term frequencies per doc (two-phase count), document
+      // frequencies (broadcast-joined back — vocabulary-sized), idf from
+      // the corpus count. At 100 TB: tok explodes map-side, tf/df are
+      // partial-aggregated, and the df join broadcasts (vocab ≪ corpus).
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy("token").agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.count() // corpus size: one scalar to the driver
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.join(broadcast(df), "token")
+        .select(col("doc_id"), col("token"),
+          round(col("tf") * log(lit(n.toDouble) / col("df")), 9).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "token", "score", "rn")
+        .orderBy("doc_id", "rn")
+    },
+
     // --- bigram frequencies (n-gram counting) ---------------------------
     Q("q_text_bigrams",
       """SELECT bigram, COUNT(*) AS freq FROM (
