@@ -157,13 +157,16 @@ object AggregateQueries {
     },
 
     Q("q_agg_collect",
-      """SELECT l_returnflag, list_sort(array_agg(DISTINCT l_linestatus)) AS statuses
+      """SELECT l_returnflag,
+        |       to_json(list_sort(array_agg(DISTINCT l_linestatus)))::VARCHAR AS statuses
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       // ARRAY_AGG (reference AggregateFunction id 6): collection order is
       // nondeterministic under parallel merge, so parity (and 1000-executor
       // stability) requires DISTINCT + an explicit sort of the array.
+      // Output as canonical JSON text — engines' list representations
+      // differ in the gate's hashing layer, JSON doesn't.
       t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"))
+        .agg(to_json(sort_array(collect_set(col("l_linestatus")))).as("statuses"))
         .orderBy("l_returnflag")
     },
 

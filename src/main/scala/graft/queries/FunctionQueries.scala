@@ -218,9 +218,9 @@ object FunctionQueries {
     Q("q_fn_misc",
       """SELECT p_partkey,
         |  coalesce(NULLIF(p_brand, 'brand0'), 'fallback') AS coal_v,
-        |  [CAST(p_size AS BIGINT), CAST(p_size AS BIGINT) * 2] AS arr_v,
+        |  to_json([CAST(p_size AS BIGINT), CAST(p_size AS BIGINT) * 2])::VARCHAR AS arr_v,
         |  [CAST(p_size AS BIGINT), CAST(p_size AS BIGINT) * 2][1] AS arr_el,
-        |  {'sz': CAST(p_size AS BIGINT), 'brand': p_brand} AS struct_v,
+        |  to_json({'sz': CAST(p_size AS BIGINT), 'brand': p_brand})::VARCHAR AS struct_v,
         |  CAST(p_size AS BIGINT) AS struct_field,
         |  CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS case_v,
         |  TRY_CAST(p_brand AS INT) AS try_cast_v,
@@ -228,13 +228,18 @@ object FunctionQueries {
         |  ((p_size > 25) IS TRUE) AS is_true_v,
         |  ((NULLIF(p_size, p_size) > 0) IS NULL) AS is_unknown_v
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      // Nested values are computed natively (array/struct expressions,
+      // GetIndexedField) but OUTPUT as canonical JSON strings: the gate
+      // hashes column values, and list/struct in-memory representations
+      // differ across engines/readers while the JSON text is identical.
       val arr = array(col("p_size").cast("bigint"), col("p_size").cast("bigint") * 2)
       t(s, d, "part").select(
         col("p_partkey"),
         coalesce(nullif(col("p_brand"), lit("brand0")), lit("fallback")).as("coal_v"),
-        arr.as("arr_v"),
+        to_json(arr).as("arr_v"),
         arr.getItem(0).as("arr_el"),
-        struct(col("p_size").cast("bigint").as("sz"), col("p_brand").as("brand")).as("struct_v"),
+        to_json(struct(col("p_size").cast("bigint").as("sz"), col("p_brand").as("brand")))
+          .as("struct_v"),
         struct(col("p_size").cast("bigint").as("sz"), col("p_brand").as("brand"))
           .getField("sz").as("struct_field"),
         when(col("p_size") > 25, "big").otherwise("small").as("case_v"),
