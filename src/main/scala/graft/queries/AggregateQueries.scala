@@ -64,14 +64,18 @@ object AggregateQueries {
     Q("q_agg_minmax",
       """SELECT l_returnflag,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        |  strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       // min/max over doubles & timestamps are order-independent (no
       // decimal trick needed): safe at any parallelism.
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
-          min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"),
+          // canonical text form: timestamp column resolutions (us vs ns)
+          // differ across the gate's readers, the string doesn't
+          date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("min_ship"),
+          date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("max_ship"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     },

@@ -174,18 +174,18 @@ object FunctionQueries {
     // datafusion.proto:456-457, 503-506, 516) -----------------------------
     Q("q_fn_datetime",
       """SELECT l_orderkey, l_linenumber,
-        |  date_trunc('month', l_shipdate) AS month_v,
-        |  date_trunc('day', l_shipdate) AS day_v,
+        |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d %H:%M:%S') AS month_v,
+        |  strftime(date_trunc('day', l_shipdate), '%Y-%m-%d %H:%M:%S') AS day_v,
         |  CAST(date_part('year', l_shipdate) AS BIGINT) AS year_v,
         |  CAST(date_part('month', l_shipdate) AS BIGINT) AS month_n,
         |  CAST(date_part('dow', l_shipdate) AS BIGINT) AS dow_v,
-        |  time_bucket(INTERVAL 7 DAY, l_shipdate, TIMESTAMP '2000-01-03') AS bin7d_v,
+        |  strftime(time_bucket(INTERVAL 7 DAY, l_shipdate, TIMESTAMP '2000-01-03'), '%Y-%m-%d %H:%M:%S') AS bin7d_v,
         |  CAST(epoch(l_shipdate) AS BIGINT) AS unix_s,
-        |  CAST(to_timestamp(CAST(epoch(l_shipdate) AS BIGINT)) AS TIMESTAMP) AS ts_rt,
+        |  strftime(CAST(to_timestamp(CAST(epoch(l_shipdate) AS BIGINT)) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_rt,
         |  epoch_ms(l_shipdate) AS unix_ms,
-        |  make_timestamp(epoch_ms(l_shipdate) * 1000) AS ts_ms_rt,
-        |  l_shipdate + INTERVAL 3 DAY AS plus3d,
-        |  l_shipdate - INTERVAL 2 HOUR AS minus2h
+        |  strftime(make_timestamp(epoch_ms(l_shipdate) * 1000), '%Y-%m-%d %H:%M:%S') AS ts_ms_rt,
+        |  strftime(l_shipdate + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S') AS plus3d,
+        |  strftime(l_shipdate - INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS minus2h
         |FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       // The parquet column is TIMESTAMP_NTZ; unix_* need TIMESTAMP. In a
       // UTC session the casts are value-preserving; results are cast back
@@ -193,23 +193,23 @@ object FunctionQueries {
       val ship = col("l_shipdate").cast("timestamp")
       t(s, d, "lineitem").filter(col("l_orderkey") < 100).select(
         col("l_orderkey"), col("l_linenumber"),
-        date_trunc("month", ship).cast("timestamp_ntz").as("month_v"),
-        date_trunc("day", ship).cast("timestamp_ntz").as("day_v"),
+        date_format(date_trunc("month", ship), "yyyy-MM-dd HH:mm:ss").as("month_v"),
+        date_format(date_trunc("day", ship), "yyyy-MM-dd HH:mm:ss").as("day_v"),
         date_part(lit("year"), col("l_shipdate")).cast("bigint").as("year_v"),
         date_part(lit("month"), col("l_shipdate")).cast("bigint").as("month_n"),
         (dayofweek(col("l_shipdate")) - 1).cast("bigint").as("dow_v"),
-        GraftFunctions.date_bin(7L * 24 * 3600, ship,
-          lit("2000-01-03").cast("timestamp")).cast("timestamp_ntz").as("bin7d_v"),
+        date_format(GraftFunctions.date_bin(7L * 24 * 3600, ship,
+          lit("2000-01-03").cast("timestamp")), "yyyy-MM-dd HH:mm:ss").as("bin7d_v"),
         unix_seconds(ship).as("unix_s"),
-        GraftFunctions.to_timestamp_seconds(unix_seconds(ship))
-          .cast("timestamp_ntz").as("ts_rt"),
+        date_format(GraftFunctions.to_timestamp_seconds(unix_seconds(ship)), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_rt"),
         unix_millis(ship).as("unix_ms"),
-        GraftFunctions.to_timestamp_millis(unix_millis(ship))
-          .cast("timestamp_ntz").as("ts_ms_rt"),
+        date_format(GraftFunctions.to_timestamp_millis(unix_millis(ship)), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_ms_rt"),
         // date ± interval arithmetic (reference
         // PhysicalDateTimeIntervalExprNode, datafusion.proto:1073-1077)
-        (col("l_shipdate") + expr("INTERVAL 3 DAY")).as("plus3d"),
-        (col("l_shipdate") - expr("INTERVAL 2 HOUR")).as("minus2h"))
+        date_format(col("l_shipdate") + expr("INTERVAL 3 DAY"), "yyyy-MM-dd HH:mm:ss").as("plus3d"),
+        date_format(col("l_shipdate") - expr("INTERVAL 2 HOUR"), "yyyy-MM-dd HH:mm:ss").as("minus2h"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -258,13 +258,13 @@ object FunctionQueries {
     Q("q_fn_extra",
       """SELECT p_partkey,
         |  trim(lpad(p_brand, 12, '#'), '#') AS btrim_v,
-        |  CAST('1994-05-15 12:30:00' AS TIMESTAMP) AS ts_parse,
+        |  strftime(CAST('1994-05-15 12:30:00' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_parse,
         |  strftime(to_timestamp(p_size * 86400), '%Y-%m-%d %H:%M:%S') AS from_unix_v
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       t(s, d, "part").select(
         col("p_partkey"),
         expr("trim(BOTH '#' FROM lpad(p_brand, 12, '#'))").as("btrim_v"),
-        to_timestamp(lit("1994-05-15 12:30:00")).cast("timestamp_ntz").as("ts_parse"),
+        date_format(to_timestamp(lit("1994-05-15 12:30:00")), "yyyy-MM-dd HH:mm:ss").as("ts_parse"),
         from_unixtime(col("p_size").cast("bigint") * 86400).as("from_unix_v"))
         .orderBy("p_partkey")
     },
