@@ -556,6 +556,37 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // --- native session_window aggregation (same sessions as the
+    // lag-gap construction, computed by Spark's built-in operator) -------
+    Q("q_events_session_window",
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM x),
+        |z AS (SELECT user_id, ts,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM y)
+        |SELECT user_id,
+        |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       COUNT(*) AS n_events
+        |FROM z GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      // Spark's session_window produces exactly the gap-based sessions
+      // the oracle derives via lag+cumsum — one shuffle on
+      // (user_id, merged session window), no window-function pass.
+      t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
     // --- event sessionization (gap > 30 min ⇒ new session) --------------
     Q("q_events_sessionize",
       """WITH x AS (

@@ -92,6 +92,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming: new files in a directory flow through the pipeline") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    def writeBatch(name: String, events: Seq[Event]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft_batch", ".json")
+      val lines = events.map(e =>
+        s"""{"event_id":${e.event_id},"ts":"${e.ts}","user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+      java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(dir, name)) // atomic arrival
+    }
+    writeBatch("b0.json", Seq(
+      Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 00:20:00"), 1, "click", 2.0)))
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .json(dir)
+    val q = EventStreams.windowedCounts(stream, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("filewc").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      // second file arrives later and pushes the watermark past hour 0
+      writeBatch("b1.json", Seq(Event(3, ts("2024-01-01 09:00:00"), 2, "view", 5.0)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM filewc ORDER BY window_start").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows.head.getAs[Long]("n_events") == 2)
+      assert(rows.head.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after a 30-minute gap") {
     val s = spark
     implicit val sq = s.sqlContext
