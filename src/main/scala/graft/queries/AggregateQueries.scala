@@ -199,7 +199,8 @@ object AggregateQueries {
         |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg((grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus"))).as("gid"),
+        .agg((grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus")))
+          .cast("bigint").as("gid"),
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("gid"), col("n"))
@@ -215,7 +216,8 @@ object AggregateQueries {
         |ORDER BY gid, rf, ls""".stripMargin) { (s, d) =>
       t(s, d, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg((grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus"))).as("gid"),
+        .agg((grouping(col("l_returnflag")) + lit(2) * grouping(col("l_linestatus")))
+          .cast("bigint").as("gid"),
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
           coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("gid"), col("n"))

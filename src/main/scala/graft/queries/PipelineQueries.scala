@@ -276,7 +276,7 @@ object PipelineQueries {
       tf.join(broadcast(df), "token")
         .select(col("doc_id"), col("token"),
           round(col("tf") * log(lit(n.toDouble) / col("df")), 9).as("score"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
         .select("doc_id", "token", "score", "rn")
         .orderBy("doc_id", "rn")
@@ -353,7 +353,7 @@ object PipelineQueries {
       val w = Window.partitionBy("label").orderBy(col("cs").desc, col("vec_id"))
       e.crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cs"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
         .filter(col("rn") <= 3)
         .select("label", "vec_id", "cs", "rn")
         .orderBy("label", "rn")
@@ -406,7 +406,7 @@ object PipelineQueries {
             |              CAST(element_at(arr, CAST(2*i+2 AS INT)) AS BIGINT) AS vec_id))"""
             .stripMargin)).as(Seq("pos", "p")))
         .select(col("label"), col("p.vec_id").as("vec_id"), col("p.cs").as("cs"),
-          (col("pos") + 1).cast("int").as("rn"))
+          (col("pos") + 1).cast("bigint").as("rn"))
         .orderBy("label", "rn")
     },
 
@@ -596,8 +596,8 @@ object PipelineQueries {
         |        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         |      FROM x),
         |z AS (SELECT user_id, ts,
-        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                       ROWS UNBOUNDED PRECEDING) AS session_id
+        |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM y)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS dur_ms

@@ -38,12 +38,14 @@ object WindowQueries {
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
       t(s, d, "customer").select(
         col("c_custkey"), col("c_mktsegment"),
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
+        // bigint: DuckDB's rank family returns int64; align widths so a
+        // dtype-sensitive comparator sees identical schemas
+        row_number().over(w).cast("bigint").as("rn"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
         percent_rank().over(w).cast("double").as("prnk"),
         cume_dist().over(w).cast("double").as("cdist"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).cast("bigint").as("quartile"))
         .orderBy(col("c_mktsegment"), col("rn"))
     },
 
