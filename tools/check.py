@@ -41,6 +41,13 @@ def cmp_frames(name, spark_df, duck_df):
         return problems
     if len(spark_df) != len(duck_df):
         problems.append(f"row count: spark={len(spark_df)} duck={len(duck_df)}")
+    # dtype parity: a dtype-sensitive hasher (int32 vs int64, datetime
+    # resolutions, hugeint->float64) can fail equal values — keep widths
+    # aligned in the queries rather than papering over it here
+    for c in spark_df.columns:
+        a, b = str(spark_df[c].dtype), str(duck_df[c].dtype)
+        if a != b:
+            problems.append(f"dtype {c}: spark={a} duck={b}")
     s, d = norm(spark_df), norm(duck_df)
     n = min(len(s), len(d))
     for c in s.columns:
