@@ -122,6 +122,33 @@ class EngineSpec extends GraftSuite {
     } finally engine.sql("DROP TABLE IF EXISTS graft_stats_t")
   }
 
+  test("the reference's own Q1 SQL text runs unchanged through engine.sql") {
+    // Verbatim from reference README.md:42 (DataFusion dialect) — the
+    // end-to-end slice SURVEY §7.1 prescribes: external table + the
+    // golden-output query, through the SQL front-end.
+    engine.createExternalTable("lineitem", s"$sf/lineitem.parquet")
+    val rows = engine.sql(
+      "select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty, " +
+        "sum(l_extendedprice) as sum_base_price, " +
+        "sum(l_extendedprice * (1 - l_discount)) as sum_disc_price, " +
+        "sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) as sum_charge, " +
+        "avg(l_quantity) as avg_qty, avg(l_extendedprice) as avg_price, " +
+        "avg(l_discount) as avg_disc, count(*) as count_order " +
+        "from lineitem where  l_shipdate <= date '1998-09-02' " +
+        "group by  l_returnflag, l_linestatus " +
+        "order by   l_returnflag,  l_linestatus").collect()
+    // same data as the catalog's q1 (decimal-exact) — float sums agree
+    // to well under a cent on this scale
+    val exact = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length == exact.length)
+    rows.zip(exact).foreach { case (r, e) =>
+      assert(r.getString(0) == e.getString(0) && r.getString(1) == e.getString(1))
+      assert(math.abs(r.getDouble(2) - e.getDouble(2)) < 0.01) // sum_qty
+      assert(math.abs(r.getDouble(3) - e.getDouble(3)) < 0.01) // sum_base_price
+      assert(r.getLong(9) == e.getLong(9))                     // count_order
+    }
+  }
+
   test("explain returns the formatted physical plan") {
     val p = engine.explain(engine.sql("SELECT count(*) FROM t_nation"))
     assert(p.contains("Physical Plan"))
