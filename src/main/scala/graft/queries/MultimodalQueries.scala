@@ -86,6 +86,36 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // --- frame sampling: every 4th fixed-size frame of the payload -----
+    Q("q_mm_frame_sample",
+      """WITH x AS (SELECT doc_id, text,
+        |             CAST(ceil(length(text) / 64.0) AS INT) AS n_frames
+        |           FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, n_frames, text,
+        |        unnest([i for i in range(0, n_frames) if i % 4 = 0]) AS frame_idx
+        |      FROM x)
+        |SELECT doc_id, n_frames, frame_idx,
+        |       md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      // Frame-sample over the payload byte stream: chunk into 64-byte
+      // frames, keep every 4th, fingerprint each kept frame. The sampled
+      // frame set is computed row-locally (sequence+filter) and exploded
+      // — a video pipeline's I-frame sampling has exactly this plan
+      // shape, with the codec stub swapped for a real decoder. The
+      // payload here is utf-8 text, so frames are string chunks (char ==
+      // byte) and the oracle can replicate the hashes.
+      t(s, d, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"),
+          ceil(length(col("text")) / 64.0).cast("int").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"), col("text"),
+          explode(expr("filter(sequence(0, n_frames - 1), i -> i % 4 = 0)")).as("fi"))
+        .select(col("doc_id"), col("n_frames"),
+          col("fi").cast("bigint").as("frame_idx"),
+          md5(expr("substring(text, fi * 64 + 1, 64)")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // --- batched partition-local "decode" + feature extraction ---------
     Q.noOracle("q_mm_features") { (s, d) =>
       // mapPartitions keeps the codec call batched per partition (the
