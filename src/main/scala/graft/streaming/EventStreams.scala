@@ -60,6 +60,35 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: pair each purchase with the same
+    * user's clicks from the preceding hour. Both sides carry watermarks
+    * so the join state is bounded — late rows past the watermark are
+    * dropped, and click state older than the interval is evicted. */
+  def purchasesWithRecentClicks(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").cast("timestamp").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("ts").cast("timestamp").as("purchase_ts"), col("event_id").as("purchase_id"),
+      col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Stream-static enrichment: a streaming fact joined to a static
+    * dimension — the dimension is re-read per micro-batch (picks up
+    * slowly-changing updates), broadcast when small. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
   /** Streaming exact dedup on event_id: state is scoped by the watermark
     * (dropDuplicatesWithinWatermark), so the dedup map doesn't grow
     * unboundedly — the streaming face of the corpus-prep exact-dedup

@@ -70,6 +70,49 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 0.0),
+      Event(2, ts("2024-01-01 10:30:00"), 7, "click", 0.0),
+      Event(3, ts("2024-01-01 08:00:00"), 7, "click", 0.0), // >1h before: no pair
+      Event(4, ts("2024-01-01 10:40:00"), 9, "click", 0.0)) // other user
+    purchases.addData(Event(10, ts("2024-01-01 10:45:00"), 7, "purchase", 99.0))
+    val q = EventStreams.purchasesWithRecentClicks(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT click_id FROM ssj ORDER BY click_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(1L, 2L), rows.mkString(","))
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins a streaming fact to a dim table") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts("2024-01-01 00:00:00"), 0, "click", 1.0),
+      Event(2, ts("2024-01-01 00:01:00"), 1, "view", 2.0))
+    val dim = Seq((0L, "gold"), (1L, "silver")).toDF("user_id", "tier")
+    val q = EventStreams.enrich(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enr").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val tiers = spark.sql("SELECT event_id, tier FROM enr ORDER BY event_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      assert(tiers == Seq(1L -> "gold", 2L -> "silver"), tiers.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     val s = spark
     implicit val sq = s.sqlContext
