@@ -53,6 +53,23 @@ class AqeSpec extends GraftSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.df(spark, sf, "orders").filter(col("o_totalprice") > 400000)
+      val lineitem = Tables.df(spark, sf, "lineitem")
+      val j = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("bloom_filter"),
+        s"bloom filter not injected:\n$opt")
+    }
+  }
+
   test("AQE coalesces small shuffle partitions (fewer than configured)") {
     withConf("spark.sql.shuffle.partitions" -> "64") {
       val df = Tables.df(spark, sf, "nation").groupBy("n_regionkey").count()
