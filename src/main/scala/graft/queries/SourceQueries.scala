@@ -21,7 +21,7 @@ object SourceQueries {
   /** Collision-free cache dir per source sfDir: the readable sanitized
     * name alone is lossy ('sf0.1' and 'sf0_1' collide), so the exact
     * path's hash is appended. */
-  private[queries] def cacheDir(d: String): String =
+  def cacheDir(d: String): String =
     s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(d.hashCode)}"
 
   /** Write `nation` as |-delimited headerless CSV (mirroring the

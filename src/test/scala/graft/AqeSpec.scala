@@ -70,6 +70,34 @@ class AqeSpec extends GraftSuite {
     }
   }
 
+  test("dynamic partition pruning injects a runtime filter on the partitioned scan") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // partitioned layout (shared with q_partitioned_scan's cache)
+    val path = graft.queries.SourceQueries.cacheDir(sf) + "/orders_part"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.df(spark, sf, "orders").write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(path)
+    }
+    withConf(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "100") {
+      val fact = spark.read.parquet(path)
+      // dim must be file-backed: a filtered LocalRelation collapses into
+      // LocalTableScan before the pruning rule can see the selective
+      // predicate it requires
+      val dim = Tables.df(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000) // selective → DPP subquery
+        .select(col("o_orderpriority").as("prio"), col("o_orderkey"))
+      val j = fact.join(dim, col("o_orderpriority") === col("prio"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"), s"DPP not injected:\n$p")
+    }
+  }
+
   test("AQE coalesces small shuffle partitions (fewer than configured)") {
     withConf("spark.sql.shuffle.partitions" -> "64") {
       val df = Tables.df(spark, sf, "nation").groupBy("n_regionkey").count()
