@@ -99,6 +99,18 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** foreachBatch sink with per-batch idempotency: each micro-batch
+    * overwrites its own `batch_id=<n>` directory, so a batch replayed
+    * after a failure (streaming's at-least-once delivery to sinks)
+    * produces the same files instead of duplicates — the standard
+    * exactly-once-to-storage pattern. */
+  def sinkParquetIdempotent(stream: DataFrame, dir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+    }
+
   /** Stateful sessionization: groups a user's events into sessions split
     * by >30 min gaps, via `flatMapGroupsWithState`. Emits each session
     * when it closes.
