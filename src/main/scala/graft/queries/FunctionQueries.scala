@@ -39,6 +39,11 @@ object FunctionQueries {
         |  ROUND(atan2(p_size, 10.0), 9) AS atan2_v,
         |  ROUND(sin(p_size), 9) AS sin_v,
         |  ROUND(cos(p_size), 9) AS cos_v,
+        |  ROUND(tan(p_size / 100.0), 9) AS tan_v,
+        |  ROUND(acos(p_size / 100.0), 9) AS acos_v,
+        |  ROUND(asin(p_size / 100.0), 9) AS asin_v,
+        |  ROUND(atan(p_size / 10.0), 9) AS atan_v,
+        |  ROUND(log(3, p_retailprice), 9) AS logb_v,
         |  CAST(sign(p_size - 25) AS INT) AS sign_v,
         |  CAST(trunc(p_retailprice) AS DOUBLE) AS trunc0_v,
         |  CAST(trunc(p_retailprice * 10) / 10 AS DOUBLE) AS trunc1_v,
@@ -58,6 +63,11 @@ object FunctionQueries {
         r9(atan2(col("p_size").cast("double"), lit(10.0))).as("atan2_v"),
         r9(sin(col("p_size"))).as("sin_v"),
         r9(cos(col("p_size"))).as("cos_v"),
+        r9(tan(col("p_size") / 100.0)).as("tan_v"),
+        r9(acos(col("p_size") / 100.0)).as("acos_v"),
+        r9(asin(col("p_size") / 100.0)).as("asin_v"),
+        r9(atan(col("p_size") / 10.0)).as("atan_v"),
+        r9(log(3.0, col("p_retailprice"))).as("logb_v"),
         signum(col("p_size") - 25).cast("int").as("sign_v"),
         GraftFunctions.trunc_num(col("p_retailprice"), 0).as("trunc0_v"),
         GraftFunctions.trunc_num(col("p_retailprice"), 1).as("trunc1_v"),

@@ -38,6 +38,17 @@ class FunctionsSpec extends GraftSuite {
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
     assert(eval1(digest(lit("abc"), lit("SHA256"))) == // case-insensitive
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    // the remaining SHA-2 widths (reference ids 46, 48, 49) — known vectors
+    assert(eval1(digest(lit("abc"), lit("sha224"))) ==
+      "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+    assert(eval1(digest(lit("abc"), lit("sha384"))) ==
+      "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed8086072ba1e7cc2358baeca134c825a7")
+    assert(eval1(digest(lit("abc"), lit("sha512"))) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f")
+  }
+
+  test("initcap capitalizes each word (reference InitCap id 30)") {
+    assert(eval1(initcap(lit("hello world"))) == "Hello World")
   }
 
   test("digest raises on unknown algorithm instead of silent NULL") {
