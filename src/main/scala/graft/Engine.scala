@@ -76,6 +76,13 @@ class Engine(val spark: SparkSession) {
   def listDatabases(): Seq[String] =
     spark.catalog.listDatabases().collect().map(_.name).toSeq
 
+  /** In-memory caching of a (temp-view or catalog) table — the session
+    * capability a repeated-query workload leans on; subsequent scans
+    * become InMemoryTableScan. */
+  def cacheTable(name: String): Unit = spark.catalog.cacheTable(name)
+  def uncacheTable(name: String): Unit = spark.catalog.uncacheTable(name)
+  def isCached(name: String): Boolean = spark.catalog.isCached(name)
+
   /** ANALYZE: compute table + column statistics for the CBO (reference
     * statistics model §1.4 — per-column min/max/null/distinct feeding
     * the optimizer; Spark's equivalent is catalog stats + AQE runtime

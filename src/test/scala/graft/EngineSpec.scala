@@ -127,6 +127,20 @@ class EngineSpec extends GraftSuite {
     assert(!engine.listDatabases().contains("graft_db"))
   }
 
+  test("cacheTable makes subsequent scans read from memory") {
+    engine.createExternalTable("t_nation_cache", s"$sf/nation.parquet")
+    try {
+      engine.cacheTable("t_nation_cache")
+      assert(engine.isCached("t_nation_cache"))
+      engine.sql("SELECT count(*) FROM t_nation_cache").collect() // materialize
+      val plan = engine.explain(engine.table("t_nation_cache"))
+      assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"), plan)
+    } finally {
+      engine.uncacheTable("t_nation_cache")
+      assert(!engine.isCached("t_nation_cache"))
+    }
+  }
+
   test("analyze computes column statistics usable by the CBO") {
     engine.sql("CREATE TABLE graft_stats_t USING parquet AS SELECT * FROM t_nation")
     try {
