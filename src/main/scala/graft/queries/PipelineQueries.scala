@@ -38,6 +38,41 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Verified near-dup pairs (i < j, exact jaccard ≥ 0.8) via banded
+    * MinHash-LSH candidate generation — the shared core of
+    * q_dedup_minhash and q_dedup_clusters. See q_dedup_minhash for the
+    * plan-shape commentary. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val hs = sh.select(col("doc_id"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+    val sig = hs.groupBy("doc_id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
+        (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 16).map(b => struct(lit(b).as("band"),
+        col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.h1").as("h1"), col("bd.h2").as("h2"))
+    val cand = bands
+      .groupBy("band", "h1", "h2")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  a -> transform(sequence(a + 1, size(ids) - 1),
+          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .select(col("i"), col("j"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 9).as("jac"))
+      .filter(col("jac") >= 0.8)
+  }
+
   /** round(cosine(a, b), 9) via the codegen'd DotProduct expression —
     * same sequential summation as the zip_with/aggregate HOF spelling
     * (bit-identical, oracle-stable) at a fraction of the cost: the HOF
@@ -86,46 +121,66 @@ object PipelineQueries {
       // the result equal to the oracle's exhaustive scan. The oracle IS
       // all-pairs — that asymmetry is the point: at 100 TB only the
       // banded plan survives.
-      // Signature via explode + 32 codegen'd min-aggregates: hash every
-      // shingle STRING once, re-hash the 8-byte long per seed k inside
-      // whole-stage codegen. (A higher-order `transform(sequence(0,31),
-      // k -> array_min(...))` formulation is interpreted per element and
-      // measured ~10× slower.) The groupBy shuffles only (doc_id, h) —
-      // with map-side partial min — and at 100 TB stays a thin exchange.
-      val sh = shingled(s, d)
-      val hs = sh.select(col("doc_id"),
-        explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
-      val sig = hs.groupBy("doc_id")
-        .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
-          (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 16).map(b => struct(lit(b).as("band"),
-          col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
-        .select(col("doc_id"), col("bd.band").as("band"), col("bd.h1").as("h1"), col("bd.h2").as("h2"))
-      // One aggregation per band-bucket (computes signatures ONCE — a
-      // self-join would re-derive the whole shingle+minhash pipeline per
-      // branch), then in-bucket pair expansion. Bucket sizes are tiny
-      // (band collisions ≈ near-dup clusters), so the k² expansion is
-      // bounded; the shuffle carries only (band, h1, h2, doc_id).
-      val cand = bands
-        .groupBy("band", "h1", "h2")
-        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(ids) - 2),
-            |  a -> transform(sequence(a + 1, size(ids) - 1),
-            |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
-            .stripMargin)).as("p"))
-        .select(col("p.i").as("i"), col("p.j").as("j"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-        .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
-        .select(col("i"), col("j"),
-          round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(array_union(col("sha"), col("shb"))), 9).as("jac"))
-        .filter(col("jac") >= 0.8)
-        .orderBy("i", "j")
+      // Implementation shared with q_dedup_clusters (minhashPairs):
+      // signature via explode + 32 codegen'd min-aggregates (hash each
+      // shingle string once, re-hash the 8-byte long per seed inside
+      // whole-stage codegen — the HOF formulation is interpreted and
+      // ~10x slower), one aggregation per band-bucket for candidates
+      // (never a self-join that would recompute the pipeline), exact
+      // jaccard verification on candidates only.
+      minhashPairs(s, d).orderBy("i", "j")
+    },
+
+    // --- near-dup clustering: connected components over the pair graph --
+    Q("q_dedup_clusters",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w) - 1)]) AS sh
+        |      FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Cluster id = min doc_id reachable in the near-dup graph, via
+      // iterative min-label propagation (the large-star/small-star
+      // pattern): each round joins labels across edges and keeps the
+      // min; rounds = graph diameter (near-dup clusters are tiny, so
+      // 2-3). The oracle computes the same components with a recursive
+      // CTE — feasible only because ITS graph is small; at 100 TB only
+      // the propagation loop survives, and each round is one shuffle of
+      // (vertex, label).
+      val pairs = minhashPairs(s, d).select(col("i"), col("j"))
+      val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
+      var labels = edges.select(col("i").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val viaNeighbors = edges
+          .join(labels, col("j") === col("v"))
+          .groupBy(col("i").as("v2")).agg(min("lbl").as("nlbl"))
+        val next = labels.join(viaNeighbors, col("v") === col("v2"), "left")
+          .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .cache()
+        val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+          .filter(col("n.lbl") =!= col("o.lbl")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
     },
 
     // --- SimHash fingerprints (near-dup signature; engine-specific hash
