@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
 object SourceQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
+  /** Bump when any derived-source layout below changes (columns,
+    * format, partitioning): stale /tmp caches from an earlier code
+    * version would otherwise be read with the new schema. */
+  private val CacheVersion = "v2"
+
   /** Collision-free cache dir per source sfDir: the readable sanitized
     * name alone is lossy ('sf0.1' and 'sf0_1' collide), so the exact
-    * path's hash is appended. */
+    * path's hash is appended, plus the layout version. */
   def cacheDir(d: String): String =
-    s"/tmp/graft_src/${d.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(d.hashCode)}"
+    s"/tmp/graft_src/${CacheVersion}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(d.hashCode)}"
 
   /** Write `nation` as |-delimited headerless CSV (mirroring the
     * reference's .tbl layout) once per (sfDir) and return its path. */
