@@ -29,11 +29,24 @@ object IvfIndex {
     try {
       val n = cached.count()
       val stride = math.max(1L, n / k)
-      var centers: Array[Array[Double]] = cached
+      // deterministic spread seeding; ids need not be dense — if the
+      // pmod-stride filter under-fills (sparse/structured id spaces),
+      // top up from the first vectors by id so exactly min(k, n)
+      // centroids always exist (an empty centroid set would assign every
+      // row a null cell)
+      val strided = cached
         .filter(pmod(col("vec_id"), lit(stride)) === 0)
         .orderBy("vec_id")
         .limit(k)
         .select("v").collect().map(_.getSeq[Double](0).toArray)
+      var centers: Array[Array[Double]] =
+        if (strided.length >= math.min(k, n).toInt) strided
+        else {
+          val fill = cached.orderBy("vec_id").limit(k)
+            .select("v").collect().map(_.getSeq[Double](0).toArray)
+          (strided ++ fill.filterNot(f => strided.exists(_.sameElements(f))))
+            .take(math.min(k, n.toInt))
+        }
       var it = 0
       while (it < iters) {
         val assigned = cached.withColumn("cell", cellCol(centers, col("v")))

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Grouped top-k as a bounded-heap aggregate.
@@ -15,55 +16,58 @@ import org.apache.spark.sql.expressions.Aggregator
   * semantics fully, so no custom LogicalPlan/Strategy (option c) is
   * justified.
   *
-  * Buffer/result layout: flat Array[Double] of (score, id) pairs,
-  * sorted best-first; ties break toward the smaller id (deterministic —
-  * the same tiebreak the catalog's window queries use).
+  * Buffer layout: flat Array[Long] of (score-as-raw-bits, id) pairs,
+  * sorted best-first. Scores travel as `doubleToRawLongBits` and ids as
+  * plain longs — storing ids in a double would corrupt values ≥ 2^53
+  * (64-bit hash/snowflake ids are routine at scale). NaN scores rank
+  * greatest (matching ORDER BY ... DESC in both Spark and DuckDB).
+  * Ties break toward the smaller id (deterministic — the same tiebreak
+  * the catalog's window queries use).
   */
 class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), Array[Double], Array[Double]] {
+    extends Aggregator[(Double, Long), Array[Long], Seq[(Double, Long)]] {
   require(k > 0)
 
-  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(buf: Array[Double], in: (Double, Long)): Array[Double] =
-    insert(buf, in._1, in._2.toDouble)
+  override def reduce(buf: Array[Long], in: (Double, Long)): Array[Long] =
+    insert(buf, java.lang.Double.doubleToRawLongBits(in._1), in._2)
 
-  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var out = a
     var i = 0
     while (i + 1 < b.length) { out = insert(out, b(i), b(i + 1)); i += 2 }
     out
   }
 
-  override def finish(buf: Array[Double]): Array[Double] = buf
+  override def finish(buf: Array[Long]): Seq[(Double, Long)] =
+    buf.grouped(2)
+      .map(p => (java.lang.Double.longBitsToDouble(p(0)), p(1)))
+      .toSeq
 
-  override def bufferEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
-  override def outputEncoder: Encoder[Array[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def bufferEncoder: Encoder[Array[Long]] =
+    ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
 
-  /** Insert (score, id) keeping the array sorted best-first, ≤ k pairs.
-    * NaN ranks greatest (matching ORDER BY ... DESC in both Spark and
-    * DuckDB, so the aggregator stays result-equal to the window form
-    * even on degenerate scores). */
-  private def insert(buf: Array[Double], score: Double, id: Double): Array[Double] = {
+  /** Insert keeping the array sorted best-first, ≤ k pairs. */
+  private def insert(buf: Array[Long], scoreBits: Long, id: Long): Array[Long] = {
     val n = buf.length / 2
-    def better(s: Double, i: Double, idx: Int): Boolean = {
-      val b = buf(2 * idx)
+    val score = java.lang.Double.longBitsToDouble(scoreBits)
+    def better(idx: Int): Boolean = {
       // java.lang.Double.compare orders NaN above all values
-      val c = java.lang.Double.compare(s, b)
-      c > 0 || (c == 0 && i < buf(2 * idx + 1))
+      val c = java.lang.Double.compare(score, java.lang.Double.longBitsToDouble(buf(2 * idx)))
+      c > 0 || (c == 0 && id < buf(2 * idx + 1))
     }
     // full and worse than the current tail → drop
-    if (n == k && !better(score, id, n - 1)) return buf
+    if (n == k && !better(n - 1)) return buf
     val m = math.min(n + 1, k)
-    val out = new Array[Double](2 * m)
-    // find insertion point
+    val out = new Array[Long](2 * m)
     var pos = 0
-    while (pos < n && !better(score, id, pos)) pos += 1
+    while (pos < n && !better(pos)) pos += 1
     System.arraycopy(buf, 0, out, 0, 2 * pos)
     if (pos < m) {
-      out(2 * pos) = score
+      out(2 * pos) = scoreBits
       out(2 * pos + 1) = id
       val remaining = math.min(n - pos, m - pos - 1)
       if (remaining > 0)

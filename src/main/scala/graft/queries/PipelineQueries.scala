@@ -111,8 +111,8 @@ object PipelineQueries {
         |  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
         |        / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+        |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |            / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8
         |ORDER BY i, j""".stripMargin) { (s, d) =>
       // Banded MinHash-LSH: 32 hashes = 16 bands × 2 rows. Candidates come
       // from a self-join on (band, h1, h2) — only docs agreeing on a whole
@@ -142,8 +142,8 @@ object PipelineQueries {
         |pairs AS (
         |  SELECT a.doc_id AS i, b.doc_id AS j
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
         |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
@@ -163,6 +163,7 @@ object PipelineQueries {
       val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
       var labels = edges.select(col("i").as("v")).distinct()
         .withColumn("lbl", col("v"))
+      var cachedPrev: DataFrame = null
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
@@ -174,6 +175,11 @@ object PipelineQueries {
           .cache()
         val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
           .filter(col("n.lbl") =!= col("o.lbl")).count()
+        // `changed` materialized `next`, so the previous round's cache
+        // (and its lineage) is no longer needed — don't pin 20 rounds of
+        // label snapshots in executor storage for the session's lifetime
+        if (cachedPrev != null) cachedPrev.unpersist()
+        cachedPrev = next
         labels = next
         converged = changed == 0
         rounds += 1
@@ -455,12 +461,8 @@ object PipelineQueries {
         .select(col("label"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
         .groupBy("label")
         .agg(topk(col("cs"), col("vec_id")).as("arr"))
-        .select(col("label"), posexplode(expr(
-          """transform(sequence(0, size(arr) div 2 - 1),
-            |  i -> struct(element_at(arr, CAST(2*i+1 AS INT)) AS cs,
-            |              CAST(element_at(arr, CAST(2*i+2 AS INT)) AS BIGINT) AS vec_id))"""
-            .stripMargin)).as(Seq("pos", "p")))
-        .select(col("label"), col("p.vec_id").as("vec_id"), col("p.cs").as("cs"),
+        .select(col("label"), posexplode(col("arr")).as(Seq("pos", "p")))
+        .select(col("label"), col("p._2").as("vec_id"), col("p._1").as("cs"),
           (col("pos") + 1).cast("bigint").as("rn"))
         .orderBy("label", "rn")
     },
@@ -471,7 +473,7 @@ object PipelineQueries {
         |SELECT a.vec_id AS i, b.vec_id AS j,
         |       ROUND(list_cosine_similarity(a.v, b.v), 9) AS cs
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.4
         |ORDER BY i, j""".stripMargin) { (s, d) =>
       // Embedding near-dup with IVF-style blocking: pairs are only formed
       // WITHIN a label (≈ coarse quantizer cell) — the join shuffles on
@@ -575,7 +577,6 @@ object PipelineQueries {
       // is inside one key, not one partition).
       val salts = 8
       val fact = t(s, d, "lineitem")
-        .filter(col("l_returnflag").isNotNull)
         .withColumn("salt", pmod(xxhash64(col("l_linenumber")), lit(salts)).cast("int"))
       val dim = t(s, d, "orders")
         .filter(col("o_orderstatus") === "F")

@@ -85,19 +85,26 @@ object EventStreams {
 
   /** Stream-static enrichment: a streaming fact joined to a static
     * dimension — the dimension is re-read per micro-batch (picks up
-    * slowly-changing updates), broadcast when small. */
-  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim), key)
+    * slowly-changing updates). `broadcastDim = true` (default) hints a
+    * broadcast join; pass false for large dimensions so Spark can pick a
+    * shuffled join instead of force-collecting the dim to the driver. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+      broadcastDim: Boolean = true): DataFrame =
+    stream.join(
+      if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim) else dim,
+      key)
 
-  /** Streaming exact dedup on event_id: state is scoped by the watermark
-    * (dropDuplicatesWithinWatermark), so the dedup map doesn't grow
-    * unboundedly — the streaming face of the corpus-prep exact-dedup
-    * operator (q_dedup_exact). */
-  def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
+  /** Exact dedup on event_id. Streaming: state is scoped by the
+    * watermark (dropDuplicatesWithinWatermark), so the dedup map doesn't
+    * grow unboundedly — the streaming face of the corpus-prep exact-dedup
+    * operator (q_dedup_exact). Batch: plain dropDuplicates (the
+    * within-watermark variant is streaming-only and would throw). */
+  def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val ts = events.withColumn("ts", col("ts").cast("timestamp"))
+    if (events.isStreaming)
+      ts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+    else ts.dropDuplicates("event_id")
+  }
 
   /** foreachBatch sink with per-batch idempotency: each micro-batch
     * overwrites its own `batch_id=<n>` directory, so a batch replayed
@@ -145,12 +152,21 @@ object EventStreams {
           sorted.foreach { ev =>
             val t = ev.ts.getTime
             cur match {
-              case Some(st) if t - st.last <= gapMs =>
-                cur = Some(SessionState(st.start, t, st.n + 1, st.total + ev.value))
-              case Some(st) =>
+              // within [start-gap, last+gap]: merge, extending BOTH ends —
+              // events are sorted per batch but can arrive out of order
+              // ACROSS batches, so t may precede the current session
+              case Some(st) if t >= st.start - gapMs && t <= st.last + gapMs =>
+                cur = Some(SessionState(math.min(st.start, t), math.max(st.last, t),
+                  st.n + 1, st.total + ev.value))
+              case Some(st) if t > st.last + gapMs =>
                 closed += Session(userId,
                   new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
                 cur = Some(SessionState(t, t, 1, ev.value))
+              case Some(_) =>
+                // too-late event, earlier than the open session's reach:
+                // emit as its own already-closed single-event session
+                // (documented limitation — a watermark would drop it)
+                closed += Session(userId, new Timestamp(t), new Timestamp(t), 1, ev.value)
               case None =>
                 cur = Some(SessionState(t, t, 1, ev.value))
             }

@@ -72,12 +72,14 @@ class PipelineSpec extends GraftSuite {
     Seq((0.5, 10L), (0.9, 7L), (0.5, 3L), (0.1, 99L), (0.9, 2L)).foreach { case (s, i) =>
       buf = agg.reduce(buf, (s, i))
     }
-    val pairs = buf.grouped(2).map(a => (a(0), a(1).toLong)).toSeq
-    assert(pairs == Seq((0.9, 2L), (0.9, 7L), (0.5, 3L)), pairs.toString)
+    assert(agg.finish(buf) == Seq((0.9, 2L), (0.9, 7L), (0.5, 3L)))
     // merge of two partial heaps == top-k of the union
-    val other = agg.reduce(agg.zero, (0.7, 50L))
-    val merged = agg.merge(buf, other).grouped(2).map(a => (a(0), a(1).toLong)).toSeq
-    assert(merged == Seq((0.9, 2L), (0.9, 7L), (0.7, 50L)), merged.toString)
+    val merged = agg.merge(buf, agg.reduce(agg.zero, (0.7, 50L)))
+    assert(agg.finish(merged) == Seq((0.9, 2L), (0.9, 7L), (0.7, 50L)))
+    // ids beyond 2^53 survive exactly (raw-bits buffer, not doubles)
+    val big = 9007199254740993L // 2^53 + 1: not representable as a double
+    val withBig = agg.reduce(agg.zero, (1.0, big))
+    assert(agg.finish(withBig) == Seq((1.0, big)))
   }
 
   test("multimodal stub decode: histogram + mean match a hand computation") {
