@@ -217,7 +217,12 @@ class Engine(val spark: SparkSession) {
     case Some(Running) =>
       cancelRequested.put(jobId, true)
       spark.sparkContext.cancelJobGroupAndFutureJobs(jobId)
-      jobs.replace(jobId, Running, Failed("cancelled"))
+      val won = jobs.replace(jobId, Running, Failed("cancelled"))
+      // lost the race: the worker finished between our Running check and
+      // the CAS, so its finally-block cleanup already ran — drop our own
+      // cancelRequested entry or it leaks forever
+      if (!won) cancelRequested.remove(jobId)
+      won
     case _ => false
   }
 }

@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         def is(a: String) = EqualTo(algo, Literal(a))
         CaseWhen(
           Seq(
+            (IsNull(algo), Literal(null, StringType)), // NULL algo → NULL, not an error
             (is("md5"), Md5(x)),
             (is("sha224"), Sha2(x, Literal(224))),
             (is("sha256"), Sha2(x, Literal(256))),

@@ -37,7 +37,8 @@ object GraftFunctions {
     * algorithm raises (like DataFusion's digest) instead of silently
     * yielding NULL for every row. */
   def digest(x: Column, algo: Column): Column =
-    when(lower(algo) === "md5", md5(x))
+    when(algo.isNull, lit(null).cast("string")) // NULL algo propagates NULL like the other scalars
+      .when(lower(algo) === "md5", md5(x))
       .when(lower(algo) === "sha224", sha2(x, 224))
       .when(lower(algo) === "sha256", sha2(x, 256))
       .when(lower(algo) === "sha384", sha2(x, 384))

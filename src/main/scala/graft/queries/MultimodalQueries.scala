@@ -93,7 +93,7 @@ object MultimodalQueries {
         |           FROM documents WHERE doc_id < 100),
         |f AS (SELECT doc_id, n_frames, text,
         |        unnest([i for i in range(0, n_frames) if i % 4 = 0]) AS frame_idx
-        |      FROM x)
+        |      FROM x WHERE n_frames > 0)
         |SELECT doc_id, n_frames, frame_idx,
         |       md5(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
@@ -108,6 +108,9 @@ object MultimodalQueries {
         .filter(col("doc_id") < 100)
         .select(col("doc_id"), col("text"),
           ceil(length(col("text")) / 64.0).cast("int").as("n_frames"))
+        // guard: for an empty payload sequence(0, -1) yields the
+        // DESCENDING array [0,-1] (a phantom frame), not an empty one
+        .filter(col("n_frames") > 0)
         .select(col("doc_id"), col("n_frames"), col("text"),
           explode(expr("filter(sequence(0, n_frames - 1), i -> i % 4 = 0)")).as("fi"))
         .select(col("doc_id"), col("n_frames"),
@@ -117,18 +120,40 @@ object MultimodalQueries {
     },
 
     // --- batched partition-local "decode" + feature extraction ---------
-    Q.noOracle("q_mm_features") { (s, d) =>
+    Q("q_mm_features", {
+      // The stub decode is deterministic byte math over ascii payloads
+      // (char == byte on this data), so DuckDB can replicate it exactly:
+      // histogram bin b = count of bytes in [16b, 16b+16). The 16 bins
+      // are generated as explicit list entries (no nested-lambda capture)
+      // and serialized to the same JSON text Spark's to_json emits.
+      val bins = (0 until 16)
+        .map(i => s"len(list_filter(bytes, b -> b // 16 = $i))")
+        .mkString(", ")
+      s"""WITH x AS (
+         |  SELECT doc_id,
+         |    ['image/png', 'audio/wav', 'video/mp4'][CAST(doc_id % 3 AS INT) + 1] AS mime,
+         |    [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)] AS bytes
+         |  FROM documents)
+         |SELECT doc_id, mime,
+         |  CAST(len(bytes) AS INT) AS n_bytes,
+         |  ROUND(list_sum(bytes)::DOUBLE / len(bytes), 9) AS mean_byte,
+         |  '[' || array_to_string([$bins], ',') || ']' AS byte_hist
+         |FROM x ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       // mapPartitions keeps the codec call batched per partition (the
       // JVM analog of mapInPandas): one iterator pass, no per-row UDF
       // dispatch, payload bytes never shuffled — only the small feature
       // vectors move. Deterministic stub → stable gate; ScalaTest
-      // asserts the histogram/mean against hand-computed values.
+      // asserts the real histogram array against hand-computed values;
+      // the gate sees it as to_json text (nested-output rule — the
+      // driver's comparator can't sort on a raw array column).
       import s.implicits._
       records(s, d).as[MmRecord]
         .mapPartitions(_.map(stubDecode))
         .toDF()
         .select(col("doc_id"), col("mime"), col("n_bytes"),
-          round(col("mean_byte"), 9).as("mean_byte"), col("byte_hist"))
+          round(col("mean_byte"), 9).as("mean_byte"),
+          to_json(col("byte_hist")).as("byte_hist"))
         .orderBy("doc_id")
     },
   )

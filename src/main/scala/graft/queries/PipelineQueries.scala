@@ -184,6 +184,11 @@ object PipelineQueries {
         converged = changed == 0
         rounds += 1
       }
+      // a silently non-converged result would diverge from the oracle
+      // with no signal; 20 rounds = graph diameter 2^20-ish under
+      // min-label doubling, so hitting the cap means something is wrong
+      if (!converged)
+        sys.error(s"q_dedup_clusters: label propagation did not converge in $rounds rounds")
       edges.unpersist()
       labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")

@@ -29,27 +29,34 @@ object SourceQueries {
   def cacheDir(d: String): String =
     s"/tmp/graft_src/${CacheVersion}_${d.replaceAll("[^a-zA-Z0-9]", "_")}_${Integer.toHexString(d.hashCode)}"
 
+  /** One-time cache materialization, safe under concurrent first use
+    * from multiple sessions/threads in this JVM: the check-then-write is
+    * serialized behind a single lock (cheap — it only ever guards the
+    * one-time write), and SaveMode.Overwrite clears any partial files a
+    * previously-failed write left behind before _SUCCESS existed. */
+  private val cacheLock = new Object
+  private def materialize(path: String)(write: => Unit): String =
+    cacheLock.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) write
+      path
+    }
+
   /** Write `nation` as |-delimited headerless CSV (mirroring the
     * reference's .tbl layout) once per (sfDir) and return its path. */
-  private def nationCsv(s: SparkSession, d: String): String = {
-    val path = s"${cacheDir(d)}/nation_csv"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+  private def nationCsv(s: SparkSession, d: String): String =
+    materialize(s"${cacheDir(d)}/nation_csv") {
       t(s, d, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
-        .option("delimiter", "|").option("header", "false").csv(path)
+        .option("delimiter", "|").option("header", "false")
+        .csv(s"${cacheDir(d)}/nation_csv")
     }
-    path
-  }
 
-  private def ordersJson(s: SparkSession, d: String): String = {
-    val path = s"${cacheDir(d)}/orders_json"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+  private def ordersJson(s: SparkSession, d: String): String =
+    materialize(s"${cacheDir(d)}/orders_json") {
       t(s, d, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
-        .coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+        .coalesce(1).write.mode(SaveMode.Overwrite).json(s"${cacheDir(d)}/orders_json")
     }
-    path
-  }
 
   val all: Seq[Q] = Seq(
 
@@ -91,10 +98,9 @@ object SourceQueries {
       // This deployment's spark-sql jar carries AvroFileFormat but not the
       // "avro" DataSourceRegister alias, so address it by class name.
       val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
-      val path = s"${cacheDir(d)}/nation_avro"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val path = materialize(s"${cacheDir(d)}/nation_avro") {
         t(s, d, "nation").coalesce(1).write.mode(SaveMode.Overwrite)
-          .format(fmt).save(path)
+          .format(fmt).save(s"${cacheDir(d)}/nation_avro")
       }
       s.read.format(fmt).load(path)
         .groupBy("n_regionkey")
@@ -109,9 +115,9 @@ object SourceQueries {
       // datafusion.proto:99-115): a DIRECTORY of parquet files read as
       // one relation — at 100 TB every table is this shape, split by
       // spark.sql.files.maxPartitionBytes.
-      val path = s"${cacheDir(d)}/customer_multi"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        t(s, d, "customer").repartition(4).write.mode(SaveMode.Overwrite).parquet(path)
+      val path = materialize(s"${cacheDir(d)}/customer_multi") {
+        t(s, d, "customer").repartition(4).write.mode(SaveMode.Overwrite)
+          .parquet(s"${cacheDir(d)}/customer_multi")
       }
       s.read.parquet(path)
         .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
@@ -128,10 +134,9 @@ object SourceQueries {
       // o_orderpriority=<v>/ dirs; the IN filter prunes partitions at
       // planning time — at 100 TB only 2 of 5 directory trees are read
       // (PartitionFilters in the scan node, asserted in PlanShapeSpec).
-      val path = s"${cacheDir(d)}/orders_part"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val path = materialize(s"${cacheDir(d)}/orders_part") {
         t(s, d, "orders").write.mode(SaveMode.Overwrite)
-          .partitionBy("o_orderpriority").parquet(path)
+          .partitionBy("o_orderpriority").parquet(s"${cacheDir(d)}/orders_part")
       }
       s.read.parquet(path)
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -144,9 +149,9 @@ object SourceQueries {
     Q("q_orc_scan",
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""".stripMargin) { (s, d) =>
       // ORC via format string (reference generic format support §2.2).
-      val path = s"${cacheDir(d)}/region_orc"
-      if (!new java.io.File(path, "_SUCCESS").exists()) {
-        t(s, d, "region").coalesce(1).write.mode(SaveMode.Overwrite).orc(path)
+      val path = materialize(s"${cacheDir(d)}/region_orc") {
+        t(s, d, "region").coalesce(1).write.mode(SaveMode.Overwrite)
+          .orc(s"${cacheDir(d)}/region_orc")
       }
       s.read.orc(path).select("r_regionkey", "r_name").orderBy("r_regionkey")
     },
