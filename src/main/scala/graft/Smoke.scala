@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale smokes: build derived large corpora under /tmp (documents × M
+  * with exact duplicate copies — a dedup stress; embeddings × M with
+  * deterministically jittered copies — distinct vectors so ANN recall is
+  * a real measurement, not a tie-break artifact), run the scale-path
+  * operators on them through the SAME catalog entries the gate runs, and
+  * report wall-clock + recall/convergence. This is the evidence
+  * BASELINE.md's "Scale smoke" section cites; it is not part of the
+  * driver gate.
+  *
+  * Usage: Smoke <sfDir> [docMult] [vecMult]   (defaults 10, 25)
+  */
+object Smoke {
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def topIds(spark: SparkSession, dir: String, q: String): Set[Long] =
+    SparkEntry.queries(q)(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val docMult = if (args.length > 1) args(1).toInt else 10
+    val vecMult = if (args.length > 2) args(2).toInt else 25
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(master = s"local[$cpus]", appName = "graft-smoke")
+    val dir = s"/tmp/graft_smoke/${new java.io.File(sfDir).getName}_d${docMult}_v$vecMult"
+
+    if (!new java.io.File(s"$dir/documents.parquet", "_SUCCESS").exists()) {
+      val docs = Tables.df(spark, sfDir, "documents")
+      val n = docs.count()
+      docs.crossJoin(spark.range(docMult).toDF("copy"))
+        .withColumn("doc_id", col("doc_id") + col("copy") * n)
+        .drop("copy")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    }
+    if (!new java.io.File(s"$dir/embeddings.parquet", "_SUCCESS").exists()) {
+      val em = Tables.df(spark, sfDir, "embeddings")
+      val n = em.count()
+      // copy 0 keeps original ids (so vec_id=0, the catalog's query
+      // vector, exists); every copy is jittered by a deterministic
+      // per-(id, dim) term so copies are near- but not exact duplicates
+      em.crossJoin(spark.range(vecMult).toDF("copy"))
+        .withColumn("vec_id", col("vec_id") + col("copy") * n)
+        .withColumn("embedding", expr(
+          "transform(embedding, (x, i) -> x + CAST(0.01 * sin(CAST(vec_id AS DOUBLE) * (i + 1)) AS FLOAT))"))
+        .drop("copy")
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
+    }
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    println(s"SMOKE corpus: $nDocs docs, $nVecs vectors at $dir")
+
+    // --- ANN recall at scale (vs brute force on the same corpus) -------
+    val (exact, tBf) = time(topIds(spark, dir, "q_ann_bruteforce"))
+    val (lsh, tLsh) = time(topIds(spark, dir, "q_ann_lsh"))
+    val (ivf, tIvf) = time(topIds(spark, dir, "q_ann_ivf"))
+    def recall(a: Set[Long]): Double = exact.intersect(a).size.toDouble / exact.size
+    println(f"SMOKE ann: bruteforce=${tBf}%.1fs lsh=${tLsh}%.1fs (recall=${recall(lsh)}%.2f) " +
+      f"ivf=${tIvf}%.1fs (recall=${recall(ivf)}%.2f)")
+
+    // --- dedup scale path ----------------------------------------------
+    val (nPairs, tMh) = time(SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
+    val (nClustered, tCl) = time(SparkEntry.queries("q_dedup_clusters")(spark, dir).count())
+    println(f"SMOKE dedup: minhash=${tMh}%.1fs ($nPairs pairs) " +
+      f"clusters=${tCl}%.1fs ($nClustered labeled docs)")
+    spark.stop()
+  }
+}

@@ -22,10 +22,21 @@ object IvfIndex {
   def trainCentroids(
       vecs: DataFrame, // columns: vec_id: long, v: array<double>
       k: Int,
-      iters: Int = 3): Array[Array[Double]] = {
-    // Training issues 1 + iters actions over the same lineage — cache it
-    // (at scale: train on a sample; 1 scan instead of iters+1).
-    val cached = vecs.persist()
+      iters: Int = 3,
+      maxTrainRows: Long = 100000L): Array[Array[Double]] = {
+    // Train on a bounded sample: a coarse quantizer needs ~thousands of
+    // vectors per cell, not the corpus, so training cost must be
+    // corpus-size-independent — at 100 TB the 1+iters training actions
+    // would otherwise each rescan everything. One count() prices the
+    // fraction; the seeded sample keeps training deterministic. The full
+    // corpus is only touched by the single assignment map stage the
+    // caller runs afterwards.
+    val total = vecs.count()
+    val base =
+      if (total <= maxTrainRows) vecs
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed = 42L)
+    val cached = base.persist()
     try {
       val n = cached.count()
       val stride = math.max(1L, n / k)

@@ -48,22 +48,22 @@ class PipelineSpec extends GraftSuite {
     assert(nearAvg < randAvg / 2, s"near=$nearAvg rand=$randAvg")
   }
 
-  test("IVF ANN finds most of the brute-force top-10 (recall >= 0.5)") {
+  test("IVF ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val approx = SparkEntry.queries("q_ann_ivf")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
-  test("LSH ANN finds most of the brute-force top-10 (recall >= 0.5)") {
+  test("LSH ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val approx = SparkEntry.queries("q_ann_lsh")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"recall=$recall exact=$exact approx=$approx")
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
   test("TopKAggregator keeps best-first order, ties to smaller id, bounded at k") {
