@@ -105,6 +105,40 @@ class Engine(val spark: SparkSession) {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString(mode))
 
+  /** EXPLAIN ANALYZE analog: execute the query, then render the final
+    * physical plan annotated with each operator's runtime SQLMetrics
+    * (rows out, time, spill, shuffle bytes — whatever the operator
+    * records). This is the reference's per-operator metrics surface:
+    * executors merge task→stage metrics and the scheduler serves an
+    * annotated plan (reference execution_stage.rs:547-600,
+    * ballista.proto:216-249, REST api/handlers.rs:61-274). With AQE on,
+    * the walk descends into the *executed* adaptive plan and its
+    * materialized query stages — the re-optimized reality, not the
+    * static guess. */
+  def explainAnalyze(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect() // run it: metrics are populated by execution
+    val sb = new StringBuilder("== Executed Plan with Runtime Metrics ==\n")
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val metrics = p.metrics.toSeq
+        .filter(_._2.value != 0) // unset/zero metrics are noise
+        .sortBy(_._1)
+        .map { case (name, m) => s"$name=${m.value}" }
+      sb.append("  " * depth).append(p.nodeName)
+      if (metrics.nonEmpty) sb.append(metrics.mkString(" [", ", ", "]"))
+      sb.append('\n')
+      val children = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    sb.result()
+  }
+
   /** Parameterized SQL, named form (reference PrepareNode placeholders
     * `$n`, datafusion.proto:186-190, 361-364 → Spark named args). */
   def sql(query: String, args: Map[String, Any]): DataFrame =
@@ -115,18 +149,43 @@ class Engine(val spark: SparkSession) {
   def sql(query: String, args: Seq[Any]): DataFrame =
     spark.sql(query, args.toArray)
 
-  private val prepared = TrieMap.empty[String, DataFrame]
+  private final case class Prepared(text: String, planned: Option[DataFrame])
+  private val prepared = TrieMap.empty[String, Prepared]
 
-  /** Prepared statements: plan once under a UUID handle (reference
-    * flight_sql.rs:581-670). The returned handle replays the *analyzed*
-    * DataFrame; physical planning still adapts per execution via AQE. */
+  /** Prepared statements: prepare once under a UUID handle, execute many
+    * with per-execution parameter bindings — the reference's typed `$n`
+    * placeholder flow (reference flight_sql.rs:581-670,
+    * datafusion.proto:361-364). A parameter-free statement is analyzed
+    * eagerly at prepare time (errors surface here, and executions replay
+    * the analyzed DataFrame); a statement with `:name`/`?` placeholders
+    * defers analysis to the bind at executePrepared, exactly like the
+    * reference binds `$n` values into the cached LogicalPlan. Physical
+    * planning still adapts per execution via AQE either way. */
   def prepare(query: String): String = {
     val handle = UUID.randomUUID().toString
-    prepared.put(handle, spark.sql(query))
+    val planned =
+      try Some(spark.sql(query))
+      catch {
+        // unbound placeholders: legal in PREPARE, bound at execute
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNBOUND_SQL_PARAMETER") => None
+      }
+    prepared.put(handle, Prepared(query, planned))
     handle
   }
-  def executePrepared(handle: String): DataFrame =
+  private def lookupPrepared(handle: String): Prepared =
     prepared.getOrElse(handle, sys.error(s"unknown prepared statement: $handle"))
+  def executePrepared(handle: String): DataFrame = {
+    val p = lookupPrepared(handle)
+    p.planned.getOrElse(spark.sql(p.text))
+  }
+  /** Execute with named `:name` bindings. */
+  def executePrepared(handle: String, args: Map[String, Any]): DataFrame =
+    spark.sql(lookupPrepared(handle).text, args)
+  /** Execute with positional `?` bindings (the reference's numbered
+    * `$1`-style placeholder analog). */
+  def executePrepared(handle: String, args: Seq[Any]): DataFrame =
+    spark.sql(lookupPrepared(handle).text, args.toArray)
   def closePrepared(handle: String): Unit = prepared.remove(handle)
 
   // ---- multi-tenancy ----------------------------------------------------

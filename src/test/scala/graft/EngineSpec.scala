@@ -54,6 +54,29 @@ class EngineSpec extends GraftSuite {
     intercept[RuntimeException](engine.executePrepared(h))
   }
 
+  test("prepared statements bind different parameters per execution") {
+    val h = engine.prepare("SELECT count(*) AS n FROM t_nation WHERE n_regionkey = :rk")
+    assert(engine.executePrepared(h, Map[String, Any]("rk" -> 2)).head().getLong(0) == 5)
+    assert(engine.executePrepared(h, Map[String, Any]("rk" -> 99)).head().getLong(0) == 0)
+    // positional form on the same prepare-once/bind-many path
+    val hp = engine.prepare("SELECT count(*) AS n FROM t_nation WHERE n_regionkey = ?")
+    assert(engine.executePrepared(hp, Seq[Any](3)).head().getLong(0) == 5)
+    engine.closePrepared(h); engine.closePrepared(hp)
+    intercept[RuntimeException](engine.executePrepared(h, Map[String, Any]("rk" -> 2)))
+    // a syntax error still fails at prepare time, not first execute
+    intercept[Exception](engine.prepare("SELEKT broken"))
+  }
+
+  test("explainAnalyze annotates the executed plan with runtime metrics") {
+    val report = engine.explainAnalyze(
+      engine.sql("SELECT n_regionkey, count(*) AS n FROM t_nation GROUP BY n_regionkey"))
+    assert(report.contains("HashAggregate"), report)
+    // per-operator row counts surfaced post-execution (the reference's
+    // stage-metrics REST payload analog)
+    assert(report.contains("numOutputRows="), report)
+    assert(report.contains("Scan"), report)
+  }
+
   test("parameterized sql (reference PrepareNode placeholders)") {
     val df = engine.sql("SELECT count(*) AS n FROM t_nation WHERE n_regionkey = :rk",
       Map("rk" -> 2))
