@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Qh._
 
@@ -185,6 +186,37 @@ object AggregateQueries {
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(wmedian(col("l_extendedprice"), col("l_quantity")).as("w_median_price"),
           count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact weighted median as a full oracle row: the discrete weighted
+    // 0.5-quantile is the smallest price whose cumulative weight reaches
+    // half the total — SQL-expressible via a RANGE-framed running sum in
+    // both engines (ties share their full weight, so the definition is
+    // order-independent). Quantities are integer-valued, cast to BIGINT
+    // so the running sums are exact on both sides. This pins the
+    // *semantics* the sketch above approximates; PipelineSpec holds the
+    // sketch within 1% of this query's output.
+    Q("q_agg_weighted_exact",
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER
+        |           (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER
+        |           (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem)
+        |SELECT l_returnflag, MIN(l_extendedprice) AS w_median_price
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val byFlag = Window.partitionBy("l_returnflag")
+      val cumw = byFlag.orderBy("l_extendedprice") // RANGE frame: ties count fully
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          sum(col("l_quantity").cast("long")).over(cumw).as("cum"),
+          sum(col("l_quantity").cast("long")).over(byFlag).as("tot"))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("w_median_price"))
         .orderBy("l_returnflag")
     },
 

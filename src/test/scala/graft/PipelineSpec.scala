@@ -91,19 +91,17 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(f.mean_byte - (97 + 98 + 99 + 65 + 66 + 67) / 6.0) < 1e-12)
   }
 
-  test("weighted percentile sketch within 2% of the exact weighted median") {
+  test("weighted percentile sketch within 1% of the exact oracle query") {
     val approx = SparkEntry.queries("q_agg_weighted_percentile")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val rows = Tables.df(spark, sf, "lineitem")
-      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-    rows.groupBy(_._1).foreach { case (flag, grp) =>
-      val sorted = grp.map(t => (t._2, t._3)).sortBy(_._1)
-      val total = sorted.map(_._2).sum
-      var cum = 0.0
-      val exact = sorted.find { case (_, w) => cum += w; cum >= 0.5 * total }.get._1
+    // the exact side is itself an oracle-verified catalog query
+    // (q_agg_weighted_exact: RANGE-framed cumulative-weight quantile)
+    val exact = SparkEntry.queries("q_agg_weighted_exact")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, e) =>
       val a = approx(flag)
-      assert(math.abs(a - exact) / exact < 0.02, s"$flag: approx=$a exact=$exact")
+      assert(math.abs(a - e) / e < 0.01, s"$flag: approx=$a exact=$e")
     }
   }
 
