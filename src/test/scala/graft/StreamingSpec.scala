@@ -188,6 +188,48 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("soak: 100 micro-batches on RocksDB state store keep session state bounded") {
+    // Long-running stateful streams live or die by two things this test
+    // pins: (a) the state store can be RocksDB (off-heap, incremental
+    // checkpoints — the provider a 1000-executor deployment runs), and
+    // (b) state is actually RETIRED as sessions close, so 100+
+    // micro-batches don't accrete 100 batches' worth of state.
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("soak").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val t0 = ts("2024-01-01 00:00:00").getTime
+      val users = 4
+      (0 until 100).foreach { i =>
+        // one event per micro-batch; user (i % 4)'s previous event is
+        // 160 min older, so each arrival closes that user's prior
+        // session — open state can never exceed `users` entries
+        in.addData(Event(i.toLong,
+          new Timestamp(t0 + i.toLong * 40 * 60 * 1000), (i % users).toLong, "click", 1.0))
+        q.processAllAvailable()
+      }
+      val op = q.lastProgress.stateOperators(0)
+      assert(op.numRowsTotal <= users, s"state rows grew to ${op.numRowsTotal}")
+      // prove the RocksDB provider is the one actually serving state
+      assert(op.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in ${op.customMetrics.keySet}")
+      val closed = spark.sql("SELECT count(*) FROM soak").head().getLong(0)
+      assert(closed == 100 - users, s"closed=$closed")
+    } finally {
+      q.stop()
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
   test("sessionize closes a session after a 30-minute gap") {
     val s = spark
     implicit val sq = s.sqlContext
