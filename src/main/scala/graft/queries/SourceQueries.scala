@@ -156,6 +156,51 @@ object SourceQueries {
       s.read.orc(path).select("r_regionkey", "r_name").orderBy("r_regionkey")
     },
 
+    Q("q_bucketed_join",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Co-located fact-fact join via bucketing: both tables are written
+      // ONCE bucketed (and sorted) on the join key, so the join itself
+      // needs no exchange on either side — at 100 TB this turns the
+      // biggest shuffle in the pipeline into a per-bucket merge. The
+      // oracle is the identical join over the unbucketed tables: layout
+      // must never change results. Plan assertion (no hashpartitioning
+      // on the join keys) lives in PlanShapeSpec.
+      val tag = Integer.toHexString(d.hashCode)
+      val ot = s"graft_bkt_orders_$tag"
+      val lt = s"graft_bkt_lineitem_$tag"
+      // bucket metadata lives in the (in-memory) session catalog, so a
+      // fresh session must recreate the tables — and first drop any
+      // stale warehouse directory a previous JVM left, which CTAS
+      // refuses to overwrite for a table the catalog doesn't know
+      def freshBucketed(name: String)(build: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+          rm(new java.io.File(wh, name.toLowerCase))
+          build
+        }
+      cacheLock.synchronized {
+        freshBucketed(ot)(
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+            .write.mode(SaveMode.Overwrite)
+            .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot))
+        freshBucketed(lt)(
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+            .write.mode(SaveMode.Overwrite)
+            .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt))
+      }
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("l_extendedprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_repartition",
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>

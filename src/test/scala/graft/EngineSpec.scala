@@ -202,6 +202,25 @@ class EngineSpec extends GraftSuite {
     }
   }
 
+  test("object-store config smoke: fs.s3a.* plumbs through; missing connector fails loudly") {
+    // No object store exists in this sandbox (reference claims S3/HDFS,
+    // README.md:86) — what CAN be pinned is that (a) fs.s3a.* settings
+    // reach the Hadoop configuration every scan uses, so a deployment
+    // with hadoop-aws on the classpath needs config only, and (b) with
+    // the connector absent, an s3a:// read fails with the unknown-scheme
+    // error naming s3a — never a silent empty result.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", "http://localhost:9000")
+    try {
+      assert(spark.sessionState.newHadoopConf().get("fs.s3a.endpoint")
+        == "http://localhost:9000")
+      val e = intercept[Exception](
+        engine.createExternalTable("s3_t", "s3a://bucket/path"))
+      val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+      assert(msg.toLowerCase.contains("s3a"), msg)
+    } finally hc.unset("fs.s3a.endpoint")
+  }
+
   test("explain returns the formatted physical plan") {
     val p = engine.explain(engine.sql("SELECT count(*) FROM t_nation"))
     assert(p.contains("Physical Plan"))

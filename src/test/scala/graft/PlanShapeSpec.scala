@@ -73,6 +73,46 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("hashpartitioning(c_mktsegment"), p)
   }
 
+  test("q_bucketed_join: neither side shuffles on the join key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      // the post-join groupBy still exchanges on o_orderpriority — what
+      // bucketing must eliminate is any exchange on the JOIN keys
+      assert(!p.contains("hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("hashpartitioning(o_orderkey"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("runtime bloom-filter pruning injects might_contain on the probe side") {
+    // Runtime row-level pruning (the AQE-era cousin of the reference's
+    // stage-boundary re-optimization): a selective filter on the build
+    // side materializes a bloom filter that prunes probe-side rows
+    // BEFORE the join shuffle — at 100 TB this cuts the dominant
+    // exchange by the build side's selectivity.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val l = Tables.df(spark, sf, "lineitem")
+      val o = Tables.df(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "P")
+      val j = l.join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     // The 100-TB co-location story: bucket both sides on the join key at
     // write time and the join needs no exchange at read time (the analog
