@@ -623,6 +623,45 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // --- as-of join: each purchase paired with the user's most recent
+    // click at-or-before it (point-in-time correctness — the canonical
+    // feature-lookup join of a training pipeline) ------------------------
+    Q("q_join_asof",
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |       strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+        |       CAST(epoch_ms(p.ts) - epoch_ms(c.ts) AS BIGINT) AS ms_since_click
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
+      // Spark has no ASOF JOIN operator (the oracle uses DuckDB's native
+      // one). The scale-correct composition is the union-merge: tag both
+      // streams, sort each user's timeline once, and carry the latest
+      // click timestamp forward with a running last(...ignoreNulls) —
+      // ONE shuffle on user_id and a single window pass, instead of the
+      // naive per-purchase subquery (quadratic) or an equi+range join
+      // that explodes on active users. Clicks sort before purchases at
+      // equal ts (is_p tiebreak), so an exactly-simultaneous click
+      // matches, same as ASOF's >=.
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click_ts",
+          last(when(col("is_p") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"),
+          (unix_millis(col("ts")) - unix_millis(col("last_click_ts"))).as("ms_since_click"))
+        .orderBy("user_id", "purchase_id")
+    },
+
     // --- native session_window aggregation (same sessions as the
     // lag-gap construction, computed by Spark's built-in operator) -------
     Q("q_events_session_window",
