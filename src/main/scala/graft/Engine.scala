@@ -118,7 +118,11 @@ class Engine(val spark: SparkSession) {
   def explainAnalyze(df: DataFrame): String = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    df.collect() // run it: metrics are populated by execution
+    // execute THIS QueryExecution's plan (so its metrics populate)
+    // without collecting rows to the driver — collect() on a big result
+    // would OOM the driver; analyzing a query must not require holding
+    // its output
+    df.queryExecution.toRdd.foreach(_ => ())
     val sb = new StringBuilder("== Executed Plan with Runtime Metrics ==\n")
     def walk(p: SparkPlan, depth: Int): Unit = {
       val metrics = p.metrics.toSeq

@@ -68,8 +68,9 @@ class EngineSpec extends GraftSuite {
   }
 
   test("explainAnalyze annotates the executed plan with runtime metrics") {
+    engine.createExternalTable("t_nation_ea", s"$sf/nation.parquet")
     val report = engine.explainAnalyze(
-      engine.sql("SELECT n_regionkey, count(*) AS n FROM t_nation GROUP BY n_regionkey"))
+      engine.sql("SELECT n_regionkey, count(*) AS n FROM t_nation_ea GROUP BY n_regionkey"))
     assert(report.contains("HashAggregate"), report)
     // per-operator row counts surfaced post-execution (the reference's
     // stage-metrics REST payload analog)
