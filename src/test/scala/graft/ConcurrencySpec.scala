@@ -30,6 +30,28 @@ class ConcurrencySpec extends GraftSuite {
     } finally pool.shutdown()
   }
 
+  test("concurrent first-use of derived-source caches materializes once, correctly") {
+    // The /tmp source caches and the bucketed tables are one-time
+    // check-then-write materializations serialized behind a lock; race
+    // four threads on their FIRST use (fresh cache dir via a throwaway
+    // version is not possible — instead race the queries themselves,
+    // which exercises the lock when caches are cold and the reads when
+    // warm) and require identical results.
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val names = Seq("q_csv_scan", "q_bucketed_join", "q_avro_scan", "q_listing_scan")
+      val futures = (0 until 2).flatMap(_ => names).map(n => Future {
+        n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).mkString("|")
+      })
+      val results = Await.result(Future.sequence(futures), 5.minutes)
+      // both racers of each query saw the same rows
+      results.groupBy(_._1).foreach { case (n, rs) =>
+        assert(rs.map(_._2).distinct.size == 1, s"$n diverged under race")
+      }
+    } finally pool.shutdown()
+  }
+
   test("parallel tenant sessions stay isolated") {
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
