@@ -170,17 +170,20 @@ object PipelineQueries {
         val viaNeighbors = edges
           .join(labels, col("j") === col("v"))
           .groupBy(col("i").as("v2")).agg(min("lbl").as("nlbl"))
-        val next = labels.join(viaNeighbors, col("v") === col("v2"), "left")
-          .select(col("v"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        // carry the old label through the round so convergence is a
+        // filter+count on the SAME cached frame — one join per round,
+        // not a second labels⋈next reconciliation join
+        val step = labels.join(viaNeighbors, col("v") === col("v2"), "left")
+          .select(col("v"), col("lbl").as("old_lbl"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
           .cache()
-        val changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
-          .filter(col("n.lbl") =!= col("o.lbl")).count()
-        // `changed` materialized `next`, so the previous round's cache
+        val changed = step.filter(col("lbl") =!= col("old_lbl")).count()
+        // `changed` materialized `step`, so the previous round's cache
         // (and its lineage) is no longer needed — don't pin 20 rounds of
         // label snapshots in executor storage for the session's lifetime
         if (cachedPrev != null) cachedPrev.unpersist()
-        cachedPrev = next
-        labels = next
+        cachedPrev = step
+        labels = step.select(col("v"), col("lbl"))
         converged = changed == 0
         rounds += 1
       }
