@@ -82,6 +82,33 @@ object IvfIndex {
     } finally cached.unpersist()
   }
 
+  /** Persist a build-once/probe-many IVF index under `dir`: the k
+    * centroid vectors (`centroids/`, k rows) plus the corpus bucketed by
+    * nearest cell and laid out hive-partitioned on `cell` (`cells/`).
+    * The partitioned layout is the point: a probe filters on cell ids,
+    * so Spark's partition pruning skips the other cells' FILES entirely
+    * — each query reads ~nProbe/k of the corpus from disk, which is
+    * what an IVF index buys at 100 TB (asserted via PartitionFilters in
+    * PlanShapeSpec). Build cost: one sampled training pass + one
+    * assignment map stage + one write. */
+  def buildIndex(vecs: DataFrame, k: Int, dir: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centers = trainCentroids(vecs.select("vec_id", "v"), k)
+    centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    vecs.withColumn("cell", cellCol(centers, col("v")))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Load the (tiny) centroid table back — k rows to the driver, the
+    * same thing a real IVF index keeps in RAM. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy("cell")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+
   /** Column: index of the nearest centroid (max cosine ≈ min L2 on
     * normalized data; we use max dot which matches cosine ranking for a
     * fixed input vector when centroids are near-unit — adequate for a

@@ -626,6 +626,34 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // --- similarity search: PERSISTED IVF index (build once, probe many)
+    Q.noOracle("q_ann_ivf_index") { (s, d) =>
+      // The index lifecycle a production ANN deployment runs: train +
+      // assign ONCE, persist the corpus hive-partitioned by cell, keep
+      // only the k centroid vectors "in RAM" (a k-row parquet). Every
+      // probe then loads centroids, picks nProbe cells, and reads ONLY
+      // those cells' files — partition pruning does the index lookup
+      // (PartitionFilters asserted in PlanShapeSpec), so each query
+      // touches ~nProbe/k of the corpus on disk instead of scanning it.
+      // Approximate → rows-only gate; recall ≥0.9 vs q_ann_bruteforce
+      // asserted in ScalaTest.
+      import graft.functions.IvfIndex
+      val dir = s"${SourceQueries.cacheDir(d)}/ivf16"
+      SourceQueries.materialize(s"$dir/cells") {
+        IvfIndex.buildIndex(vecs(s, d), k = 16, dir)
+      }
+      val centers = IvfIndex.loadCentroids(s, dir)
+      val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
+        .head().getSeq[Double](0).toArray
+      val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
+      val qCol = array(qv.map(lit): _*)
+      s.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // --- as-of join: each purchase paired with the user's most recent
     // click at-or-before it (point-in-time correctness — the canonical
     // feature-lookup join of a training pipeline) ------------------------

@@ -34,8 +34,8 @@ object SourceQueries {
     * serialized behind a single lock (cheap — it only ever guards the
     * one-time write), and SaveMode.Overwrite clears any partial files a
     * previously-failed write left behind before _SUCCESS existed. */
-  private val cacheLock = new Object
-  private def materialize(path: String)(write: => Unit): String =
+  private[queries] val cacheLock = new Object
+  private[queries] def materialize(path: String)(write: => Unit): String =
     cacheLock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) write
       path

@@ -57,6 +57,15 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("persisted IVF index probe finds the brute-force top-10 (recall >= 0.9)") {
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("q_ann_ivf_index")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
+  }
+
   test("LSH ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

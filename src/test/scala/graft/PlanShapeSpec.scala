@@ -113,6 +113,15 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q_ann_ivf_index probe prunes cell partitions at planning time") {
+    // the persisted-index story: the probe must read only the nProbe
+    // cells' directories, which shows up as a partition filter on cell
+    val p = plan("q_ann_ivf_index")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     // The 100-TB co-location story: bucket both sides on the join key at
     // write time and the join needs no exchange at read time (the analog
