@@ -59,9 +59,13 @@ object Smoke {
     val (exact, tBf) = time(topIds(spark, dir, "q_ann_bruteforce"))
     val (lsh, tLsh) = time(topIds(spark, dir, "q_ann_lsh"))
     val (ivf, tIvf) = time(topIds(spark, dir, "q_ann_ivf"))
+    val (ivfIdxBuild, tIdx) = time(topIds(spark, dir, "q_ann_ivf_index")) // build + first probe
+    val (ivfIdx, tProbe) = time(topIds(spark, dir, "q_ann_ivf_index"))    // warm probe only
+    require(ivfIdxBuild == ivfIdx, "persisted-index probe must be deterministic")
     def recall(a: Set[Long]): Double = exact.intersect(a).size.toDouble / exact.size
     println(f"SMOKE ann: bruteforce=${tBf}%.1fs lsh=${tLsh}%.1fs (recall=${recall(lsh)}%.2f) " +
-      f"ivf=${tIvf}%.1fs (recall=${recall(ivf)}%.2f)")
+      f"ivf=${tIvf}%.1fs (recall=${recall(ivf)}%.2f) " +
+      f"ivf_index build+probe=${tIdx}%.1fs probe=${tProbe}%.1fs (recall=${recall(ivfIdx)}%.2f)")
 
     // --- dedup scale path ----------------------------------------------
     val (nPairs, tMh) = time(SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
