@@ -123,11 +123,15 @@ object EventStreams {
     * when it closes.
     *
     * `timeout` controls idle-session flushing: pass
-    * `ProcessingTimeTimeout` in a long-running stream so sessions close
-    * after `gapMs` of silence. The default is `NoTimeout` (sessions close
-    * only when a later event arrives) — processing-time timeouts schedule
-    * recurrent empty micro-batches, which livelocks test harnesses that
-    * drain with `processAllAvailable`. */
+    * `EventTimeTimeout` (input must carry a watermark on `ts`) so an
+    * idle session closes when the WATERMARK passes last+gap — the
+    * replay-correct semantics: results depend only on the data, not on
+    * wall clock, so reprocessing a day of events yields identical
+    * sessions. `ProcessingTimeTimeout` closes after `gapMs` of wall
+    * silence (live dashboards). The default is `NoTimeout` (sessions
+    * close only when a later event arrives) — processing-time timeouts
+    * schedule recurrent empty micro-batches, which livelocks test
+    * harnesses that drain with `processAllAvailable`. */
   def sessionize(
       events: Dataset[Event],
       gapMs: Long = 30L * 60 * 1000,
@@ -175,6 +179,8 @@ object EventStreams {
             state.update(st)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
               state.setTimeoutDuration(gapMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout())
+              state.setTimeoutTimestamp(st.last + gapMs)
           }
           closed.result().iterator
       }

@@ -188,6 +188,37 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("sessionize event-time timeout closes idle sessions as the watermark passes") {
+    // Replay-correct idle flushing: the session closes because event
+    // time moved past last+gap (via other users' events pushing the
+    // watermark), never because of wall clock — rerunning the same data
+    // gives the same sessions.
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionize(
+        in.toDS().withWatermark("ts", "0 seconds"),
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())
+      .writeStream.format("memory").queryName("sess_et").outputMode(OutputMode.Append())
+      .start()
+    try {
+      in.addData(Event(1, ts("2024-01-01 00:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_et").count() == 0) // still open
+      // another USER's far-future event advances the watermark past
+      // 00:30 (user 7's last + gap)...
+      in.addData(Event(2, ts("2024-01-01 02:00:00"), 9, "view", 2.0))
+      q.processAllAvailable()
+      // ...and the timeout fires in the following micro-batch
+      in.addData(Event(3, ts("2024-01-01 02:00:01"), 9, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess_et WHERE user_id = 7").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows.head.getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
   test("soak: 100 micro-batches on RocksDB state store keep session state bounded") {
     // Long-running stateful streams live or die by two things this test
     // pins: (a) the state store can be RocksDB (off-heap, incremental
