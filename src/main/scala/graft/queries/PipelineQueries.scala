@@ -475,6 +475,36 @@ object PipelineQueries {
         .orderBy("label", "rn")
     },
 
+    // --- similarity search: batched probe (one corpus pass, Q queries) --
+    Q("q_ann_batch",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q_id, vec_id, ROUND(list_cosine_similarity(v, qv), 9) AS cs
+        |           FROM e, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cs, rn FROM (
+        |  SELECT q_id, vec_id, cs,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      // Batched probe: ONE corpus scan scores every query in the batch
+      // (vs one scan per query) — the broadcast carries the Q query
+      // vectors, each corpus row scores against all of them map-side,
+      // and grouped top-k bounds the shuffle to Q×k rows. At 100 TB
+      // this is how an ANN serving job amortizes the scan: batch the
+      // queries, not the corpus.
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("q_id", "vec_id", "cs", "rn")
+        .orderBy("q_id", "rn")
+    },
+
     // --- embedding-cosine near-dup pairs (blocked exact) ----------------
     Q("q_embed_neardup",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
