@@ -37,7 +37,10 @@ object Bench {
       }
     }
 
+    // Optional comma-separated subset (local iteration; the driver runs all).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.catalog.map(_.name)
+      .filter(n => only.forall(_.contains(n)))
     // JVM/codegen warm-up on the flagship so first-query JIT cost doesn't
     // pollute the numbers.
     runOnce(names.head)

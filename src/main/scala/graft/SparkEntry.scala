@@ -14,6 +14,7 @@ object SparkEntry {
   /** The complete query catalog. Order matters only for readability. */
   val catalog: Seq[Q] =
     RelationalQueries.all ++
+      TpchQueries.all ++
       AggregateQueries.all ++
       WindowQueries.all ++
       FunctionQueries.all ++

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Qh._
+
+/** Multi-join TPC-H-class queries (SURVEY.md §2.4 depth): the reference's
+  * own distributed-planner tests are multi-stage TPC-H shapes
+  * (reference ballista/scheduler/src/planner.rs:257-570 plans Q3/Q12-class
+  * trees into shuffle stages); this file provides the 3-to-6-table
+  * analogs over the driver tables, each a full DuckDB oracle row.
+  *
+  * Parameter adaptations to the driver schema (TESTDATA.md): there is no
+  * `partsupp` table and no `o_shippriority`/`l_commitdate` columns, so Q9
+  * substitutes `p_retailprice` for `ps_supplycost` and Q3 drops
+  * `o_shippriority` from the select list; semantics (join graph, filters,
+  * aggregate, top-k) are otherwise the textbook shapes.
+  *
+  * Scale notes, per query, live on the query. Common to all four:
+  * money math is decimal-exact (see [[Qh]]) so results are
+  * merge-order-independent across 1000 executors, and every top-k is
+  * `orderBy.limit` so it compiles to TakeOrderedAndProject (per-partition
+  * heaps + driver merge of k rows), never a global sort.
+  */
+object TpchQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** Exact per-row revenue: extendedprice * (1 - discount), decimal. */
+  private def revenueExpr = {
+    val one = lit(1).cast(D3)
+    col("l_extendedprice").cast(D12) * (one - col("l_discount").cast(D3))
+  }
+  private val sqlRevenue =
+    """CAST(l_extendedprice AS DECIMAL(12,2))
+      | * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q3 (shipping priority): customer ⋈ orders ⋈ lineitem,
+    // opposite-side date filters, revenue per order, top 10.
+    // Scale: the mktsegment filter (1/5 of customers) is pushed into the
+    // customer scan; orders⋈customer shuffles on custkey BEFORE touching
+    // lineitem, so the widest join (lineitem⋈orders on orderkey) sees
+    // only date-filtered orders. No broadcast hint — at 100 TB customer
+    // is not broadcastable; AQE may still flip the post-filter side to
+    // broadcast at runtime from observed sizes (see PlanShapeSpec).
+    Q("q_tpch_q3",
+      s"""SELECT l_orderkey,
+         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate < TIMESTAMP '1998-06-30'
+         |  AND l_shipdate > TIMESTAMP '1998-06-30'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-06-30").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-06-30").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): the 6-table join —
+    // customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region, with the
+    // Q5 twist that the customer and supplier must share a nation.
+    // Scale: region (constant 5 rows) and nation (constant 25) are
+    // explicitly broadcast — they never grow with SF, so those two joins
+    // cost zero shuffle at any scale. The fact-side join order keeps the
+    // biggest table (lineitem) in ONE shuffle pipeline: lineitem⋈orders
+    // on orderkey, then ⋈supplier (supplier = SF×100 rows, left to the
+    // optimizer/AQE to broadcast or shuffle from stats), then the
+    // customer join carries only (custkey, nationkey) forward.
+    Q("q_tpch_q5",
+      s"""SELECT n_name,
+         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      val asiaNations = broadcast(
+        t(s, d, "nation").join(
+          broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")))
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, d, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q9 (product-type profit): part ⋈ lineitem ⋈ orders ⋈
+    // supplier ⋈ nation, profit per (nation, year). `p_retailprice`
+    // stands in for the missing partsupp.ps_supplycost.
+    // Scale: the `p_name LIKE '%red%'` predicate is a StringContains that
+    // reaches the part scan as a pushed filter (asserted in
+    // PlanShapeSpec), so only ~1/8 of parts ever leave the scan; the
+    // filtered part side then prunes lineitem EARLY (first join), before
+    // the wider orders join. nation is broadcast; part/supplier are left
+    // to stats/AQE.
+    Q("q_tpch_q9",
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(SUM($sqlRevenue
+         |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+         |    AS DOUBLE) AS sum_profit
+         |FROM part, lineitem, orders, supplier, nation
+         |WHERE p_partkey = l_partkey AND o_orderkey = l_orderkey
+         |  AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+         |  AND p_name LIKE '%red%'
+         |GROUP BY n_name, o_year ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      val redParts = t(s, d, "part").filter(col("p_name").contains("red"))
+      val amount = revenueExpr -
+        col("p_retailprice").cast(D12) * col("l_quantity").cast(D12)
+      t(s, d, "lineitem")
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q18 (large-volume customer): orders whose total lineitem
+    // quantity exceeds a threshold, joined back to customer, top 100 by
+    // price. Q18's `o_orderkey IN (SELECT ... HAVING SUM > T)` is
+    // re-expressed as aggregate-then-join — the exact plan every engine
+    // (including the reference's, via its HashJoin on the aggregated
+    // subquery) lowers the IN to, and it lets the qualifying sum ride
+    // along instead of being recomputed.
+    // Scale: the lineitem aggregation is partial→final on l_orderkey
+    // (map-side combine ships one row per order per partition), and the
+    // aggregated result (46 rows here; ~0.3% of orders at any SF) is tiny
+    // → AQE broadcasts the join back against orders. Top 100 via
+    // TakeOrderedAndProject.
+    Q("q_tpch_q18",
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_totalprice, sum_qty
+        |FROM big, orders, customer
+        |WHERE o_orderkey = l_orderkey AND c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(D12)).as("qty"))
+        .filter(col("qty") > lit(300).cast(D12))
+        .select(col("l_orderkey"), col("qty").cast("double").as("sum_qty"))
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }
+  )
+}

@@ -113,6 +113,67 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  /** Depth-first scan order in the formatted plan = the join order the
+    * optimizer picked (streamed side prints first). Returns the position
+    * of each table's scan so tests can assert the order. */
+  private def scanOrder(p: String, tables: String*): Seq[Int] =
+    tables.map { t =>
+      val i = p.indexOf(s"$t.parquet")
+      assert(i >= 0, s"no scan of $t in plan:\n$p")
+      i
+    }
+
+  test("q_tpch_q3: filters pushed to all three scans, top-k fused, 2-phase agg") {
+    val p = plan("q_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // each side's filter reached its parquet scan
+    assert(p.contains("GreaterThan(l_shipdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    // join order: lineitem is the streamed (never-built) side throughout
+    val Seq(li, ord, cust) = scanOrder(p, "lineitem", "orders", "customer")
+    assert(li < ord && ord < cust,
+      s"expected lineitem⋈orders⋈customer order, got li=$li ord=$ord cust=$cust\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q5: constant dims broadcast; fact side never shuffles on a join key") {
+    val p = plan("q_tpch_q5")
+    // nation+region (and at this SF every dim) come in as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    // lineitem heads the join pipeline; region is the innermost build side
+    val Seq(li, reg) = scanOrder(p, "lineitem", "region")
+    assert(li < reg, p)
+    // with every dim broadcast, the only exchanges are for the final agg
+    // and sort — never a hashpartitioning on the lineitem join keys
+    assert(!p.contains("hashpartitioning(l_orderkey"), p)
+    assert(!p.contains("hashpartitioning(l_suppkey"), p)
+  }
+
+  test("q_tpch_q9: LIKE '%red%' reaches the part scan as StringContains") {
+    val p = plan("q_tpch_q9")
+    assert(p.contains("StringContains(p_name,red)"), p)
+    // part is joined (pruning lineitem) before the wider orders join
+    val Seq(li, part, ord) = scanOrder(p, "lineitem", "part", "orders")
+    assert(li < part && part < ord,
+      s"expected part join before orders join: li=$li part=$part ord=$ord\n$p")
+  }
+
+  test("q_tpch_q18: AQE flips the aggregated-subquery join to broadcast at runtime") {
+    val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
+    // statically the aggregate's output size is unknown → sort-merge; the
+    // runtime stats (46 rows) must flip it to broadcast at the stage
+    // boundary — the reference's re-run-JoinSelection-on-exact-stats
+    // behavior (execution_stage.rs:240-261), provided here by AQE
+    df.collect()
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q_ann_ivf_index probe prunes cell partitions at planning time") {
     // the persisted-index story: the probe must read only the nProbe
     // cells' directories, which shows up as a partition filter on cell
