@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftMetrics.register(spark) // graft_* drop counters go to stderr, not the JSON line
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()

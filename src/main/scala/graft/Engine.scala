@@ -318,6 +318,7 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftMetrics.register(spark)
     spark
   }
 

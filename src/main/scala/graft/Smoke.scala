@@ -72,6 +72,29 @@ object Smoke {
     val (nClustered, tCl) = time(SparkEntry.queries("q_dedup_clusters")(spark, dir).count())
     println(f"SMOKE dedup: minhash=${tMh}%.1fs ($nPairs pairs) " +
       f"clusters=${tCl}%.1fs ($nClustered labeled docs)")
+
+    // --- adversarial LSH mega-bucket ------------------------------------
+    // 10k boilerplate variants that SURVIVE exact dedup (each ends in a
+    // unique token, jaccard ≈ 0.93 to its siblings) — uncapped, all land
+    // in the same band buckets and expand ~10k²/2 ≈ 50M candidate pairs
+    // PER BAND from single collect_set rows; the bucket cap must keep
+    // this bounded (≤ 16·cap²/2 candidates) and report its drops via the
+    // graft_lsh_bucket_cap observe metric (printed on stderr).
+    val advDir = s"$dir/adversarial"
+    if (!new java.io.File(s"$advDir/documents.parquet", "_SUCCESS").exists()) {
+      val boiler = (1 to 60).map(i => s"tok$i").mkString(" ")
+      spark.range(10000).selectExpr(
+        "id + 1 AS doc_id",
+        s"concat('$boiler', ' unique', CAST(id AS STRING)) AS text")
+        .write.mode(SaveMode.Overwrite).parquet(s"$advDir/documents.parquet")
+    }
+    val (nAdvPairs, tAdv) = time(
+      graft.queries.PipelineQueries
+        .minhashPairs(spark, advDir, graft.queries.PipelineQueries.LshBucketCap)
+        .count())
+    println(f"SMOKE adversarial mega-bucket: 10000 boilerplate docs, " +
+      f"capped pair expansion=${tAdv}%.1fs ($nAdvPairs verified pairs; " +
+      f"uncapped would expand ~800M candidates)")
     spark.stop()
   }
 }

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftMetrics.register(spark) // surface graft_* drop counters in the log
     new java.io.File(outDir).mkdirs()
     // Optional subset for fast local iteration (tools/check.py --only).
     val onlyFilter: String => Boolean =

@@ -38,11 +38,30 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Max ids an LSH bucket contributes to pair expansion. A bucket of n
+    * docs expands n(n-1)/2 candidate pairs; without a bound, one
+    * boilerplate mega-bucket (near-identical pages that survive exact
+    * dedup) is a quadratic blow-up AND a single-row OOM in collect_set.
+    * 64 keeps every real near-dup group on this corpus intact (gate
+    * buckets are far smaller — capped and uncapped results are proven
+    * equal in PipelineSpec) while bounding any bucket's cost at ~2k
+    * pairs. Drops are never silent: a `graft_lsh_bucket_cap` observe()
+    * metric counts oversized buckets + dropped ids, surfaced by
+    * [[graft.GraftMetrics]]. Recall note: ids dropped from an oversized
+    * bucket can still pair up in their OTHER 15 bands; what the cap
+    * actually sacrifices is pair-completeness WITHIN a mega-cluster —
+    * exactly the case where downstream dedup only needs the cluster
+    * found, not all O(n²) pairs of it. */
+  private[graft] val LshBucketCap = 64
+
   /** Verified near-dup pairs (i < j, exact jaccard ≥ 0.8) via banded
     * MinHash-LSH candidate generation — the shared core of
     * q_dedup_minhash and q_dedup_clusters. See q_dedup_minhash for the
     * plan-shape commentary. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d, LshBucketCap)
+
+  private[graft] def minhashPairs(s: SparkSession, d: String, bucketCap: Int): DataFrame = {
     val sh = shingled(s, d)
     val hs = sh.select(col("doc_id"),
       explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
@@ -53,10 +72,21 @@ object PipelineQueries {
       (0 until 16).map(b => struct(lit(b).as("band"),
         col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.h1").as("h1"), col("bd.h2").as("h2"))
+    // Bounded-at-the-map-side bucket materialization: partial buffers
+    // never exceed bucketCap ids (see BoundedMinSet), so the shuffle
+    // carries ≤ cap longs per bucket per partition — collect_set would
+    // ship and hold the whole mega-bucket in one row. The drop counters
+    // observe AFTER the size>1 filter (an oversized bucket always keeps
+    // cap ≥ 2 ids, so none can be filtered away) — there they see only
+    // the few multi-member buckets instead of every singleton.
     val cand = bands
       .groupBy("band", "h1", "h2")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("doc_id"), bucketCap).as("bs"))
+      .select(col("bs.ids").as("ids"), col("bs.n").as("bsz"))
       .filter(size(col("ids")) > 1)
+      .observe("graft_lsh_bucket_cap",
+        sum(when(col("bsz") > bucketCap, lit(1)).otherwise(lit(0))).as("oversized_buckets"),
+        sum(when(col("bsz") > bucketCap, col("bsz") - bucketCap).otherwise(lit(0))).as("dropped_ids"))
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ids) - 2),
           |  a -> transform(sequence(a + 1, size(ids) - 1),

@@ -129,4 +129,63 @@ class PipelineSpec extends GraftSuite {
     val total = Tables.df(spark, sf, "documents").count()
     assert(df.agg(sum("n_copies")).head().getLong(0) == total)
   }
+
+  test("BoundedMinSet buffer: dedupe, smallest-kept, bounded, merge- and serde-stable") {
+    import graft.functions.{BoundedMinSet, BoundedSetBuf}
+    val agg = BoundedMinSet(org.apache.spark.sql.catalyst.expressions.Literal(0L), cap = 4)
+    def idsOf(b: BoundedSetBuf): Seq[Long] = b.ids.take(b.used).toSeq
+    val buf = agg.createAggregationBuffer()
+    def ins(v: Long): Unit = { // mirror update() without an InternalRow
+      buf.total += 1
+      agg.insert(buf, v)
+    }
+    Seq(9L, 3L, 7L, 3L, 12L, 1L, 8L).foreach(ins)
+    assert(idsOf(buf) == Seq(1L, 3L, 7L, 8L), idsOf(buf)) // 4 smallest, deduped
+    assert(buf.total == 7) // true row count survives the cap
+    // merge keeps the global smallest and sums counts
+    val other = agg.createAggregationBuffer()
+    other.ids(0) = 2L; other.used = 1; other.total = 5
+    val merged = agg.merge(agg.deserialize(agg.serialize(buf)), other)
+    assert(idsOf(merged) == Seq(1L, 2L, 3L, 7L))
+    assert(merged.total == 12)
+  }
+
+  test("LSH bucket cap: capped and uncapped pairs identical on the gate corpus") {
+    // proves the oracle compare is untouched by the cap: no gate bucket
+    // comes near LshBucketCap, so capped == exhaustive
+    def pairs(cap: Int): Set[(Long, Long)] =
+      graft.queries.PipelineQueries.minhashPairs(spark, sf, cap)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(graft.queries.PipelineQueries.LshBucketCap)
+    val uncapped = pairs(1 << 20)
+    assert(capped == uncapped, s"cap changed the gate result: " +
+      s"only-capped=${capped.diff(uncapped).take(5)} only-uncapped=${uncapped.diff(capped).take(5)}")
+  }
+
+  test("LSH bucket cap bounds an adversarial mega-bucket and reports drops") {
+    // 300 boilerplate variants that SURVIVE exact dedup (each text ends
+    // with a unique token) but share ~96% of shingles — uncapped, they
+    // all land in the same band buckets and expand ~45k pairs/bucket;
+    // the cap must bound expansion to cap²/2 and account for the drops.
+    val dir = "/tmp/graft_test_megabucket"
+    val boiler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    spark.range(300).selectExpr(
+      "id + 1 AS doc_id",
+      s"concat('$boiler', ' unique', CAST(id AS STRING)) AS text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cap = 8
+    val df = graft.queries.PipelineQueries.minhashPairs(spark, dir, cap)
+    val rows = df.collect()
+    // every pair's members come from some bucket's smallest-`cap` ids —
+    // with one dominant cluster that is ids 1..cap (modulo band variety),
+    // so the pair count is O(cap²), not O(300²)
+    assert(rows.nonEmpty, "cap must not kill the cluster entirely")
+    assert(rows.length <= 16 * cap * (cap - 1) / 2,
+      s"pair expansion not bounded: ${rows.length} pairs")
+    // drop accounting is published (no silent caps)
+    val metrics = df.queryExecution.observedMetrics("graft_lsh_bucket_cap")
+    assert(metrics.getLong(0) > 0, s"no oversized bucket observed: $metrics")
+    assert(metrics.getLong(1) > 0, s"no dropped ids observed: $metrics")
+  }
 }
