@@ -34,7 +34,23 @@ object SourceQueries {
     * serialized behind a single lock (cheap — it only ever guards the
     * one-time write), and SaveMode.Overwrite clears any partial files a
     * previously-failed write left behind before _SUCCESS existed. */
-  private[queries] val cacheLock = new Object
+  /** Create-once catalog table: table/bucket/stats metadata lives in the
+    * (in-memory) session catalog, so a fresh session must recreate the
+    * table — and first drop any stale warehouse directory a previous JVM
+    * left, which CTAS refuses to overwrite for a table the catalog
+    * doesn't know. Call under [[cacheLock]]. */
+  private[graft] def freshCatalogTable(s: SparkSession, name: String)(build: => Unit): Unit =
+    if (!s.catalog.tableExists(name)) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      rm(new java.io.File(wh, name.toLowerCase))
+      build
+    }
+
+  private[graft] val cacheLock = new Object
   private[queries] def materialize(path: String)(write: => Unit): String =
     cacheLock.synchronized {
       if (!new java.io.File(path, "_SUCCESS").exists()) write
@@ -171,26 +187,12 @@ object SourceQueries {
       val tag = Integer.toHexString(d.hashCode)
       val ot = s"graft_bkt_orders_$tag"
       val lt = s"graft_bkt_lineitem_$tag"
-      // bucket metadata lives in the (in-memory) session catalog, so a
-      // fresh session must recreate the tables — and first drop any
-      // stale warehouse directory a previous JVM left, which CTAS
-      // refuses to overwrite for a table the catalog doesn't know
-      def freshBucketed(name: String)(build: => Unit): Unit =
-        if (!s.catalog.tableExists(name)) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
-          val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-          rm(new java.io.File(wh, name.toLowerCase))
-          build
-        }
       cacheLock.synchronized {
-        freshBucketed(ot)(
+        freshCatalogTable(s, ot)(
           t(s, d, "orders").select("o_orderkey", "o_orderpriority")
             .write.mode(SaveMode.Overwrite)
             .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot))
-        freshBucketed(lt)(
+        freshCatalogTable(s, lt)(
           t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
             .write.mode(SaveMode.Overwrite)
             .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt))
@@ -199,6 +201,43 @@ object SourceQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Qh.dsum(col("l_extendedprice")).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    Q("q_join_stats_broadcast",
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |       ${Qh.sqlDsum("o_totalprice")} AS total_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      // q_join_inner_agg with the broadcast() hint REMOVED: join
+      // selection comes from ANALYZE'd catalog statistics instead. The
+      // dimension table is PARTITIONED on purpose — a partitioned
+      // catalog table without stats planes to sizeInBytes=Long.Max (no
+      // broadcast possible), so the BroadcastHashJoin this query gets
+      // (asserted in PlanShapeSpec, with AND without AQE) is provably
+      // stats-driven, not hint- or file-listing-driven. This is the
+      // reference's exact-stats JoinSelection re-run
+      // (execution_stage.rs:240-261) expressed through the catalog: at
+      // 100 TB you ANALYZE dims once and every query picks the right
+      // join without per-query hints.
+      val tag = Integer.toHexString(d.hashCode)
+      val ct = s"graft_stats_customer_$tag"
+      val ot = s"graft_stats_orders_$tag"
+      cacheLock.synchronized {
+        freshCatalogTable(s, ct) {
+          t(s, d, "customer").write.mode(SaveMode.Overwrite)
+            .partitionBy("c_mktsegment").saveAsTable(ct)
+          s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS"): Unit
+        }
+        freshCatalogTable(s, ot) {
+          t(s, d, "orders").write.mode(SaveMode.Overwrite).saveAsTable(ot)
+          s.sql(s"ANALYZE TABLE $ot COMPUTE STATISTICS"): Unit
+        }
+      }
+      s.table(ot)
+        .join(s.table(ct), col("o_custkey") === col("c_custkey")) // no hint
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), Qh.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("c_mktsegment")
     },
 
     Q("q_repartition",

@@ -174,6 +174,52 @@ class PlanShapeSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("stats-driven broadcast: ANALYZE flips the unhinted join, with and without AQE") {
+    // Baseline first: a PARTITIONED catalog table with NO stats planes to
+    // sizeInBytes=Long.Max, so the static planner cannot broadcast — this
+    // proves the flip below comes from the ANALYZE'd statistics, not from
+    // file listing or a hint.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val noStatsCust = "graft_nostats_customer"
+    val noStatsOrd = "graft_nostats_orders"
+    graft.queries.SourceQueries.cacheLock.synchronized {
+      graft.queries.SourceQueries.freshCatalogTable(spark, noStatsCust) {
+        Tables.df(spark, sf, "customer").write.mode("overwrite")
+          .partitionBy("c_mktsegment").saveAsTable(noStatsCust)
+      }
+      graft.queries.SourceQueries.freshCatalogTable(spark, noStatsOrd) {
+        Tables.df(spark, sf, "orders").write.mode("overwrite")
+          .partitionBy("o_orderpriority").saveAsTable(noStatsOrd)
+      }
+    }
+    def joined(fact: String, dim: String) =
+      spark.table(fact)
+        .join(spark.table(dim), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    def static(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(static(joined(noStatsOrd, noStatsCust)).contains("SortMergeJoin"),
+        "expected the stat-less partitioned tables to NOT broadcast")
+
+      // the catalog query creates + ANALYZEs its tables on first use;
+      // static plan (AQE off) must pick broadcast purely from the stats
+      val p = static(SparkEntry.queries("q_join_stats_broadcast")(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    // and with AQE on, the same unhinted query also lands on broadcast
+    // (runtime sizes agree with the stats)
+    val df = SparkEntry.queries("q_join_stats_broadcast")(spark, sf)
+    df.collect()
+    val finalPlan = static(df)
+    assert(finalPlan.contains("isFinalPlan=true"), finalPlan)
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
+  }
+
   test("q_ann_ivf_index probe prunes cell partitions at planning time") {
     // the persisted-index story: the probe must read only the nProbe
     // cells' directories, which shows up as a partition filter on cell
