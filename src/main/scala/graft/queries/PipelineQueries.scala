@@ -227,16 +227,52 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
-    // --- SimHash fingerprints (near-dup signature; engine-specific hash
-    // → rows-only gate; planted-pair hamming asserted in ScalaTest) ------
-    Q.noOracle("q_dedup_simhash") { (s, d) =>
+    // --- SimHash fingerprints (near-dup signature) ----------------------
+    Q("q_dedup_simhash", {
+      // The 32 per-bit majority votes and the fingerprint assembly are
+      // generated as flat SQL in Scala (DuckDB 1.0 can't capture an outer
+      // lambda variable inside a nested lambda, so shingles are unnested
+      // to rows first and each bit gets its own conditional sum).
+      val sums = (0 until 32)
+        .map(b => s"SUM(CASE WHEN ((hm >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(",\n    ")
+      val fp = (0 until 32)
+        .map(b => s"CASE WHEN b$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS s
+         |  FROM w
+         |), h AS (
+         |  SELECT doc_id,
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |       [CAST(ascii(s[i]) AS BIGINT) for i in range(1, length(s) + 1)]),
+         |       (h, c) -> (h * 31 + c) % 1000000007) * 2654435761) % 4294967296 AS hm
+         |  FROM sh
+         |), v AS (
+         |  SELECT doc_id, $sums FROM h GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
       // 32-bit SimHash over shingles: per bit, majority vote of shingle
       // hashes, computed as explode + 32 codegen'd conditional-sum
       // aggregates (nested higher-order folds are interpreted per element
       // and measured ~10× slower). Fingerprint assembly is a plain
       // projection over the 32 vote counters.
+      //
+      // The shingle hash is the engine-independent RollingHash (h*31+c
+      // mod 1e9+7, same family as q_text_fingerprint) spread over all 32
+      // vote bits by a Knuth multiplicative mix mod 2^32 — both steps are
+      // exact BIGINT arithmetic DuckDB replicates bit-for-bit, which is
+      // what turns this from a rows-only gate into a full oracle row
+      // (xxhash64 votes were engine-specific).
+      val mixed = (graft.functions.RollingHash.rolling_hash(col("x")) * lit(2654435761L)) % lit(4294967296L)
       val votes = shingled(s, d)
-        .select(col("doc_id"), explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+        .select(col("doc_id"), explode(col("sh")).as("x"))
+        .select(col("doc_id"), mixed.as("h"))
         .groupBy("doc_id")
         .agg(
           sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1).otherwise(-1)).as("b0"),
