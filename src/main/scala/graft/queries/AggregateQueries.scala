@@ -197,6 +197,14 @@ object AggregateQueries {
     // so the running sums are exact on both sides. This pins the
     // *semantics* the sketch above approximates; PipelineSpec holds the
     // sketch within 1% of this query's output.
+    //
+    // Scale limitation (deliberate): l_returnflag has 3 values, so the
+    // window sorts the whole fact table into ~3 tasks — fine at gate SF
+    // where this exists to give the sketch an exact oracle pin, but NOT
+    // the 100 TB path. The scale path for weighted percentiles is the
+    // WeightedPercentile sketch above: O(maxPairs) memory per group with
+    // an associative merge, shuffling one bounded buffer per group
+    // instead of every row through a low-cardinality window partition.
     Q("q_agg_weighted_exact",
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice,
