@@ -53,6 +53,56 @@ class AqeSpec extends GraftSuite {
     }
   }
 
+  test("AQE skew split fires on real derived skew; result equals the manual salted join") {
+    import org.apache.spark.sql.functions._
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // Adversarial skew derived from the driver corpus (not spark.range):
+      // ~30% of lineitem rows remapped onto ONE hot order key — the
+      // boilerplate-document / default-value key every 100 TB corpus has.
+      // Thresholds above are scaled to sf0.001 the same way the 256MB
+      // defaults are scaled to production partitions.
+      val hot = Tables.df(spark, sf, "orders").agg(min("o_orderkey")).head.getLong(0)
+      // repartition(8) first: AQE splits a skewed reduce partition along
+      // its MAP-task boundaries, and sf0.001's lineitem is one tiny file
+      // = one map task = nothing to split. Production scans have
+      // thousands of map tasks; this recreates that precondition.
+      val fact = Tables.df(spark, sf, "lineitem").repartition(8)
+        .withColumn("k",
+          when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 3, lit(hot))
+            .otherwise(col("l_orderkey")))
+      val dim = Tables.df(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+
+      val joined = fact.join(dim, col("k") === col("o_orderkey"))
+      val plan = executedPlan(joined)
+      assert(plan.contains("skew=true"), s"skew split did not engage on derived skew:\n$plan")
+
+      // The same derived-skew join answered two ways — AQE's automatic
+      // partition split vs q_join_salted's manual (key, salt) spread —
+      // must agree exactly.
+      def summarize(j: org.apache.spark.sql.DataFrame) =
+        j.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).as("total"))
+          .orderBy("l_returnflag").collect().toSeq
+      val salts = 8
+      val sFact = fact.withColumn("salt",
+        pmod(xxhash64(col("l_linenumber")), lit(salts)).cast("int"))
+      val sDim = dim.withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      val salted = sFact.join(sDim,
+        col("k") === col("o_orderkey") && sFact("salt") === sDim("salt"))
+      assert(summarize(joined) == summarize(salted))
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective shuffle join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
