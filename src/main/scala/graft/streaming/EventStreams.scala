@@ -26,6 +26,25 @@ final case class Session(
 final case class SessionState(
     start: Long, last: Long, n: Long, total: Double)
 
+/** A purchase enriched with the user's latest at-or-before click
+  * (streaming face of the batch as-of join `q_join_asof`). */
+final case class AsofEnriched(
+    user_id: Long,
+    purchase_id: Long,
+    purchase_ts: Timestamp,
+    last_click_ts: Option[Timestamp],
+    ms_since_click: Option[Long])
+
+/** Per-user as-of state between micro-batches: the latest
+  * watermark-mature click (one long — everything older is provably
+  * irrelevant), plus the clicks and purchases the watermark hasn't
+  * finalized yet (bounded by the watermark delay, like any
+  * stream-stream join's buffer). */
+final case class AsofState(
+    lastClick: Option[Long],
+    clicks: List[Long],
+    purchases: List[(Long, Long)])
+
 /** Structured Streaming operators over the events stream.
   *
   * The reference has NO streaming at all (SURVEY.md §2.9) — this module
@@ -81,6 +100,77 @@ object EventStreams {
         col("click_ts") <= col("purchase_ts"))
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"), col("value"))
+  }
+
+  /** Stream-stream AS-OF enrichment: each purchase paired with the same
+    * user's latest click at-or-before it — the point-in-time feature
+    * lookup of a training pipeline, in streaming mode. The interval join
+    * above can't express "latest prior" (it emits EVERY click in the
+    * window), so this is stateful: one shuffle on user_id, then
+    * `flatMapGroupsWithState` holds per user the latest watermark-mature
+    * click (a single long) plus only the clicks/purchases the watermark
+    * hasn't finalized yet.
+    *
+    * Replay correctness: a purchase is emitted only once the watermark
+    * passes its timestamp, at which point every click that could precede
+    * it has either arrived or been dropped as too-late — so a click that
+    * arrives in a later micro-batch than the purchase (but within the
+    * watermark) still wins, and reprocessing the same data yields the
+    * same pairs as the batch `q_join_asof` composition.
+    * `EventTimeTimeout` flushes purchases whose user goes idle. Batch
+    * face: the window-based union-merge in `q_join_asof` (this state
+    * machine is streaming-only — in batch the watermark never advances).
+    */
+  def asofEnrich(events: Dataset[Event], watermark: String = "30 minutes"):
+      Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    // state holds epoch MICROS (not Timestamp.getTime millis): the batch
+    // as-of compares full-precision timestamps, and a click between a
+    // purchase's micro and milli boundary must resolve identically here
+    def us(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def ts(u: Long): Timestamp = {
+      val t = new Timestamp(u / 1000000 * 1000)
+      t.setNanos((u % 1000000).toInt * 1000)
+      t
+    }
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[AsofState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000
+          val st = state.getOption.getOrElse(AsofState(None, Nil, Nil))
+          var clicks = st.clicks
+          var purchases = st.purchases
+          batch.foreach { e =>
+            if (e.event_type == "click") clicks ::= us(e.ts)
+            else purchases ::= (e.event_id, us(e.ts))
+          }
+          // a purchase <= wm is complete: every click at-or-before it has
+          // arrived (later ones would be dropped as too-late anyway)
+          val (ready, pending) = purchases.partition(_._2 <= wmUs)
+          val out = ready.sortBy(identity).map { case (pid, pts) =>
+            val lc = (st.lastClick.toList ++ clicks.filter(_ <= pts)).maxOption
+            // ms diff truncates each side separately, like unix_millis
+            AsofEnriched(userId, pid, ts(pts),
+              lc.map(ts), lc.map(c => pts / 1000 - c / 1000))
+          }
+          // evict mature clicks down to the single latest one — the only
+          // click any FUTURE purchase (ts > wm) can as-of back to
+          val newLast = (st.lastClick.toList ++ clicks.filter(_ <= wmUs)).maxOption
+          val immature = clicks.filter(_ > wmUs)
+          if (newLast.isEmpty && immature.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(AsofState(newLast, immature, pending))
+            // wake this group when the watermark passes its oldest
+            // pending purchase, even if the user goes silent (+1ms: the
+            // timeout timestamp must sit strictly past the watermark)
+            pending.map(_._2).minOption.foreach(u => state.setTimeoutTimestamp(u / 1000 + 1))
+          }
+          out.iterator
+      }
   }
 
   /** Stream-static enrichment: a streaming fact joined to a static

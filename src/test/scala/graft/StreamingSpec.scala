@@ -93,6 +93,88 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("as-of enrichment: late click within the watermark wins; idle purchases flush by timeout") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val in = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(in.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("asof").outputMode(OutputMode.Append())
+      .start()
+    try {
+      // b1: user 7 clicks then purchases; user 5 purchases with no click
+      in.addData(
+        Event(101, ts("2024-01-01 10:00:00"), 7, "click", 0.0),
+        Event(102, ts("2024-01-01 10:30:00"), 7, "purchase", 10.0),
+        Event(501, ts("2024-01-01 10:15:00"), 5, "purchase", 5.0))
+      q.processAllAvailable() // watermark still 0: everything buffered
+      // b2: a later purchase for user 7, plus a click before it
+      in.addData(
+        Event(103, ts("2024-01-01 12:00:00"), 7, "purchase", 20.0),
+        Event(104, ts("2024-01-01 11:45:00"), 7, "click", 0.0))
+      q.processAllAvailable() // wm=10:00: still nothing finalized
+      // b3: the LATE click — arrives a batch after 11:45's, with an
+      // earlier-than-last-seen ts, but still ahead of the watermark, so
+      // it must win the as-of for purchase 103. The user-9 click drags
+      // the watermark forward.
+      in.addData(
+        Event(105, ts("2024-01-01 11:50:00"), 7, "click", 0.0),
+        Event(901, ts("2024-01-01 13:30:00"), 9, "click", 0.0))
+      q.processAllAvailable() // wm=11:30: purchases 102 and 501 finalize
+      // b4: nothing more for users 7 or 5 — purchase 103 must flush via
+      // the event-time timeout alone once the watermark passes it
+      in.addData(Event(902, ts("2024-01-01 14:30:00"), 9, "click", 0.0))
+      q.processAllAvailable() // wm=13:00 > 12:00
+      val rows = spark.sql(
+        """SELECT user_id, purchase_id, purchase_ts, last_click_ts, ms_since_click
+          |FROM asof ORDER BY purchase_id""".stripMargin).collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq(102L, 103L, 501L), rows.mkString(";"))
+      val byId = rows.map(r => r.getLong(1) -> r).toMap
+      assert(byId(102L).getTimestamp(3) == ts("2024-01-01 10:00:00"), byId(102L).toString)
+      assert(byId(102L).getLong(4) == 30L * 60 * 1000, byId(102L).toString)
+      assert(byId(103L).getTimestamp(3) == ts("2024-01-01 11:50:00"), byId(103L).toString)
+      assert(byId(103L).getLong(4) == 10L * 60 * 1000, byId(103L).toString)
+      assert(byId(501L).isNullAt(3) && byId(501L).isNullAt(4), byId(501L).toString)
+    } finally q.stop()
+  }
+
+  test("streaming as-of replay equals the batch as-of join over the events corpus") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val evs = Tables.df(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(in.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("asof_corpus")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evs: _*) // one replay batch: wm=0, nothing dropped late
+      q.processAllAvailable()
+      // two watermark pushers: after the second, the watermark is past
+      // every real purchase, so every group flushes (via timeout — the
+      // pusher user shares no groups with the corpus)
+      val maxTs = evs.map(_.ts.getTime).max
+      in.addData(Event(-1, new Timestamp(maxTs + 3600 * 1000), -1, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(-2, new Timestamp(maxTs + 7200 * 1000), -1, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        """SELECT user_id, purchase_id,
+          |  date_format(purchase_ts, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts,
+          |  date_format(last_click_ts, 'yyyy-MM-dd HH:mm:ss') AS last_click_ts,
+          |  ms_since_click
+          |FROM asof_corpus ORDER BY user_id, purchase_id""".stripMargin).collect()
+      val batch = SparkEntry.queries("q_join_asof")(spark, sf).collect()
+      assert(streamed.length == batch.length,
+        s"streamed=${streamed.length} batch=${batch.length}")
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a streaming fact to a dim table") {
     val s = spark
     implicit val sq = s.sqlContext
