@@ -135,6 +135,12 @@ class StreamingSpec extends GraftSuite {
       assert(byId(103L).getTimestamp(3) == ts("2024-01-01 11:50:00"), byId(103L).toString)
       assert(byId(103L).getLong(4) == 10L * 60 * 1000, byId(103L).toString)
       assert(byId(501L).isNullAt(3) && byId(501L).isNullAt(4), byId(501L).toString)
+      // state is O(users), not O(events): once the watermark has passed
+      // everything, a user holds at most one carried-click row — user 7
+      // (latest click) and user 9 (immature pusher clicks) remain, user 5
+      // (nothing left to carry) was removed
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows == 2, s"expected 2 state rows, got $stateRows")
     } finally q.stop()
   }
 
