@@ -240,6 +240,57 @@ object SourceQueries {
         .orderBy("c_mktsegment")
     },
 
+    Q("q_join_cbo_reorder",
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       ${Qh.sqlDsum("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      // Declared in the WORST order — the two fact tables joined first,
+      // the selective dimension last. The three catalog tables carry
+      // column statistics (NDVs) from ANALYZE ... FOR COLUMNS, so with
+      // `spark.sql.cbo.enabled` + `cbo.joinReorder.enabled`
+      // CostBasedJoinReorder estimates |orders ⋈ σ(customer)| ≪
+      // |lineitem ⋈ orders| and rewrites the join tree to put the
+      // selective join first — PlanShapeSpec asserts the flip (and the
+      // declared order without CBO). The stats story one level deeper
+      // than q_join_stats_broadcast: at 100 TB, ANALYZE'd NDVs mean the
+      // user can write joins in any order and the optimizer finds the
+      // cheap tree, which is the reference's exact-stats re-planning
+      // (execution_stage.rs:240-261) applied to join ORDER, not just
+      // join STRATEGY. Tables are pruned to the joined/aggregated
+      // columns so the one-time copy stays small.
+      val tag = Integer.toHexString(d.hashCode)
+      val lt = s"graft_cbo_lineitem_$tag"
+      val ot = s"graft_cbo_orders_$tag"
+      val ct = s"graft_cbo_customer_$tag"
+      cacheLock.synchronized {
+        freshCatalogTable(s, lt) {
+          t(s, d, "lineitem").select("l_orderkey", "l_extendedprice")
+            .write.mode(SaveMode.Overwrite).saveAsTable(lt)
+          s.sql(s"ANALYZE TABLE $lt COMPUTE STATISTICS FOR COLUMNS l_orderkey, l_extendedprice"): Unit
+        }
+        freshCatalogTable(s, ot) {
+          t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+            .write.mode(SaveMode.Overwrite).saveAsTable(ot)
+          s.sql(s"ANALYZE TABLE $ot COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey, o_orderpriority"): Unit
+        }
+        freshCatalogTable(s, ct) {
+          t(s, d, "customer").select("c_custkey", "c_mktsegment")
+            .write.mode(SaveMode.Overwrite).saveAsTable(ct)
+          s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS FOR COLUMNS c_custkey, c_mktsegment"): Unit
+        }
+      }
+      s.table(lt)
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .join(s.table(ct).filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     Q("q_repartition",
       """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>

@@ -220,6 +220,39 @@ class PlanShapeSpec extends GraftSuite {
     assert(finalPlan.contains("BroadcastHashJoin"), finalPlan)
   }
 
+  test("CBO join reorder: column stats move the selective dim join first") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    // which relations does the INNERMOST join span? (the one Catalyst
+    // executes first — its output column names tell us its inputs)
+    def innermostJoinCols(p: LogicalPlan): Set[String] = {
+      val inner = p.collect {
+        case j: Join if j.left.collectFirst { case x: Join => x }.isEmpty &&
+          j.right.collectFirst { case x: Join => x }.isEmpty => j
+      }
+      assert(inner.size == 1, s"expected exactly one innermost join:\n$p")
+      inner.head.output.map(_.name).toSet
+    }
+    def optimized: LogicalPlan =
+      SparkEntry.queries("q_join_cbo_reorder")(spark, sf).queryExecution.optimizedPlan
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      // without CBO the declared (worst) order stands: lineitem ⋈ orders
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val declared = innermostJoinCols(optimized)
+      assert(declared.contains("l_orderkey") && !declared.exists(_.startsWith("c_")),
+        s"expected declared order lineitem⋈orders first, got $declared")
+
+      // with CBO + ANALYZE'd NDVs the selective dim join moves first
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = innermostJoinCols(optimized)
+      assert(reordered.contains("c_custkey") && !reordered.contains("l_orderkey"),
+        s"expected CBO to join orders⋈customer first, got $reordered")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("q_ann_ivf_index probe prunes cell partitions at planning time") {
     // the persisted-index story: the probe must read only the nProbe
     // cells' directories, which shows up as a partition filter on cell
