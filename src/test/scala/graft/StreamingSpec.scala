@@ -349,6 +349,52 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("soak: 100 micro-batches of as-of enrichment on RocksDB retire state") {
+    // same two pins as the sessionize soak, for the as-of operator: the
+    // state store can be RocksDB, and state retires — each user carries
+    // ONE mature click plus only watermark-incomplete buffers, so 100
+    // batches leave at most `users` state rows, not 100 batches' worth.
+    import scala.jdk.CollectionConverters._
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventStreams.asofEnrich(in.toDS(), "30 minutes").writeStream
+      .format("memory").queryName("asof_soak").outputMode(OutputMode.Append())
+      .start()
+    try {
+      val t0 = ts("2024-01-01 00:00:00").getTime
+      // batch pairs per user: click at batch 2k, that user's purchase 40
+      // min later at batch 2k+1 — every purchase matches its click at
+      // exactly 40 min, users rotate so state must retire across them
+      (0 until 100).foreach { i =>
+        val user = (i % 8) / 2
+        val typ = if (i % 2 == 0) "click" else "purchase"
+        in.addData(Event(i.toLong,
+          new Timestamp(t0 + i.toLong * 40 * 60 * 1000), user.toLong, typ, 1.0))
+        q.processAllAvailable()
+      }
+      val op = q.lastProgress.stateOperators(0)
+      assert(op.numRowsTotal <= 4, s"state rows grew to ${op.numRowsTotal}")
+      assert(op.customMetrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in ${op.customMetrics.keySet}")
+      // purchases land at odd batches; one finalizes once the watermark
+      // (trailing 40min+30min behind) passes it — all but the last
+      val rows = spark.sql(
+        "SELECT ms_since_click FROM asof_soak").collect()
+      assert(rows.length == 49, s"emitted=${rows.length}")
+      assert(rows.forall(_.getLong(0) == 40L * 60 * 1000),
+        rows.map(_.toString).mkString(","))
+    } finally {
+      q.stop()
+      prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+    }
+  }
+
   test("sessionize closes a session after a 30-minute gap") {
     val s = spark
     implicit val sq = s.sqlContext
