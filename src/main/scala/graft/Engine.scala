@@ -307,6 +307,12 @@ object Engine {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // CBO on engine-wide: ANALYZE'd tables get stats-driven join
+      // strategy AND join order (q_join_stats_broadcast /
+      // q_join_cbo_reorder prove both flips in PlanShapeSpec); tables
+      // without stats are unaffected
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Engine-wide policy: parquet TIMESTAMP(NANOS) columns read as
