@@ -180,6 +180,42 @@ object TpchQueries {
           col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    },
+
+    // TPC-H Q12 (shipping modes / priority): THE reference planner test
+    // query — planner.rs:335-371 plans exactly this join + dual
+    // conditional-count shape into ShuffleWriter stages
+    // (planner.rs:390-400 shows the partial CASE-sum aggregate below the
+    // l_shipmode exchange). Driver-schema adaptation (file header):
+    // lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the
+    // in-list filter and group key use l_returnflag and the date window
+    // filters l_shipdate; the essential shape — selective scan filters,
+    // one orderkey join, two codegen'd conditional sums, tiny group-by —
+    // is identical. Scale: both filters push into the lineitem scan, the
+    // join shuffles only filtered rows, the CASE sums are map-side
+    // partial so the final exchange carries 2 longs per group.
+    Q("q_tpch_q12",
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+        .orderBy("l_returnflag")
     }
   )
 }

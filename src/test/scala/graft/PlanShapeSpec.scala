@@ -160,6 +160,22 @@ class PlanShapeSpec extends GraftSuite {
       s"expected part join before orders join: li=$li part=$part ord=$ord\n$p")
   }
 
+  test("q_tpch_q12: filters reach the lineitem scan; CASE sums aggregate partially") {
+    // the reference's own planner assertion for this query
+    // (planner.rs:390-400): the partial CASE-sum aggregate sits BELOW the
+    // group-key exchange, and the selective filters sit in the scan
+    val p = plan("q_tpch_q12")
+    assert(p.contains("In(l_returnflag"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // the partial agg must appear before (above in text = below the
+    // exchange in execution) the l_returnflag exchange
+    val agg = p.indexOf("HashAggregate")
+    val ex = p.indexOf("hashpartitioning(l_returnflag")
+    assert(ex >= 0 && agg >= 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_tpch_q18: AQE flips the aggregated-subquery join to broadcast at runtime") {
     val df = SparkEntry.queries("q_tpch_q18")(spark, sf)
     // statically the aggregate's output size is unknown → sort-merge; the
