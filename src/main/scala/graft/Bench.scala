@@ -42,6 +42,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.catalog.map(_.name)
       .filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(",")).getOrElse("")} matches no catalog query")
     // JVM/codegen warm-up on the flagship so first-query JIT cost doesn't
     // pollute the numbers.
     runOnce(names.head)
@@ -60,8 +62,17 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size}}""")
+    val line =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size}}"""
+    println(line)
+    // The driver keeps only the log TAIL; at 94 queries the JSON line is
+    // ~2.5 KB and its head can be cut off (BENCH_r04 recorded
+    // `parsed: null` for exactly this reason). Persist the full line to
+    // a file in the working directory so the numbers always survive.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     spark.stop()
   }
 }

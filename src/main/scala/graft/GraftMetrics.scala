@@ -13,7 +13,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * `count()` of the dropped rows).
   */
 object GraftMetrics {
-  def register(spark: SparkSession): Unit =
+  private val MarkerKey = "spark.graft.metrics.registered"
+
+  /** Idempotent per session: `Engine.session()` calls this on every
+    * invocation but `getOrCreate` hands back the same SparkSession, so an
+    * unguarded register would stack duplicate listeners (and duplicate
+    * `[graft]` stderr lines) if a caller ever held sessions per-request.
+    * The marker lives in the session conf, which is exactly as
+    * session-scoped as the listener manager itself. */
+  def register(spark: SparkSession): Unit = synchronized {
+    if (spark.conf.getOption(MarkerKey).contains("true")) return
+    spark.conf.set(MarkerKey, "true")
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
@@ -31,4 +41,5 @@ object GraftMetrics {
         }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     })
+  }
 }

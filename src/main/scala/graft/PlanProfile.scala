@@ -63,6 +63,8 @@ object PlanProfile {
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.catalog.map(_.name).filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty,
+      s"SPARK_GRAFT_BENCH_ONLY=${only.map(_.mkString(",")).getOrElse("")} matches no catalog query")
     profile(names.head) // session warm-up
 
     val rows = names.flatMap(n => profile(n).map(n -> _))

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -43,8 +43,14 @@ case class BoundedMinSet(
     cap: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BoundedSetBuf] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[BoundedSetBuf]
+  with ExpectsInputTypes with UnaryLike[Expression] {
   require(cap > 0)
+
+  // update() reads the child with an unchecked Long cast; declaring the
+  // input type turns a mistyped child (e.g. an Int column) into a clear
+  // analysis-time error instead of a runtime ClassCastException.
+  override def inputTypes: Seq[SqlShims.ADT] = Seq(LongType)
 
   override def createAggregationBuffer(): BoundedSetBuf =
     new BoundedSetBuf(new Array[Long](math.min(cap, 8)), 0, 0L)

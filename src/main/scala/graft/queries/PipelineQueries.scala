@@ -273,6 +273,13 @@ object PipelineQueries {
       // exact BIGINT arithmetic DuckDB replicates bit-for-bit, which is
       // what turns this from a rows-only gate into a full oracle row
       // (xxhash64 votes were engine-specific).
+      //
+      // ASCII PRECONDITION: RollingHash folds UTF-8 *bytes* while the
+      // DuckDB oracle folds ascii() *code points*; the two agree only
+      // while every document is single-byte ASCII (true of the driver
+      // corpus, asserted loudly in PipelineSpec "documents corpus is
+      // ASCII" so a corpus change surfaces as a clear failure, not a
+      // silent engine-vs-oracle divergence).
       val votes = shingled(s, d)
         .select(col("doc_id"), explode(transform(col("sh"), x =>
           (graft.functions.RollingHash.rolling_hash(x) * lit(2654435761L)) % lit(4294967296L))).as("h"))

@@ -31,6 +31,19 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("documents corpus is ASCII (q_dedup_simhash oracle precondition)") {
+    // RollingHash folds UTF-8 bytes; the DuckDB simhash oracle folds
+    // ascii() code points. They agree only on single-byte ASCII text, so
+    // a corpus change that introduces multibyte characters must fail HERE
+    // loudly rather than silently diverge engine vs oracle.
+    val nonAscii = Tables.df(spark, sf, "documents")
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text; the q_dedup_simhash " +
+        "oracle (ascii() code points) no longer matches RollingHash (UTF-8 bytes)")
+  }
+
   test("simhash: near-dup pairs are close in hamming distance, random pairs far") {
     val sims = SparkEntry.queries("q_dedup_simhash")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -128,6 +141,19 @@ class PipelineSpec extends GraftSuite {
     val df = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val total = Tables.df(spark, sf, "documents").count()
     assert(df.agg(sum("n_copies")).head().getLong(0) == total)
+  }
+
+  test("BoundedMinSet rejects a non-Long child at analysis time") {
+    // update() reads the child with getLong semantics; ExpectsInputTypes
+    // must turn a mistyped child into an AnalysisException, not a
+    // runtime ClassCastException on the executors.
+    val s = spark
+    import s.implicits._
+    val ints = Seq(1, 2, 3).toDF("x") // IntegerType child
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.agg(graft.functions.BoundedMinSet.bounded_min_set(col("x"), 4)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
   }
 
   test("BoundedMinSet buffer: dedupe, smallest-kept, bounded, merge- and serde-stable") {
