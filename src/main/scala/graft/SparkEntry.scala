@@ -15,6 +15,7 @@ object SparkEntry {
   val catalog: Seq[Q] =
     RelationalQueries.all ++
       TpchQueries.all ++
+      SubqueryQueries.all ++
       AggregateQueries.all ++
       WindowQueries.all ++
       FunctionQueries.all ++

@@ -302,4 +302,53 @@ class PlanShapeSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS customer_bkt")
     }
   }
+
+  // ---- subquery decorrelation (SubqueryQueries) -----------------------
+  // The component under test is Catalyst's rewrite of subqueries into
+  // joins — a correlated subquery executed per outer row is O(n) queries
+  // and can never survive 100 TB; these pin that the lowering happened.
+
+  test("q_tpch_q4: correlated EXISTS lowers to a semi join, interval as residual") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), p)
+    // the correlated non-equi predicate rides the join, not a re-scan
+    assert(p.contains("Join condition: (l_shipdate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_tpch_q21: EXISTS + NOT EXISTS lower to one semi and one anti join") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_subq_in: IN (subquery) lowers to a semi join (no distinct + inner)") {
+    assert(plan("q_subq_in").contains("LeftSemi"))
+  }
+
+  test("q_subq_not_in: nullable NOT IN plans the null-aware anti join") {
+    val p = plan("q_subq_not_in")
+    assert(p.contains("LeftAnti"), p)
+    // trailing `true` in the broadcast mode = isNullAware: three-valued
+    // NOT IN semantics enforced by the hashed relation, not a nested loop
+    assert("HashedRelationBroadcastMode\\([^)]*\\),true\\)".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q_tpch_q17: correlated scalar AVG decorrelates to aggregate-then-join") {
+    val p = plan("q_tpch_q17")
+    // the per-partkey AVG becomes a standalone (2-phase) aggregate joined
+    // back on l_partkey; nothing subquery-shaped survives in the plan
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("l_partkey"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_subq_scalar_proj: uncorrelated scalar subquery executes once, not per row") {
+    // formatted explain renders it under a Subqueries section (a separate
+    // one-shot plan whose literal result is inlined), not as a join
+    val p = plan("q_subq_scalar_proj")
+    assert(p.toLowerCase.contains("subquer"), p)
+  }
 }
