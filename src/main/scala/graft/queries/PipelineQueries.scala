@@ -22,15 +22,24 @@ import org.apache.spark.sql.types.DecimalType
 object PipelineQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
-  /** doc_id + distinct 3-gram word shingles, computed row-locally. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  /** doc_id + distinct 3-gram word shingles, computed row-locally.
+    *
+    * `prePartition > 0` repartitions the raw docs BEFORE the shingle
+    * transform: the gate corpus is one small parquet file = one scan
+    * task, so the (interpreted-HOF) shingling would otherwise run
+    * serially. At 100 TB the input is many splits and this exchange is
+    * a no-op decision — pass 0. */
+  private def shingled(s: SparkSession, d: String, prePartition: Int = 0): DataFrame = {
+    val docs = t(s, d, "documents")
+    val spread = if (prePartition > 0) docs.repartition(prePartition) else docs
+    spread
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(w) - 3),
           |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))"""
           .stripMargin).as("sh"))
+  }
 
   /** embeddings as array<double> (cosine math in double on both engines
     * so results are bit-comparable). */
@@ -53,6 +62,11 @@ object PipelineQueries {
     * exactly the case where downstream dedup only needs the cluster
     * found, not all O(n²) pairs of it. */
   private[graft] val LshBucketCap = 64
+
+  /** Max document frequency for a shingle to participate in
+    * q_dedup_ngram_jaccard's inverted-index blocking (see the query for
+    * the recall argument and drop accounting). */
+  private[graft] val NgramDfCap = 50
 
   /** Verified near-dup pairs (i < j, exact jaccard ≥ 0.8) via banded
     * MinHash-LSH candidate generation — the shared core of
@@ -101,6 +115,108 @@ object PipelineQueries {
         round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))), 9).as("jac"))
       .filter(col("jac") >= 0.8)
+  }
+
+  /** Exact n-gram-Jaccard near-dup pairs via a df-bounded inverted index —
+    * the OTHER scalable candidate-generation strategy (complement to
+    * minhashPairs' banding): an index gram -> posting list, bounded at
+    * `cap` ids per gram, then exact Jaccard on the full shingle sets of
+    * candidate pairs. A pair at jaccard >= 0.8 shares ~80%+ of its
+    * shingles, so it shares a low-df one unless the corpus is pure
+    * boilerplate (at gate SF max df is 7 — blocking is provably lossless
+    * there; the all-pairs oracle checks it, and PipelineSpec proves
+    * capped == uncapped).
+    *
+    * Scale: the posting cap is what makes the index 100 TB-safe — a
+    * boilerplate gram shared by millions of docs would otherwise be one
+    * quadratic posting list. BoundedMinSet bounds each posting at the MAP
+    * side (the shuffle ships <= cap ids per gram per partition, never the
+    * posting list), any gram's pair fan-out is bounded at cap(cap-1)/2,
+    * and truncated grams are counted by a graft_* observe metric (no
+    * silent caps). Keeping the smallest `cap` ids (not dropping the gram)
+    * means a mega-cluster of near-identical docs is still FOUND via its
+    * cap smallest members — what the cap sacrifices is pair-completeness
+    * within that cluster, same documented tradeoff as the LSH bucket
+    * cap. */
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val t = 0.8 // jaccard threshold (must match the oracle SQL)
+    // Hash each shingle string to a long ONCE and run every downstream
+    // stage (postings, df counts, window, set intersections) on longs —
+    // same hash-once discipline as minhashPairs; string set-ops on
+    // 60-element arrays across 100k+ candidate pairs measured ~4x the
+    // whole query's runtime. Exactness: intersection/union sizes equal
+    // the string sets' absent an xxhash64 collision within a compared
+    // pair (~1e-15 odds corpus-wide; the all-pairs DuckDB oracle would
+    // catch one as a hash mismatch).
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp)
+    // hashed ARRAYS only where the array itself is joined (verify step;
+    // no explode) — 5000 narrow rows
+    val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    // postings use the FUSED explode(transform(...)): projecting the
+    // hashed array first and exploding in a second select makes Generate
+    // materialize the 60-long array per row and measured 5x slower
+    // (4.1 s vs 0.7 s at sf0.1); the fused generator streams the longs.
+    // Also: no size(sh) column alongside the explode — CollapseProject
+    // would duplicate the whole interpreted shingle HOF chain into both
+    // expressions; |sh| is recovered from the per-doc window that exists
+    // anyway.
+    val posts = shStr.select(col("doc_id"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+    // Global-rarity prefix filter (the canonical ssjoin/PPJoin probing
+    // prefix): order each doc's grams by (global df, gram) and index only
+    // the first floor((1-t)*n)+1 — a pair at jaccard >= t MUST collide
+    // within these prefixes (exact theorem, not probabilistic), and the
+    // rarity ordering puts the shortest posting lists in the index. On
+    // this corpus (small shared vocabulary: 27k grams, nearly all df>1 at
+    // sf0.1) naive share-any-gram blocking emits 1.27M candidates; the
+    // prefix filter emits 119k. The per-doc window is a doc_id-partitioned
+    // row_number over ~60 rows — scale-safe.
+    val dfg = posts.groupBy("g").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val wholeDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // broadcast(dfg): 27k aggregated rows — without the hint Spark's
+    // size guess broadcasts the 10x-bigger exploded posts side instead
+    // (and collecting THAT re-executes the shingle pipeline serially).
+    val prefix = posts.join(broadcast(dfg), "g")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(wholeDoc))
+      .filter(col("r") <= floor(lit(1 - t) * col("n")).cast("int") + 1)
+      .select("doc_id", "g")
+    val postings = prefix.groupBy("g")
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("doc_id"), cap).as("bs"))
+      .filter(col("bs.n") > 1)
+      .observe("graft_ngram_df_cap",
+        sum(when(col("bs.n") > cap, lit(1)).otherwise(lit(0))).as("truncated_grams"),
+        sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
+      .select(col("bs.ids").as("ids"))
+    val cand = postings
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  a -> transform(sequence(a + 1, size(ids) - 1),
+          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+      // Candidate verification is CPU-heavy per row (two 60-element set
+      // ops) over few BYTES per row, so AQE's size-based coalescing
+      // collapses it to one partition and serializes it (measured 3.4 s
+      // on one thread). An explicit numbered repartition is exempt from
+      // AQE coalescing and keeps the verify stage wide. Key on `i` ONLY:
+      // a repartition on (i, j) is satisfied by the distinct's own
+      // hash(i, j) partitioning and gets elided — leaving the coalescable
+      // ENSURE_REQUIREMENTS exchange as the stage boundary again.
+      .repartition(sp, col("i"))
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .select(col("i"), col("j"),
+        size(array_intersect(col("sha"), col("shb"))).cast("int").as("n_common"),
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 9).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .orderBy("i", "j")
   }
 
   /** round(cosine(a, b), 9) via the codegen'd DotProduct expression —
@@ -159,6 +275,26 @@ object PipelineQueries {
       // (never a self-join that would recompute the pipeline), exact
       // jaccard verification on candidates only.
       minhashPairs(s, d).orderBy("i", "j")
+    },
+
+    // --- exact n-gram Jaccard via rare-shingle inverted-index blocking --
+    Q("q_dedup_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w) - 1)]) AS sh
+        |      FROM w)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_common,
+        |  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |        / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |            / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // See ngramJaccardPairs for the plan + scale commentary.
+      ngramJaccardPairs(s, d, NgramDfCap)
     },
 
     // --- near-dup clustering: connected components over the pair graph --

@@ -188,6 +188,39 @@ class PipelineSpec extends GraftSuite {
       s"only-capped=${capped.diff(uncapped).take(5)} only-uncapped=${uncapped.diff(capped).take(5)}")
   }
 
+  test("ngram-jaccard df cap: capped and uncapped pairs identical on the gate corpus") {
+    def pairs(cap: Int): Set[(Long, Long)] =
+      graft.queries.PipelineQueries.ngramJaccardPairs(spark, sf, cap)
+        .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(graft.queries.PipelineQueries.NgramDfCap)
+    val uncapped = pairs(1 << 20)
+    assert(capped == uncapped, s"cap changed the gate result: " +
+      s"only-capped=${capped.diff(uncapped).take(5)} only-uncapped=${uncapped.diff(capped).take(5)}")
+  }
+
+  test("ngram-jaccard df cap bounds an adversarial boilerplate corpus and reports drops") {
+    // 300 near-identical docs: every boilerplate shingle's posting list
+    // is 300 docs. Uncapped, each of ~60 grams expands ~45k pairs; the
+    // cap must bound each posting at its `cap` smallest ids (cluster
+    // still found among those) and publish the truncation.
+    val dir = "/tmp/graft_test_megaposting"
+    val boiler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    spark.range(300).selectExpr(
+      "id + 1 AS doc_id",
+      s"concat('$boiler', ' unique', CAST(id AS STRING)) AS text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cap = 8
+    val df = graft.queries.PipelineQueries.ngramJaccardPairs(spark, dir, cap)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "cap must not kill the cluster entirely")
+    assert(rows.length <= cap * (cap - 1) / 2,
+      s"pair expansion not bounded: ${rows.length} pairs")
+    val metrics = df.queryExecution.observedMetrics("graft_ngram_df_cap")
+    assert(metrics.getLong(0) > 0, s"no truncated gram observed: $metrics")
+    assert(metrics.getLong(1) > 0, s"no dropped ids observed: $metrics")
+  }
+
   test("LSH bucket cap bounds an adversarial mega-bucket and reports drops") {
     // 300 boilerplate variants that SURVIVE exact dedup (each text ends
     // with a unique token) but share ~96% of shingles — uncapped, they

@@ -54,6 +54,11 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_ngram_jaccard never builds an all-pairs join (no CartesianProduct)") {
+    val p = plan("q_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_ann_bruteforce broadcasts the query vector (no shuffle of corpus)") {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
