@@ -70,8 +70,10 @@ object Smoke {
     // --- dedup scale path ----------------------------------------------
     val (nPairs, tMh) = time(SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
     val (nClustered, tCl) = time(SparkEntry.queries("q_dedup_clusters")(spark, dir).count())
+    val (nNgPairs, tNg) = time(SparkEntry.queries("q_dedup_ngram_jaccard")(spark, dir).count())
     println(f"SMOKE dedup: minhash=${tMh}%.1fs ($nPairs pairs) " +
-      f"clusters=${tCl}%.1fs ($nClustered labeled docs)")
+      f"clusters=${tCl}%.1fs ($nClustered labeled docs) " +
+      f"ngram_jaccard=${tNg}%.1fs ($nNgPairs pairs)")
 
     // --- adversarial LSH mega-bucket ------------------------------------
     // 10k boilerplate variants that SURVIVE exact dedup (each ends in a
@@ -95,6 +97,15 @@ object Smoke {
     println(f"SMOKE adversarial mega-bucket: 10000 boilerplate docs, " +
       f"capped pair expansion=${tAdv}%.1fs ($nAdvPairs verified pairs; " +
       f"uncapped would expand ~800M candidates)")
+    // Same corpus through the ngram-jaccard path: every boilerplate gram's
+    // posting list is 10k docs; the df cap must bound each at `cap`
+    // smallest ids (cluster still found) with drops on stderr.
+    val (nAdvNg, tAdvNg) = time(
+      graft.queries.PipelineQueries
+        .ngramJaccardPairs(spark, advDir, graft.queries.PipelineQueries.NgramDfCap)
+        .count())
+    println(f"SMOKE adversarial ngram-jaccard: capped postings=${tAdvNg}%.1fs " +
+      f"($nAdvNg verified pairs; uncapped would expand ~60·10k²/2 candidates)")
     spark.stop()
   }
 }
