@@ -182,6 +182,91 @@ object TpchQueries {
         .limit(100)
     },
 
+    // TPC-H Q6 (forecasting revenue change): pure scan-aggregate — every
+    // predicate pushes into the parquet scan (range filters on date,
+    // discount, quantity), no join, no group key, one partial+final agg
+    // to a single row. The simplest possible 100 TB query: scan
+    // bandwidth is the only cost. Decimal sum for order-independence.
+    Q("q_tpch_q6",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.05
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.05) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast(D12) * col("l_discount").cast(D3))
+          .cast("double").as("revenue"))
+    },
+
+    // TPC-H Q10 (returned-item reporting): customer ⋈ orders ⋈ lineitem ⋈
+    // nation, revenue lost to returns per customer, top 20. Driver-schema
+    // adaptation: no c_address/c_phone/c_comment, so the select list
+    // carries the columns that exist.
+    // Scale: the quarter filter prunes orders at the scan and the
+    // returnflag filter prunes lineitem; the join tree aggregates to one
+    // row per customer BEFORE the broadcast nation join; top 20 is
+    // TakeOrderedAndProject.
+    Q("q_tpch_q10",
+      s"""SELECT c_custkey, c_name,
+         |  CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue,
+         |  c_acctbal, n_name
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q19 (discounted revenue): the classic OR-of-ANDs predicate —
+    // three (brand, size-range, quantity-range) disjuncts over a
+    // part ⋈ lineitem join. What it tests at the plan level: Catalyst
+    // extracts the common-prefix conjuncts per side (p_size >= 1 appears
+    // in every disjunct; per-table OR branches) so BOTH scans still get
+    // pushed filters, and the residual OR evaluates on joined rows.
+    // Driver-schema adaptation: no p_container/l_shipmode/
+    // l_shipinstruct, so the disjuncts use the columns that exist —
+    // the OR-of-ANDs structure is the point, not the constants.
+    Q("q_tpch_q19",
+      s"""SELECT CAST(SUM($sqlRevenue) AS DOUBLE) AS revenue
+         |FROM lineitem, part
+         |WHERE p_partkey = l_partkey AND (
+         |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+         |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+         |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))"""
+        .stripMargin) { (s, d) =>
+      val disjunct = (
+        col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) || (
+        col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) || (
+        col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      t(s, d, "lineitem")
+        .join(t(s, d, "part"), col("p_partkey") === col("l_partkey"))
+        .filter(disjunct)
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+    },
+
     // TPC-H Q12 (shipping modes / priority): THE reference planner test
     // query — planner.rs:335-371 plans exactly this join + dual
     // conditional-count shape into ShuffleWriter stages

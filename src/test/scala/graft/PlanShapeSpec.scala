@@ -308,6 +308,25 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q_tpch_q6: every range predicate reaches the lineitem scan") {
+    val p = plan("q_tpch_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("l_discount"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
+  test("q_tpch_q19: the OR-of-ANDs pushes per-side Or filters to BOTH scans") {
+    // the disjunction references both tables; what must NOT happen is the
+    // whole predicate evaluating only post-join with bare scans below
+    val p = plan("q_tpch_q19")
+    val pushedLines = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(l => l.contains("Or(") && l.contains("p_brand")),
+      s"part scan lost its Or filter:\n${pushedLines.mkString("\n")}")
+    assert(pushedLines.exists(l => l.contains("Or(") && l.contains("l_quantity")),
+      s"lineitem scan lost its Or filter:\n${pushedLines.mkString("\n")}")
+  }
+
   // ---- subquery decorrelation (SubqueryQueries) -----------------------
   // The component under test is Catalyst's rewrite of subqueries into
   // joins — a correlated subquery executed per outer row is O(n) queries
