@@ -208,13 +208,17 @@ object PipelineQueries {
       // hash(i, j) partitioning and gets elided — leaving the coalescable
       // ENSURE_REQUIREMENTS exchange as the stage boundary again.
       .repartition(sp, col("i"))
+    // |a∩b| via the codegen'd IntersectCount (one hash-probe pass, no
+    // intersection/union array materialization); |a∪b| is then pure
+    // arithmetic over the (distinct-element) sizes.
+    val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
     cand
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
       .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
       .select(col("i"), col("j"),
-        size(array_intersect(col("sha"), col("shb"))).cast("int").as("n_common"),
-        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 9).as("jac"))
+        ic.as("n_common"),
+        round(ic.cast("double") /
+          (size(col("sha")) + size(col("shb")) - ic), 9).as("jac"))
       .filter(col("jac") >= 0.8)
       .orderBy("i", "j")
   }

@@ -38,12 +38,16 @@ object SubqueryQueries {
     * query strings. */
   private type Sql = String => String
 
-  /** Register the tables a query reads under scoped `graft_sq_` names
-    * (idempotent; avoids clobbering user temp views with bare names). */
+  /** Register the tables a query reads under scoped, per-directory view
+    * names (idempotent; avoids clobbering user temp views with bare
+    * names, and keys on the data dir so concurrent runs against
+    * different scale factors cannot cross-bind — the view lookup happens
+    * at `s.sql` analysis time, inside this call). */
   private def run(tables: String*)(sql: Sql): (SparkSession, String) => DataFrame =
     (s, d) => {
-      tables.foreach(t => Tables.df(s, d, t).createOrReplaceTempView(s"graft_sq_$t"))
-      s.sql(sql("graft_sq_"))
+      val p = s"graft_sq${Integer.toHexString(d.hashCode)}_" // hex: identifier-safe
+      tables.foreach(t => Tables.df(s, d, t).createOrReplaceTempView(s"$p$t"))
+      s.sql(sql(p))
     }
 
   // TPC-H Q4 (order priority checking): correlated EXISTS → left-semi

@@ -103,4 +103,28 @@ class FunctionsSpec extends GraftSuite {
     assert(eval1(graft.functions.GraftFunctions.current_time())
       .toString.matches("\\d{2}:\\d{2}:\\d{2}"))
   }
+
+  test("intersect_count: overlap, disjoint, identical, empty, null, symmetric") {
+    import graft.functions.IntersectCount.intersect_count
+    def arr(xs: Long*): Column = typedLit(xs)
+    assert(eval1(intersect_count(arr(1L, 2L, 3L), arr(2L, 3L, 4L))) == 2)
+    assert(eval1(intersect_count(arr(1L, 2L), arr(3L, 4L))) == 0)
+    assert(eval1(intersect_count(arr(5L, 6L, 7L), arr(5L, 6L, 7L))) == 3)
+    assert(eval1(intersect_count(arr(), arr(1L))) == 0)
+    assert(eval1(intersect_count(lit(null).cast("array<bigint>"), arr(1L))) == null)
+    // probes the smaller side's set — result must not depend on order
+    assert(eval1(intersect_count(arr(1L, 2L, 3L, 4L, 5L), arr(3L, 5L))) == 2)
+    assert(eval1(intersect_count(arr(3L, 5L), arr(1L, 2L, 3L, 4L, 5L))) == 2)
+    // equals the built-in spelling on the same inputs
+    assert(eval1(size(array_intersect(arr(1L, 2L, 3L), arr(2L, 3L, 4L)))) ==
+      eval1(intersect_count(arr(1L, 2L, 3L), arr(2L, 3L, 4L))))
+  }
+
+  test("intersect_count rejects non-long-array children at analysis time") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).select(graft.functions.IntersectCount.intersect_count(
+        typedLit(Seq("a", "b")), typedLit(Seq("b")))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
 }
