@@ -21,6 +21,7 @@ object SparkEntry {
       FunctionQueries.all ++
       SourceQueries.all ++
       PipelineQueries.all ++
+      CurationQueries.all ++
       MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,353 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the selection/mixing/splitting layer of a
+  * training-data pipeline, downstream of PipelineQueries' dedup/quality
+  * primitives: deterministic sampling, stratified sampling, balanced
+  * source mixing, content-keyed train/val/test splits, a cross-split
+  * near-dup leakage audit, greedy token-budget selection, keep-best
+  * canonical dedup over near-dup clusters, and int8-quantized similarity
+  * scoring.
+  *
+  * Design rule shared by every query here: selection decisions are pure
+  * functions of the DATA (engine-independent integer hashes of ids or
+  * content), never of `rand()`, TABLESAMPLE, or partition layout — so a
+  * 100 TB curation run is reproducible row-for-row across reruns,
+  * cluster sizes, and engines (which is also what makes an exact DuckDB
+  * oracle possible for all eight).
+  */
+object CurationQueries {
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** Knuth multiplicative hash of a non-negative id, mod 2^32 — exact
+    * BIGINT arithmetic both engines replicate bit-for-bit (same mix
+    * q_dedup_simhash uses to spread its vote bits). Valid while
+    * id * 2654435761 fits in int64, i.e. ids < ~3.5e9; beyond that,
+    * fold the id first (id % 2^32) or switch to in-engine xxhash64
+    * where cross-engine replication isn't required. */
+  private def knuth(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L)
+  private val KnuthSql = "(doc_id * 2654435761) % 4294967296"
+
+  /** Engine-independent rolling hash of the full text (h*31+c mod 1e9+7)
+    * — the same family as q_text_fingerprint, DuckDB-replicable. */
+  private val RollSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)]),
+      |    (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  /** Quality score per doc — the same formula as q_text_quality (length
+    * saturation + stopword-ratio saturation, round 9), kept verbatim so
+    * curation decisions agree with the quality report. */
+  private val Stop = "t IN ('the', 'a', 'of', 'and', 'is')"
+  private def qualityOf(nChars: Column, w: Column): Column =
+    round(lit(0.5) * least(nChars / 400.0, lit(1.0)) +
+      lit(0.5) * least(
+        expr(s"size(filter(w, t -> $Stop))").cast("double") / size(w) * 10,
+        lit(1.0)), 9)
+  /** doc_id, quality, n_tokens — shared scoring projection. */
+  private def scored(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        qualityOf(col("n_chars"), col("w")).as("quality"),
+        size(col("w")).cast("int").as("n_tokens"))
+
+  /** The DuckDB CTE matching `scored` (expects `documents`). */
+  private val ScoredCte =
+    """sc AS (
+      |  SELECT doc_id,
+      |    ROUND(0.5 * LEAST(n_chars / 400.0, 1.0)
+      |          + 0.5 * LEAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
+      |                        / len(w) * 10, 1.0), 9) AS quality,
+      |    CAST(len(w) AS INT) AS n_tokens
+      |  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  /** Content-keyed split assignment: bucket = rolling_hash(text) % 100,
+    * 80/10/10 train/val/test. Content-keyed means byte-identical
+    * documents ALWAYS land in the same split — exact-duplicate leakage
+    * across train/test is structurally impossible (near-dup leakage is
+    * what q_cur_leakage_audit measures). Row-local, no shuffle. */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val bucket = graft.functions.RollingHash.rolling_hash(col("text")) % 100
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), bucket.cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+  }
+  private val SplitCte =
+    s"""sp AS (
+       |  SELECT doc_id, lang, CAST(b AS INT) AS bucket,
+       |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, lang, $RollSql % 100 AS b FROM documents))""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // --- deterministic hash sampling ------------------------------------
+    Q("q_cur_sample_hash",
+      s"""SELECT doc_id, lang, source, $KnuthSql AS h
+         |FROM documents
+         |WHERE $KnuthSql < 858993459
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // 20% sample as `hash(id) < floor(0.2 * 2^32)` — a row-local filter
+      // with NO shuffle and NO coordination: every executor decides
+      // per-row, the same rows are chosen on every rerun/engine (unlike
+      // rand() or TABLESAMPLE), and the rate tightens as corpus grows
+      // (binomial concentration). This is the scale path for sampling at
+      // 100 TB; the rank-based variants below are the exact-count pins.
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          knuth(col("doc_id")).as("h"))
+        .filter(col("h") < lit(858993459L))
+        .orderBy("doc_id")
+    },
+
+    // --- stratified sampling (exact per-stratum counts) ------------------
+    Q("q_cur_sample_stratified",
+      s"""WITH x AS (SELECT doc_id, lang, $KnuthSql AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+         |      FROM x)
+         |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+         |FROM r WHERE rn <= CEIL(cnt * 0.25) ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      // Exactly ceil(25%) of every language stratum, chosen by hash rank
+      // (deterministic). One shuffle on `lang`; both window functions
+      // share the partition spec so it's a single exchange. Scale note:
+      // `lang` is low-cardinality, so at 100 TB this window sorts the
+      // corpus into ~|langs| tasks — when exact per-stratum counts aren't
+      // required, the scale path is the hash-THRESHOLD form per stratum
+      // (q_cur_sample_hash with a per-lang rate), which needs no sort at
+      // all; this query is the exact-count pin.
+      val byH = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val stratum = Window.partitionBy("lang")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), knuth(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(byH))
+        .withColumn("cnt", count(lit(1)).over(stratum))
+        .filter(col("rn") <= ceil(col("cnt") * 0.25))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    // --- balanced source mixing ------------------------------------------
+    Q("q_cur_mix_langs",
+      s"""WITH x AS (SELECT doc_id, lang, $KnuthSql AS h FROM documents),
+         |c AS (SELECT MIN(cnt) AS target
+         |      FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY lang)),
+         |r AS (SELECT doc_id, lang,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |      FROM x)
+         |SELECT doc_id, lang, CAST(rn AS INT) AS rn
+         |FROM r, c WHERE rn <= target ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      // Balanced language mixture: downsample every stratum to the size
+      // of the SMALLEST one (uniform mixture; arbitrary target weights
+      // are the same plan with a per-stratum quota instead of the min).
+      // The quota is a 5-row aggregate broadcast into the filter; member
+      // selection is the same deterministic hash rank as above, so the
+      // mixture is reproducible and its complement (the held-out rows)
+      // is well-defined. Same low-cardinality-window scale note as
+      // q_cur_sample_stratified — quota + hash-threshold is the
+      // sort-free 100 TB path.
+      val byH = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val target = t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt").as("target"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), knuth(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(byH))
+        .crossJoin(broadcast(target))
+        .filter(col("rn") <= col("target"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    // --- content-keyed train/val/test split -------------------------------
+    Q("q_cur_split",
+      s"""WITH $SplitCte
+         |SELECT doc_id, lang, bucket, split FROM sp ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // See splitAssign: bucket = rolling_hash(text) % 100, 80/10/10.
+      // Keying the split on CONTENT (not id, not rand()) is what makes it
+      // leakage-safe for exact duplicates and stable when the corpus is
+      // re-ingested with different ids — the split of a document never
+      // changes unless its bytes do.
+      splitAssign(s, d).orderBy("doc_id")
+    },
+
+    // --- near-dup leakage audit across splits ------------------------------
+    Q("q_cur_leakage_audit",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 3),
+         |s AS (SELECT doc_id,
+         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                       for i in range(1, len(w) - 1)]) AS sh
+         |      FROM w),
+         |$SplitCte,
+         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |        ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |                  / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8)
+         |SELECT p.i, p.j, p.jac, si.split AS split_i, sj.split AS split_j
+         |FROM p JOIN sp si ON p.i = si.doc_id JOIN sp sj ON p.j = sj.doc_id
+         |WHERE si.split <> sj.split ORDER BY i, j""".stripMargin) { (s, d) =>
+      // The content-keyed split kills exact-duplicate leakage by
+      // construction, but NEAR-duplicates hash to different buckets —
+      // this is the audit every eval pipeline needs: verified near-dup
+      // pairs (banded MinHash-LSH candidates, exact-jaccard verified —
+      // the oracle's all-pairs scan would never survive 100 TB) joined
+      // against the split assignment, keeping pairs that straddle
+      // splits. Two keyed joins on doc_id; the pair set, not the corpus,
+      // is what shuffles.
+      val sp = splitAssign(s, d).select(col("doc_id"), col("split"))
+      PipelineQueries.minhashPairs(s, d, PipelineQueries.LshBucketCap)
+        .join(sp.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
+        .join(sp.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
+        .filter(col("split_i") =!= col("split_j"))
+        .select(col("i"), col("j"), col("jac"), col("split_i"), col("split_j"))
+        .orderBy("i", "j")
+    },
+
+    // --- greedy token-budget selection -------------------------------------
+    Q("q_cur_token_budget",
+      s"""WITH $ScoredCte,
+         |tot AS (SELECT 0.25 * SUM(n_tokens) AS budget FROM sc),
+         |c AS (SELECT doc_id, quality, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+         |      FROM sc)
+         |SELECT doc_id, quality, n_tokens, cum_tokens
+         |FROM c, tot WHERE cum_tokens <= budget
+         |ORDER BY quality DESC, doc_id""".stripMargin) { (s, d) =>
+      // "Best documents first until the token budget is spent": rank by
+      // quality, take the maximal prefix whose cumulative token count
+      // fits 25% of the corpus. The oracle's global-window cumsum is a
+      // single sequential scan; here the prefix sum is DISTRIBUTED:
+      // range-repartition on the rank key (so partition p holds ranks
+      // strictly above partition p+1; doc_id in the range key keeps a
+      // quality tie from pinning one partition), per-partition token
+      // totals (one tiny ≤|partitions|-row aggregate) become
+      // per-partition offsets via a window over that metadata-sized
+      // frame, and each partition then cumsums locally — two passes, no
+      // global single-task window, exact. The scored frame is persisted
+      // so both passes read the SAME partition assignment (at 100 TB: a
+      // checkpoint). Plan note: the intra-partition window re-shuffles
+      // on hashpartitioning(pid) even though the range exchange already
+      // co-located rows by pid — Catalyst has no way to declare that
+      // distribution. A sortWithinPartitions + mapPartitions running
+      // sum would shuffle once; kept declarative per the brief's
+      // preference order — the dominant cost either way is the range
+      // sort, and the extra exchange keys on a 32-value int.
+      val sc = scored(s, d)
+      val budget = sc.agg((sum("n_tokens") * lit(0.25)).as("budget"))
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranged = sc
+        .repartitionByRange(parts, col("quality").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+        .persist()
+      val offsW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("ptok"))
+        .withColumn("off", coalesce(sum("ptok").over(offsW), lit(0L)))
+        .select("pid", "off")
+      val intraW = Window.partitionBy("pid")
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranged
+        .join(broadcast(offsets), "pid")
+        .withColumn("cum_tokens", col("off") + sum("n_tokens").over(intraW))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum_tokens") <= col("budget"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("quality").desc, col("doc_id"))
+    },
+
+    // --- keep-best canonical dedup over near-dup clusters -------------------
+    Q("q_cur_keep_best",
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE len(string_split(text, ' ')) >= 3),
+         |s AS (SELECT doc_id,
+         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                       for i in range(1, len(w) - 1)]) AS sh
+         |      FROM w),
+         |pairs AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
+         |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+         |$ScoredCte,
+         |ranked AS (
+         |  SELECT cl.cluster_id, cl.doc_id, sc.quality,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |                       ORDER BY sc.quality DESC, cl.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY cl.cluster_id) AS nm
+         |  FROM cl JOIN sc ON cl.doc_id = sc.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id, quality, CAST(nm AS INT) AS n_members
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, d) =>
+      // Dedup that keeps the BEST representative, not the first seen:
+      // connected components over verified near-dup pairs (shared
+      // label-propagation core with q_dedup_clusters), then one window
+      // per cluster keeps the highest-quality member (doc_id tiebreak).
+      // Cluster ids are high-cardinality, so the window partitions
+      // finely — no skew. Docs with no near-dup keep themselves
+      // trivially (not re-listed here; this is the interesting subset).
+      val clusters = PipelineQueries.nearDupClusters(s, d)
+      val byBest = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val grp = Window.partitionBy("cluster_id")
+      clusters.join(scored(s, d).select("doc_id", "quality"), "doc_id")
+        .withColumn("rn", row_number().over(byBest))
+        .withColumn("n_members", count(lit(1)).over(grp).cast("int"))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("quality"), col("n_members"))
+        .orderBy("cluster_id")
+    },
+
+    // --- int8-quantized similarity scoring ----------------------------------
+    Q("q_cur_ann_int8",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qz AS (SELECT vec_id, label,
+        |         [CAST(FLOOR(v[i] * 127 + 0.5) AS BIGINT) for i in range(1, len(v) + 1)] AS qv
+        |       FROM e),
+        |q AS (SELECT qv AS qq FROM qz WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  CAST(list_sum([qv[i] * qq[i] for i in range(1, len(qv) + 1)]) AS BIGINT) AS dot
+        |FROM qz, q ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      // Int8 quantization: v -> floor(v*127 + 0.5) per dimension (floor,
+      // not round — floor's toward-negative-infinity semantics are
+      // identical across engines, round-half rules are not). The
+      // embeddings are L2-normalized, so the quantized dot tracks cosine
+      // at 1/4 the bytes — the standard memory/recall trade every
+      // vector store makes. Scoring stays EXACT and oracle-able: integer
+      // products summed in double are exact far below 2^53 (64 dims ×
+      // 127² ≈ 1e6), via the codegen'd DotProduct primitive loop.
+      // Top-10 fuses to TakeOrdered; the corpus never shuffles.
+      // CAST back to DOUBLE: Spark's floor returns LONG and DotProduct's
+      // primitive loop reads doubles; integer values round-trip exactly.
+      val qz = expr("transform(v, x -> CAST(floor(x * 127 + 0.5) AS DOUBLE))")
+      val eq = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("label"), qz.as("qv"))
+      val qvec = eq.filter(col("vec_id") === 0).select(col("qv").as("qq"))
+      eq.crossJoin(broadcast(qvec))
+        .select(col("vec_id"), col("label"),
+          graft.functions.DotProduct.dot_product(col("qv"), col("qq"))
+            .cast("long").as("dot"))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+    }
+  )
+}

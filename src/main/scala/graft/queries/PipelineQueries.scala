@@ -223,6 +223,51 @@ object PipelineQueries {
       .orderBy("i", "j")
   }
 
+  /** Connected components over the verified near-dup pair graph:
+    * (doc_id, cluster_id = min reachable doc_id), for every doc that
+    * appears in at least one pair. Iterative min-label propagation (the
+    * large-star/small-star pattern); rounds = graph diameter (near-dup
+    * clusters are tiny, so 2-3). Each round is ONE shuffle of
+    * (vertex, label) — the only shape that survives 100 TB. Shared by
+    * q_dedup_clusters and q_cur_keep_best (CurationQueries). */
+  private[queries] def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).select(col("i"), col("j"))
+    val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
+    var labels = edges.select(col("i").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    var cachedPrev: DataFrame = null
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = edges
+        .join(labels, col("j") === col("v"))
+        .groupBy(col("i").as("v2")).agg(min("lbl").as("nlbl"))
+      // carry the old label through the round so convergence is a
+      // filter+count on the SAME cached frame — one join per round,
+      // not a second labels⋈next reconciliation join
+      val step = labels.join(viaNeighbors, col("v") === col("v2"), "left")
+        .select(col("v"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = step.filter(col("lbl") =!= col("old_lbl")).count()
+      // `changed` materialized `step`, so the previous round's cache
+      // (and its lineage) is no longer needed — don't pin 20 rounds of
+      // label snapshots in executor storage for the session's lifetime
+      if (cachedPrev != null) cachedPrev.unpersist()
+      cachedPrev = step
+      labels = step.select(col("v"), col("lbl"))
+      converged = changed == 0
+      rounds += 1
+    }
+    // a silently non-converged result would diverge from the oracle
+    // with no signal; 20 rounds = graph diameter 2^20-ish under
+    // min-label doubling, so hitting the cap means something is wrong
+    if (!converged)
+      sys.error(s"near-dup clustering: label propagation did not converge in $rounds rounds")
+    edges.unpersist()
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** round(cosine(a, b), 9) via the codegen'd DotProduct expression —
     * same sequential summation as the zip_with/aggregate HOF spelling
     * (bit-identical, oracle-stable) at a fraction of the cost: the HOF
@@ -321,50 +366,13 @@ object PipelineQueries {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
-      // Cluster id = min doc_id reachable in the near-dup graph, via
-      // iterative min-label propagation (the large-star/small-star
-      // pattern): each round joins labels across edges and keeps the
-      // min; rounds = graph diameter (near-dup clusters are tiny, so
-      // 2-3). The oracle computes the same components with a recursive
-      // CTE — feasible only because ITS graph is small; at 100 TB only
-      // the propagation loop survives, and each round is one shuffle of
+      // Cluster id = min doc_id reachable in the near-dup graph — see
+      // nearDupClusters for the propagation loop and its scale story.
+      // The oracle computes the same components with a recursive CTE —
+      // feasible only because ITS graph is small; at 100 TB only the
+      // propagation loop survives, and each round is one shuffle of
       // (vertex, label).
-      val pairs = minhashPairs(s, d).select(col("i"), col("j"))
-      val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
-      var labels = edges.select(col("i").as("v")).distinct()
-        .withColumn("lbl", col("v"))
-      var cachedPrev: DataFrame = null
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val viaNeighbors = edges
-          .join(labels, col("j") === col("v"))
-          .groupBy(col("i").as("v2")).agg(min("lbl").as("nlbl"))
-        // carry the old label through the round so convergence is a
-        // filter+count on the SAME cached frame — one join per round,
-        // not a second labels⋈next reconciliation join
-        val step = labels.join(viaNeighbors, col("v") === col("v2"), "left")
-          .select(col("v"), col("lbl").as("old_lbl"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .cache()
-        val changed = step.filter(col("lbl") =!= col("old_lbl")).count()
-        // `changed` materialized `step`, so the previous round's cache
-        // (and its lineage) is no longer needed — don't pin 20 rounds of
-        // label snapshots in executor storage for the session's lifetime
-        if (cachedPrev != null) cachedPrev.unpersist()
-        cachedPrev = step
-        labels = step.select(col("v"), col("lbl"))
-        converged = changed == 0
-        rounds += 1
-      }
-      // a silently non-converged result would diverge from the oracle
-      // with no signal; 20 rounds = graph diameter 2^20-ish under
-      // min-label doubling, so hitting the cap means something is wrong
-      if (!converged)
-        sys.error(s"q_dedup_clusters: label propagation did not converge in $rounds rounds")
-      edges.unpersist()
-      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy("doc_id")
+      nearDupClusters(s, d).orderBy("doc_id")
     },
 
     // --- SimHash fingerprints (near-dup signature) ----------------------

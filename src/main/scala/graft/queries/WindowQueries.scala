@@ -102,5 +102,42 @@ object WindowQueries {
         count(lit(1)).over(wRange).as("n_within_50k"))
         .orderBy("o_custkey", "o_orderkey")
     },
+
+    Q("q_window_groups_emul",
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    DENSE_RANK() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY CAST(o_orderdate AS DATE)) AS dr,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, CAST(dr AS INT) AS dr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY dr
+        |     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+        |FROM r ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // GROUPS frames (SQL:2011) are unparseable in Spark 4.1.2 AND
+      // DuckDB 1.0 — but GROUPS semantics are exactly expressible by
+      // composition: dense_rank assigns each peer group (same order-day)
+      // one integer, and a RANGE frame over that integer counts GROUPS.
+      // "SUM over 2 GROUPS PRECEDING" = sum of the current day's orders
+      // plus the two preceding distinct days', peer rows included —
+      // which a ROWS frame cannot express when group sizes vary (~2.4
+      // rows per (status, day) here). Two window passes over the SAME
+      // partition key = one shuffle, second pass reuses the sort. This
+      // closes the one SURVEY §2 row previously documented out as a
+      // Spark engine gap (PARITY.md Known gaps).
+      val drW = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderdate").cast("date"))
+      val sumW = Window.partitionBy("o_orderstatus").orderBy(col("dr"))
+        .rangeBetween(-2, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          dense_rank().over(drW).as("dr"), col("o_totalprice"))
+        .withColumn("grp_sum",
+          sum(col("o_totalprice").cast(Qh.D12)).over(sumW).cast("double"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("dr").cast("int").as("dr"), col("grp_sum"))
+        .orderBy("o_orderkey")
+    },
   )
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Curation-operator semantics, verified against independent Scala
+  * reimplementations (the DuckDB oracle already pins engine parity; these
+  * pin the INTENDED semantics — greedy maximality, stratum quotas,
+  * hash-rank selection, GROUPS-frame equivalence — so an oracle-matching
+  * but wrong-by-design change still fails). */
+class CurationSpec extends GraftSuite {
+
+  private def knuth(id: Long): Long = (id * 2654435761L) % 4294967296L
+
+  private def round9(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The q_text_quality formula, reimplemented from scratch. */
+  private def quality(nChars: Long, text: String): Double = {
+    val w = text.split(" ", -1)
+    val stop = Set("the", "a", "of", "and", "is")
+    val ratio = w.count(stop).toDouble / w.length
+    round9(0.5 * math.min(nChars / 400.0, 1.0) + 0.5 * math.min(ratio * 10, 1.0))
+  }
+
+  private def docs() =
+    Tables.df(spark, sf, "documents")
+      .select("doc_id", "lang", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  test("q_cur_sample_hash selects exactly the ids whose Knuth hash clears the rate") {
+    val sampled = SparkEntry.queries("q_cur_sample_hash")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs().map(_._1).filter(id => knuth(id) < 858993459L).toSet
+    assert(sampled == expected)
+    assert(sampled.nonEmpty && sampled.size < docs().length)
+  }
+
+  test("q_cur_sample_stratified takes ceil(25%) of every stratum by hash rank") {
+    val got = SparkEntry.queries("q_cur_sample_stratified")(spark, sf)
+      .select("lang", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byLang = docs().groupBy(_._2)
+    byLang.foreach { case (lang, rows) =>
+      val quota = math.ceil(rows.length * 0.25).toLong
+      val expect = rows.map(_._1).sortBy(id => (knuth(id), id)).take(quota.toInt).toSet
+      assert(got(lang) == expect, s"stratum $lang")
+    }
+    assert(got.keySet == byLang.keySet)
+  }
+
+  test("q_cur_mix_langs balances every stratum to the smallest one") {
+    val got = SparkEntry.queries("q_cur_mix_langs")(spark, sf)
+      .select("lang", "doc_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byLang = docs().groupBy(_._2)
+    val target = byLang.values.map(_.length).min
+    byLang.foreach { case (lang, rows) =>
+      val expect = rows.map(_._1).sortBy(id => (knuth(id), id)).take(target).toSet
+      assert(got(lang) == expect, s"stratum $lang")
+      assert(got(lang).size == target)
+    }
+  }
+
+  test("q_cur_split partitions the whole corpus; buckets respect the 80/10/10 fences") {
+    val rows = SparkEntry.queries("q_cur_split")(spark, sf)
+      .select("doc_id", "bucket", "split").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(rows.length == docs().length)
+    assert(rows.map(_._1).toSet == docs().map(_._1).toSet)
+    rows.foreach { case (id, b, split) =>
+      assert(b >= 0 && b < 100, s"doc $id bucket $b")
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(split == expect, s"doc $id")
+    }
+  }
+
+  test("q_cur_leakage_audit = verified near-dup pairs whose endpoints straddle splits") {
+    val splits = SparkEntry.queries("q_cur_split")(spark, sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.filter { case (i, j) => splits(i) != splits(j) }.toSet
+    val got = SparkEntry.queries("q_cur_leakage_audit")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
+  test("q_cur_token_budget is the maximal greedy quality-ordered prefix under budget") {
+    val scored = docs().map { case (id, _, text, nChars) =>
+      (id, quality(nChars, text), text.split(" ", -1).length)
+    }
+    val budget = 0.25 * scored.map(_._3.toLong).sum
+    val ordered = scored.sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expect = ordered.takeWhile { case (_, _, n) => { cum += n; cum <= budget } }
+    val got = SparkEntry.queries("q_cur_token_budget")(spark, sf)
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq == expect.map(_._1).toSeq)
+    // distributed two-pass prefix sums equal the sequential ones
+    val cums = expect.scanLeft(0L)(_ + _._3).drop(1)
+    assert(got.map(_._2).toSeq == cums.toSeq)
+    // maximality: the next doc in quality order would overflow the budget
+    if (expect.length < ordered.length)
+      assert(cums.lastOption.getOrElse(0L) + ordered(expect.length)._3 > budget)
+  }
+
+  test("q_cur_keep_best keeps the max-quality member of every near-dup cluster") {
+    val q = docs().map { case (id, _, text, nChars) => id -> quality(nChars, text) }.toMap
+    val clusters = SparkEntry.queries("q_dedup_clusters")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty, "expected planted near-dup clusters at this SF")
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val got = SparkEntry.queries("q_cur_keep_best")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(_._1).toSet == byCluster.keySet)
+    got.foreach { case (cid, keep, kq, nm) =>
+      val members = byCluster(cid)
+      assert(nm == members.length, s"cluster $cid size")
+      val best = members.minBy(id => (-q(id), id))
+      assert(keep == best && kq == q(best), s"cluster $cid keep")
+    }
+  }
+
+  test("q_cur_ann_int8 top-10 overlaps exact-cosine top-10 (observed 8/10 here)") {
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = SparkEntry.queries("q_cur_ann_int8")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 7, s"overlap ${(exact & quant).size}/10")
+  }
+
+  test("q_window_groups_emul matches brute-force GROUPS-frame semantics") {
+    val rows = Tables.df(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate, r.getDouble(3)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      val drOf = grp.map(_._3).distinct
+        .sortWith((a, b) => a.compareTo(b) < 0)
+        .zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+      grp.toSeq.map { case (ok, _, day, _) =>
+        val dr = drOf(day)
+        val sum = grp.filter(r => { val d = drOf(r._3); d >= dr - 2 && d <= dr })
+          .map(r => BigDecimal.valueOf(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          .sum
+        ok -> ((dr, sum.toDouble))
+      }
+    }
+    val got = SparkEntry.queries("q_window_groups_emul")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getDouble(3))).toMap
+    assert(got.size == rows.length)
+    expected.foreach { case (ok, e) => assert(got(ok) == e, s"orderkey $ok") }
+  }
+}
