@@ -19,6 +19,7 @@ object SparkEntry {
       AggregateQueries.all ++
       WindowQueries.all ++
       FunctionQueries.all ++
+      ReshapeQueries.all ++
       SourceQueries.all ++
       PipelineQueries.all ++
       CurationQueries.all ++
