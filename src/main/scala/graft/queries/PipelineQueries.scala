@@ -593,6 +593,59 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // --- repetition filter: Gopher-style per-doc repetition signals -----
+    Q("q_text_repetition",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
+        |tw AS (SELECT doc_id, CAST(SUM(c) AS INT) AS n_tokens, CAST(MAX(c) AS INT) AS top_word_n
+        |       FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
+        |       GROUP BY doc_id),
+        |big AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+        |        FROM w WHERE len(w) >= 2),
+        |tb AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_bigram_n, CAST(SUM(c) AS INT) AS n_bigrams
+        |       FROM (SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b)
+        |       GROUP BY doc_id)
+        |SELECT tw.doc_id, n_tokens, top_word_n,
+        |  ROUND(top_word_n::DOUBLE / n_tokens, 9) AS top_word_frac,
+        |  CAST(COALESCE(top_bigram_n, 0) AS INT) AS top_bigram_n,
+        |  ROUND(COALESCE(top_bigram_n::DOUBLE / n_bigrams, 0), 9) AS top_bigram_frac,
+        |  (top_word_n::DOUBLE / n_tokens > 0.2
+        |   OR COALESCE(top_bigram_n::DOUBLE / n_bigrams, 0) > 0.18) AS repetitive
+        |FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
+        |ORDER BY tw.doc_id""".stripMargin) { (s, d) =>
+      // Repetition-based quality filter (the Gopher/MassiveText family):
+      // most-frequent-word fraction and most-frequent-bigram fraction per
+      // document, with the published ~0.2/0.18 removal thresholds.
+      // Boilerplate and template spam score high on these long before
+      // they fail length/stopword checks (q_text_quality). Shape: two
+      // explode → two-phase (doc_id, gram) counts → per-doc max/sum —
+      // the shuffle carries (doc_id, gram, partial count), never text,
+      // and doc_id keys partition finely at any corpus size; the final
+      // doc_id-keyed join of the two signal frames is co-partitioned.
+      val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+      val tw = docs.select(col("doc_id"), explode(col("w")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("int").as("n_tokens"), max("c").cast("int").as("top_word_n"))
+      val tb = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))"))
+          .as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").cast("int").as("top_bigram_n"), sum("c").cast("int").as("n_bigrams"))
+      val wordFrac = col("top_word_n").cast("double") / col("n_tokens")
+      val bigramFrac =
+        coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0))
+      tw.join(tb, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("top_word_n"),
+          round(wordFrac, 9).as("top_word_frac"),
+          coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"),
+          round(bigramFrac, 9).as("top_bigram_frac"),
+          (wordFrac > 0.2 || bigramFrac > 0.18).as("repetitive"))
+        .orderBy("doc_id")
+    },
+
     // --- document fingerprinting: rolling polynomial hash ---------------
     Q("q_text_fingerprint",
       """SELECT doc_id,
@@ -944,6 +997,48 @@ object PipelineQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
           date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss").as("last_click_ts"),
           (unix_millis(col("ts")) - unix_millis(col("last_click_ts"))).as("ms_since_click"))
+        .orderBy("user_id", "purchase_id")
+    },
+
+    // --- interval join: clicks within 5 minutes before each purchase,
+    // executed as a time-BUCKETED EQUI join --------------------------------
+    Q("q_join_interval",
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.user_id AS user_id, p.purchase_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+        |       CAST(epoch_ms(p.ts) - epoch_ms(MAX(c.ts)) AS BIGINT) AS ms_since_last
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |               AND c.ts > p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |GROUP BY p.user_id, p.purchase_id, p.ts
+        |ORDER BY user_id, purchase_id""".stripMargin) { (s, d) =>
+      // Interval join (each purchase joined to the clicks in its trailing
+      // 30-minute window). Declared naively — equi on user_id + range
+      // residual — one hot user's whole timeline lands in one task and
+      // the task does |purchases|×|clicks| residual work. The scale form
+      // used here ADDS TIME TO THE JOIN KEY: bucket = floor(ms / window);
+      // each click has one bucket, each purchase probes (bucket,
+      // bucket-1) — a 2-row explode — so the window can only span those
+      // two buckets, the equi key becomes (user_id, bucket), per-task
+      // work is bounded by bucket width not timeline length, and the
+      // exact interval predicate rides as a residual. A (purchase,
+      // click) pair matches in exactly the click's bucket — no dedup
+      // step. PlanShapeSpec pins the equi join (no nested-loop).
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+      val win = 30L * 60 * 1000
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("pms"))
+        .withColumn("bkt", explode(array(floor(col("pms") / win), floor(col("pms") / win) - 1)))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ms").as("cms"), floor(col("cms") / win).as("bkt"))
+      p.join(c, Seq("user_id", "bkt"))
+        .filter(col("cms") > col("pms") - win && col("cms") <= col("pms"))
+        .groupBy("user_id", "purchase_id", "pms")
+        .agg(count(lit(1)).as("n_clicks"), (col("pms") - max(col("cms"))).as("ms_since_last"))
+        .select("user_id", "purchase_id", "n_clicks", "ms_since_last")
         .orderBy("user_id", "purchase_id")
     },
 
