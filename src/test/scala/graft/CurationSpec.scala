@@ -156,4 +156,27 @@ class CurationSpec extends GraftSuite {
     assert(got.size == rows.length)
     expected.foreach { case (ok, e) => assert(got(ok) == e, s"orderkey $ok") }
   }
+
+  test("q_cur_decontaminate equals brute-force shingle-set intersection") {
+    val all = Tables.df(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(text: String): Set[String] = {
+      val w = text.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val eval = all.filter(_._2 == "src0").map(r => r._1 -> shingles(r._3))
+      .filter(_._2.nonEmpty)
+    val corpus = all.filter(_._2 != "src0").map(r => r._1 -> shingles(r._3))
+      .filter(_._2.nonEmpty)
+    val expect = (for {
+      (cid, csh) <- corpus
+      (eid, esh) <- eval
+      n = (csh & esh).size if n >= 5
+    } yield (cid, eid) -> n).toMap
+    val got = SparkEntry.queries("q_cur_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got == expect)
+  }
 }

@@ -247,4 +247,45 @@ class PipelineSpec extends GraftSuite {
     assert(metrics.getLong(0) > 0, s"no oversized bucket observed: $metrics")
     assert(metrics.getLong(1) > 0, s"no dropped ids observed: $metrics")
   }
+
+  test("q_text_repetition signals equal per-doc Scala recounts") {
+    def round9(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q_text_repetition")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    val docs = Tables.df(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val w = text.split(" ", -1)
+      val topWord = w.groupBy(identity).values.map(_.length).max
+      val bigrams = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBigram = if (bigrams.isEmpty) 0 else bigrams.groupBy(identity).values.map(_.length).max
+      val wordFrac = topWord.toDouble / w.length
+      val bigramFrac = if (bigrams.isEmpty) 0.0 else topBigram.toDouble / bigrams.length
+      val expect = (w.length, topWord, round9(wordFrac), topBigram, round9(bigramFrac),
+        wordFrac > 0.2 || bigramFrac > 0.18)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
+  test("q_join_interval equals the naive user-equi + range-filter join") {
+    val got = SparkEntry.queries("q_join_interval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.df(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val win = 30L * 60 * 1000
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._1)
+    val expect = ev.filter(_._3 == "purchase").flatMap { case (u, pid, _, pms) =>
+      val cs = clicksByUser.getOrElse(u, Array.empty)
+        .map(_._4).filter(c => c > pms - win && c <= pms)
+      if (cs.isEmpty) None else Some((u, pid) -> ((cs.length.toLong, pms - cs.max)))
+    }.toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }

@@ -375,4 +375,39 @@ class PlanShapeSpec extends GraftSuite {
     val p = plan("q_subq_scalar_proj")
     assert(p.toLowerCase.contains("subquer"), p)
   }
+
+  test("q_join_lateral: LATERAL top-k decorrelates to rank-limit + one equi join") {
+    val p = plan("q_join_lateral")
+    // the ORDER BY..LIMIT 2 inner query becomes WindowGroupLimit (partial
+    // map-side + final) — each group ships <=2 rows, not its whole
+    // timeline — and the lateral itself is ONE equi join, not |nation|
+    // point lookups and not a nested loop
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_join_interval: bucketed interval join is an equi join, never a nested loop") {
+    val p = plan("q_join_interval")
+    // the 2-bucket probe explode (Generate) turns the range predicate
+    // into an equi key; the join must be hash/merge on (user_id, bkt)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_cur_decontaminate: eval shingles broadcast; corpus never shuffles for the join") {
+    val p = plan("q_cur_decontaminate")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // shingle match + size join
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pivot with explicit values plans one scan (no pivot-domain discovery query)") {
+    val p = plan("q_pivot")
+    // count the detail headers "(n) Scan parquet" — one per scan node
+    // (the tree rendering repeats each node name once more)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
 }
