@@ -87,6 +87,47 @@ object CurationQueries {
        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT doc_id, lang, $RollSql % 100 AS b FROM documents))""".stripMargin
 
+  /** Contaminated (corpus_doc, eval_doc) pairs: >= 5 shared distinct
+    * word 3-grams vs the eval set (source 'src0'), eval side broadcast.
+    * Shared by q_cur_decontaminate and the q_cur_end2end composite. */
+  private[queries] def contaminationPairs(s: SparkSession, d: String): DataFrame = {
+    val tri = expr(
+      "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
+        "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))")
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("source"), explode(tri).as("sh"))
+    val eval = sh.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_id"), col("sh"))
+    val evalSizes = eval.groupBy("eval_id").agg(count(lit(1)).as("n_eval_sh"))
+    sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("sh"))
+      .join(broadcast(eval), "sh")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 5)
+      .join(broadcast(evalSizes), "eval_id")
+  }
+
+  /** DuckDB CTE chain ending in `ov` = the same contaminated pairs
+    * (doc_id, eval_id, n_overlap, n_eval_sh). */
+  private[queries] val ContaminationCtes: String =
+    """cw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |       WHERE len(string_split(text, ' ')) >= 3),
+      |cs AS (SELECT doc_id, source,
+      |         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                               for i in range(1, len(w) - 1)])) AS sh
+      |       FROM cw),
+      |ce AS (SELECT doc_id AS eval_id, sh FROM cs WHERE source = 'src0'),
+      |cc AS (SELECT doc_id, sh FROM cs WHERE source <> 'src0'),
+      |cn AS (SELECT eval_id, COUNT(*) AS n_eval_sh FROM ce GROUP BY eval_id),
+      |ov AS (SELECT x.doc_id, x.eval_id, x.n_overlap, cn.n_eval_sh
+      |       FROM (SELECT cc.doc_id, ce.eval_id, COUNT(*) AS n_overlap
+      |             FROM cc JOIN ce USING (sh) GROUP BY cc.doc_id, ce.eval_id
+      |             HAVING COUNT(*) >= 5) x
+      |       JOIN cn USING (eval_id))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // --- deterministic hash sampling ------------------------------------
@@ -317,21 +358,10 @@ object CurationQueries {
 
     // --- benchmark decontamination audit -------------------------------------
     Q("q_cur_decontaminate",
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id, source,
-        |        unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                              for i in range(1, len(w) - 1)])) AS sh
-        |      FROM w),
-        |e AS (SELECT doc_id AS eval_id, sh FROM s WHERE source = 'src0'),
-        |c AS (SELECT doc_id, sh FROM s WHERE source <> 'src0'),
-        |n AS (SELECT eval_id, COUNT(*) AS n_eval_sh FROM e GROUP BY eval_id),
-        |ov AS (SELECT c.doc_id, e.eval_id, COUNT(*) AS n_overlap
-        |       FROM c JOIN e USING (sh) GROUP BY c.doc_id, e.eval_id)
-        |SELECT ov.doc_id, ov.eval_id, CAST(n_overlap AS INT) AS n_overlap,
-        |  ROUND(n_overlap::DOUBLE / n_eval_sh, 9) AS overlap_frac
-        |FROM ov JOIN n USING (eval_id) WHERE n_overlap >= 5
-        |ORDER BY ov.doc_id, ov.eval_id""".stripMargin) { (s, d) =>
+      s"""WITH $ContaminationCtes
+         |SELECT doc_id, eval_id, CAST(n_overlap AS INT) AS n_overlap,
+         |  ROUND(n_overlap::DOUBLE / n_eval_sh, 9) AS overlap_frac
+         |FROM ov ORDER BY doc_id, eval_id""".stripMargin) { (s, d) =>
       // Benchmark decontamination (the GPT-3/PaLM-style n-gram audit):
       // find training docs sharing >= 5 distinct word 3-grams with any
       // doc of the eval set (stand-in: source 'src0'), reporting the
@@ -344,26 +374,76 @@ object CurationQueries {
       // is one scan + map-side hash semi-match with NO corpus-wide
       // shuffle; only matching (doc, eval, shingle) hits reach the
       // (high-cardinality) groupBy. PlanShapeSpec pins the broadcast.
-      val tri = expr(
-        "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
-          "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))")
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("source"), explode(tri).as("sh"))
-      val eval = sh.filter(col("source") === "src0")
-        .select(col("doc_id").as("eval_id"), col("sh"))
-      val evalSizes = eval.groupBy("eval_id").agg(count(lit(1)).as("n_eval_sh"))
-      sh.filter(col("source") =!= "src0")
-        .select(col("doc_id"), col("sh"))
-        .join(broadcast(eval), "sh")
-        .groupBy("doc_id", "eval_id")
-        .agg(count(lit(1)).as("n_overlap"))
-        .filter(col("n_overlap") >= 5)
-        .join(broadcast(evalSizes), "eval_id")
+      contaminationPairs(s, d)
         .select(col("doc_id"), col("eval_id"), col("n_overlap").cast("int").as("n_overlap"),
           round(col("n_overlap").cast("double") / col("n_eval_sh"), 9).as("overlap_frac"))
         .orderBy("doc_id", "eval_id")
+    },
+
+    // --- quantile-threshold quality gate -------------------------------------
+    Q("q_cur_quality_gate",
+      s"""WITH $ScoredCte,
+         |th AS (SELECT ROUND(quantile_cont(quality, 0.9), 9) AS thr FROM sc)
+         |SELECT sc.doc_id, sc.quality, sc.n_tokens, th.thr
+         |FROM sc, th WHERE sc.quality >= th.thr ORDER BY sc.doc_id""".stripMargin) { (s, d) =>
+      // "Keep the top decile by quality": threshold = exact interpolated
+      // P90 of the quality score, then a row-local filter against the
+      // broadcast scalar. Spark's exact `percentile` buffers per-group
+      // values, fine for one scalar at gate SF but memory-bound at
+      // 100 TB — the scale path is approx_percentile (a fixed-size
+      // sketch with map-side merge); CurationSpec pins the sketch to
+      // within 1% of this exact threshold, same exact-twin pattern as
+      // the weighted-percentile pair.
+      val sc = scored(s, d)
+      val thr = sc.agg(round(expr("percentile(quality, 0.9D)"), 9).as("thr"))
+      sc.crossJoin(broadcast(thr))
+        .filter(col("quality") >= col("thr"))
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("thr"))
+        .orderBy("doc_id")
+    },
+
+    // --- end-to-end curation pipeline ----------------------------------------
+    Q("q_cur_end2end",
+      s"""WITH $ScoredCte,
+         |${PipelineQueries.RepetitionCtes},
+         |$ContaminationCtes,
+         |$SplitCte
+         |SELECT sp.lang, sp.split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sc.n_tokens) AS BIGINT) AS sum_tokens
+         |FROM documents d
+         |JOIN sc ON d.doc_id = sc.doc_id
+         |JOIN rep ON d.doc_id = rep.doc_id
+         |JOIN sp ON d.doc_id = sp.doc_id
+         |WHERE d.source <> 'src0'
+         |  AND sc.quality >= 0.5
+         |  AND NOT rep.repetitive
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM ov)
+         |GROUP BY sp.lang, sp.split
+         |ORDER BY sp.lang, sp.split""".stripMargin) { (s, d) =>
+      // The whole curation pipeline as ONE declarative plan: corpus-only
+      // docs, quality gate, repetition filter, decontamination exclusion,
+      // content-keyed split, per-(lang, split) rollup. Each stage is the
+      // already-verified operator (scored / repetitionSignals /
+      // contaminationPairs / splitAssign) composed by doc_id-keyed joins
+      // — high-cardinality keys, co-partitioned after the first
+      // exchange; the contamination exclusion is a left-anti against a
+      // pair set that is tiny by construction; the rollup output is
+      // |langs × splits|. Composing verified parts instead of a
+      // monolith is itself the 100 TB story: every intermediate is
+      // independently testable and the optimizer sees one tree.
+      val docs = t(s, d, "documents").filter(col("source") =!= "src0")
+        .select("doc_id", "lang")
+      val keep = docs
+        .join(scored(s, d).filter(col("quality") >= 0.5), "doc_id")
+        .join(PipelineQueries.repetitionSignals(s, d).filter(!col("repetitive"))
+          .select("doc_id"), "doc_id")
+        .join(contaminationPairs(s, d).select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        .join(splitAssign(s, d).select("doc_id", "split"), "doc_id")
+      keep.groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang", "split")
     },
 
     // --- int8-quantized similarity scoring ----------------------------------

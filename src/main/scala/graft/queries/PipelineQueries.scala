@@ -274,6 +274,62 @@ object PipelineQueries {
     * evaluates an interpreted lambda per element (~12 s for the 200k-pair
     * scoring stage at sf0.1), the custom expression is a primitive loop
     * inside WholeStageCodegen. */
+  /** Per-doc Gopher-style repetition signals (shared by
+    * q_text_repetition and the q_cur_end2end composite): top-word and
+    * top-bigram fractions via two-phase (doc_id, gram) counts — the
+    * shuffle carries counts, never text. */
+  private[queries] def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+    val tw = docs.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").cast("int").as("n_tokens"), max("c").cast("int").as("top_word_n"))
+    val tb = docs.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").cast("int").as("top_bigram_n"), sum("c").cast("int").as("n_bigrams"))
+    val wordFrac = col("top_word_n").cast("double") / col("n_tokens")
+    val bigramFrac =
+      coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0))
+    tw.join(tb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_word_n"),
+        round(wordFrac, 9).as("top_word_frac"),
+        coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"),
+        round(bigramFrac, 9).as("top_bigram_frac"),
+        (wordFrac > 0.2 || bigramFrac > 0.18).as("repetitive"))
+  }
+
+  /** DuckDB CTE chain computing the same signals as `repetitionSignals`
+    * (relation `rep`), reused by the q_cur_end2end oracle. */
+  private[queries] val RepetitionCtes: String =
+    """rw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |rtok AS (SELECT doc_id, unnest(w) AS t FROM rw),
+      |rtw AS (SELECT doc_id, CAST(SUM(c) AS INT) AS n_tokens, CAST(MAX(c) AS INT) AS top_word_n
+      |        FROM (SELECT doc_id, t, COUNT(*) AS c FROM rtok GROUP BY doc_id, t)
+      |        GROUP BY doc_id),
+      |rbig AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+      |         FROM rw WHERE len(w) >= 2),
+      |rtb AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_bigram_n, CAST(SUM(c) AS INT) AS n_bigrams
+      |        FROM (SELECT doc_id, b, COUNT(*) AS c FROM rbig GROUP BY doc_id, b)
+      |        GROUP BY doc_id),
+      |rep AS (
+      |  SELECT rtw.doc_id, n_tokens, top_word_n,
+      |    ROUND(top_word_n::DOUBLE / n_tokens, 9) AS top_word_frac,
+      |    CAST(COALESCE(top_bigram_n, 0) AS INT) AS top_bigram_n,
+      |    ROUND(COALESCE(top_bigram_n::DOUBLE / n_bigrams, 0), 9) AS top_bigram_frac,
+      |    (top_word_n::DOUBLE / n_tokens > 0.2
+      |     OR COALESCE(top_bigram_n::DOUBLE / n_bigrams, 0) > 0.18) AS repetitive
+      |  FROM rtw LEFT JOIN rtb ON rtw.doc_id = rtb.doc_id)""".stripMargin
+
+  private[queries] val RepetitionSql: String =
+    s"""WITH $RepetitionCtes
+       |SELECT doc_id, n_tokens, top_word_n, top_word_frac, top_bigram_n,
+       |       top_bigram_frac, repetitive
+       |FROM rep ORDER BY doc_id""".stripMargin
+
   private def cosine(a: Column, b: Column): Column = {
     import graft.functions.DotProduct.dot_product
     round(dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b))), 9)
@@ -500,6 +556,80 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- language ID: char-trigram profile classifier -------------------
+    Q("q_text_langid",
+      """WITH tri AS (
+        |  SELECT doc_id, lang, unnest([text[i:i+2] for i in range(1, length(text) - 1)]) AS tg
+        |  FROM documents WHERE length(text) >= 3),
+        |cnt AS (SELECT lang, tg, COUNT(*) AS c FROM tri
+        |        WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+        |        GROUP BY lang, tg),
+        |prof AS (SELECT lang, tg FROM (
+        |  SELECT lang, tg, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tg) AS rn
+        |  FROM cnt) WHERE rn <= 20),
+        |dt AS (SELECT DISTINCT doc_id, lang AS true_lang, tg FROM tri),
+        |sc AS (SELECT dt.doc_id, dt.true_lang, prof.lang AS cand, COUNT(*) AS score
+        |       FROM dt JOIN prof ON dt.tg = prof.tg GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, true_lang, cand AS pred_lang, CAST(score AS INT) AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |         FROM sc)
+        |SELECT doc_id, true_lang, pred_lang, score, (pred_lang = true_lang) AS correct
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Cavnar-Trenkle-style n-gram language ID, distributed: TRAIN =
+      // per-lang char-trigram counts (two-phase agg over one explode)
+      // top-20 profile (window over the lang-sized count frame);
+      // SCORE = each doc's distinct trigram set joined against the
+      // BROADCAST profile table (|langs|×20 rows — model broadcast, the
+      // shape of every model-scoring pass at 100 TB), overlap counted
+      // per (doc, candidate), argmax by per-doc window over ≤|langs|
+      // rows. Deterministic ties (trigram/lang asc) keep it oracle-
+      // exact. Accuracy on THIS corpus is honest-low (~24%: synthetic
+      // docs share one vocabulary; the true-lang column keeps the
+      // confusion visible) — the component under test is the
+      // train/broadcast/score/argmax plumbing, which is what a real
+      // fastText-style classifier would reuse.
+      def tri(df: DataFrame): DataFrame = df
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+            .as("tg"))
+      val docs = t(s, d, "documents")
+      // TRAIN on a deterministic 20% hash sample (same Knuth filter as
+      // q_cur_sample_hash): trigram profiles converge on a fraction of
+      // the corpus, so the training explode need never see all 100 TB —
+      // the same sampled-training economics as IvfIndex.
+      val prof = tri(docs
+        .filter((col("doc_id") * lit(2654435761L)) % lit(4294967296L) < lit(858993459L)))
+        .groupBy("lang", "tg").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("tg"))))
+        .filter(col("rn") <= 20)
+        .select(col("lang").as("cand"), col("tg"))
+      // SCORE: per-doc distinct trigrams joined against the BROADCAST
+      // profile (|langs|×20 rows), overlap counted per (doc, candidate),
+      // argmax by a per-doc window over ≤|langs| rows. Alternative
+      // scoring forms were MEASURED at sf0.1 before keeping this one:
+      // row-local array_intersect against profile literals (zero joins)
+      // ran 3.8× slower — Catalyst re-evaluates the 600-substring
+      // transform once per candidate lang — and materialize-then-
+      // explode(array_distinct(...)) ran ~1.4× slower than this
+      // streamed explode + distinct(), whose map-side partial aggregate
+      // is the same row-local dedup plus a shuffle of only the deduped
+      // (doc, trigram) pairs.
+      val dt = tri(docs)
+        .select(col("doc_id"), col("lang").as("true_lang"), col("tg"))
+        .distinct()
+      val best = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+      dt.join(broadcast(prof), "tg")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(count(lit(1)).cast("int").as("score"))
+        .withColumn("rn", row_number().over(best))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"),
+          col("score"), (col("cand") === col("true_lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+
     // --- text cleaning: strip URL-ish/email-ish tokens, collapse space --
     Q("q_text_clean",
       """SELECT doc_id,
@@ -595,24 +725,7 @@ object PipelineQueries {
 
     // --- repetition filter: Gopher-style per-doc repetition signals -----
     Q("q_text_repetition",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |tok AS (SELECT doc_id, unnest(w) AS t FROM w),
-        |tw AS (SELECT doc_id, CAST(SUM(c) AS INT) AS n_tokens, CAST(MAX(c) AS INT) AS top_word_n
-        |       FROM (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t)
-        |       GROUP BY doc_id),
-        |big AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
-        |        FROM w WHERE len(w) >= 2),
-        |tb AS (SELECT doc_id, CAST(MAX(c) AS INT) AS top_bigram_n, CAST(SUM(c) AS INT) AS n_bigrams
-        |       FROM (SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY doc_id, b)
-        |       GROUP BY doc_id)
-        |SELECT tw.doc_id, n_tokens, top_word_n,
-        |  ROUND(top_word_n::DOUBLE / n_tokens, 9) AS top_word_frac,
-        |  CAST(COALESCE(top_bigram_n, 0) AS INT) AS top_bigram_n,
-        |  ROUND(COALESCE(top_bigram_n::DOUBLE / n_bigrams, 0), 9) AS top_bigram_frac,
-        |  (top_word_n::DOUBLE / n_tokens > 0.2
-        |   OR COALESCE(top_bigram_n::DOUBLE / n_bigrams, 0) > 0.18) AS repetitive
-        |FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
-        |ORDER BY tw.doc_id""".stripMargin) { (s, d) =>
+      RepetitionSql) { (s, d) =>
       // Repetition-based quality filter (the Gopher/MassiveText family):
       // most-frequent-word fraction and most-frequent-bigram fraction per
       // document, with the published ~0.2/0.18 removal thresholds.
@@ -622,28 +735,7 @@ object PipelineQueries {
       // the shuffle carries (doc_id, gram, partial count), never text,
       // and doc_id keys partition finely at any corpus size; the final
       // doc_id-keyed join of the two signal frames is co-partitioned.
-      val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("w"))
-      val tw = docs.select(col("doc_id"), explode(col("w")).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum("c").cast("int").as("n_tokens"), max("c").cast("int").as("top_word_n"))
-      val tb = docs.filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 2), i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2)))"))
-          .as("b"))
-        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(max("c").cast("int").as("top_bigram_n"), sum("c").cast("int").as("n_bigrams"))
-      val wordFrac = col("top_word_n").cast("double") / col("n_tokens")
-      val bigramFrac =
-        coalesce(col("top_bigram_n").cast("double") / col("n_bigrams"), lit(0.0))
-      tw.join(tb, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"), col("top_word_n"),
-          round(wordFrac, 9).as("top_word_frac"),
-          coalesce(col("top_bigram_n"), lit(0)).as("top_bigram_n"),
-          round(bigramFrac, 9).as("top_bigram_frac"),
-          (wordFrac > 0.2 || bigramFrac > 0.18).as("repetitive"))
-        .orderBy("doc_id")
+      repetitionSignals(s, d).orderBy("doc_id")
     },
 
     // --- document fingerprinting: rolling polynomial hash ---------------

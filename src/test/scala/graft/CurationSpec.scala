@@ -179,4 +179,53 @@ class CurationSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(got == expect)
   }
+
+  test("q_cur_quality_gate keeps exactly the docs at/above the exact P90; approx sketch within 1%") {
+    val rows = SparkEntry.queries("q_cur_quality_gate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val thr = rows.head.getDouble(3)
+    val kept = rows.map(_.getLong(0)).toSet
+    val qual = SparkEntry.queries("q_text_quality")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(kept == qual.filter(_._2 >= thr).map(_._1).toSet)
+    // the 100 TB path: approx_percentile's bounded sketch lands within 1%
+    val approx = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+      .select(expr("round(0.5 * least(n_chars / 400.0, 1.0) + 0.5 * least(" +
+        "size(filter(w, t -> t IN ('the', 'a', 'of', 'and', 'is'))) / cast(size(w) as double)" +
+        " * 10, 1.0), 9)").as("q"))
+      .agg(expr("approx_percentile(q, 0.9D, 10000)")).head().getDouble(0)
+    assert(math.abs(approx - thr) / thr < 0.01, s"approx $approx vs exact $thr")
+  }
+
+  test("q_cur_end2end equals the composition of its independently-verified stages") {
+    val srcOf = Tables.df(spark, sf, "documents")
+      .select("doc_id", "source", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val quality = SparkEntry.queries("q_text_quality")(spark, sf)
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nTokens = SparkEntry.queries("q_text_stats")(spark, sf)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val repetitive = SparkEntry.queries("q_text_repetition")(spark, sf)
+      .select("doc_id", "repetitive").collect()
+      .filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("q_cur_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val split = SparkEntry.queries("q_cur_split")(spark, sf)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = srcOf.toSeq
+      .filter { case (id, (src, _)) =>
+        src != "src0" && quality(id) >= 0.5 &&
+          !repetitive(id) && !contaminated(id)
+      }
+      .groupBy { case (id, (_, lang)) => (lang, split(id)) }
+      .map { case (k, grp) =>
+        k -> ((grp.size.toLong, grp.map { case (id, _) => nTokens(id).toLong }.sum))
+      }
+    val got = SparkEntry.queries("q_cur_end2end")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
 }

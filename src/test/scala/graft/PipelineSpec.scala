@@ -271,6 +271,36 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("q_text_langid equals a from-scratch trigram-profile classifier") {
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 3)
+    def tris(t: String): Seq[String] = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    // profiles train on the same deterministic 20% Knuth hash sample
+    val sample = docs.filter(d => (d._1 * 2654435761L) % 4294967296L < 858993459L)
+    val profiles = sample.groupBy(_._2).view.mapValues { grp =>
+      grp.flatMap(d => tris(d._3)).groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (tg, c) => (-c, tg) }.take(20).map(_._1).toSet
+    }.toMap
+    val expect = docs.flatMap { case (id, lang, text) =>
+      val dt = tris(text).toSet
+      val scores = profiles.toSeq
+        .map { case (cand, prof) => (cand, (dt & prof).size) }
+        .filter(_._2 > 0)
+      if (scores.isEmpty) None
+      else {
+        val (pred, score) = scores.minBy { case (cand, sc) => (-sc, cand) }
+        Some(id -> ((lang, pred, score, pred == lang)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_text_langid")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q_join_interval equals the naive user-equi + range-filter join") {
     val got = SparkEntry.queries("q_join_interval")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
