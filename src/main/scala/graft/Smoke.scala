@@ -106,6 +106,20 @@ object Smoke {
         .count())
     println(f"SMOKE adversarial ngram-jaccard: capped postings=${tAdvNg}%.1fs " +
       f"($nAdvNg verified pairs; uncapped would expand ~60·10k²/2 candidates)")
+
+    // --- curation/text operators at scale (round 7) ---------------------
+    // The ×M corpus multiplies BOTH sides of the decontamination audit
+    // (every eval doc and every contaminated doc appears M times →
+    // pair count scales ~M², broadcast profile/shingle sets scale ~M —
+    // still model-sized); repetition and langid scale linearly in docs.
+    val (nDecon, tDecon) = time(SparkEntry.queries("q_cur_decontaminate")(spark, dir).count())
+    val (nRep, tRep) = time(
+      SparkEntry.queries("q_text_repetition")(spark, dir).filter("repetitive").count())
+    val (nLang, tLang) = time(SparkEntry.queries("q_text_langid")(spark, dir).count())
+    val (nE2e, tE2e) = time(SparkEntry.queries("q_cur_end2end")(spark, dir).count())
+    println(f"SMOKE curation: decontaminate=${tDecon}%.1fs ($nDecon pairs) " +
+      f"repetition=${tRep}%.1fs ($nRep flagged) langid=${tLang}%.1fs ($nLang scored) " +
+      f"end2end=${tE2e}%.1fs ($nE2e lang-split cells)")
     spark.stop()
   }
 }
