@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One document as it arrives on an ingestion stream (mirrors the
+  * driver's `documents` table schema). */
+final case class Doc(
+    doc_id: Long,
+    text: String,
+    lang: String,
+    source: String,
+    n_chars: Long)
+
+/** Streaming-ingestion curation: the quality gate and repetition filter
+  * applied AT INGEST TIME, before documents ever land in the corpus.
+  *
+  * The batch catalog computes the same signals with explode + two-phase
+  * (doc, gram) counts (`q_text_repetition`) — the cheaper plan for data
+  * at rest. This module computes them ROW-LOCALLY (a sorted-run-length
+  * fold inside one `aggregate` higher-order function), because a
+  * streaming ingester wants the map-only form: no shuffle, no state
+  * store, append output mode, works per micro-batch with arbitrary
+  * batch boundaries. Most-frequent-gram count == longest equal run in
+  * the sorted gram array, so the two forms are provably equal —
+  * StreamingSpec asserts batch-vs-catalog and stream-vs-batch equality.
+  *
+  * At 100 TB/day of ingest this is the shape you want: every signal is
+  * computed where the document is parsed, the filter drops rejects
+  * before they are ever shuffled or stored, and the SAME code audits
+  * the static corpus in batch mode.
+  */
+object DocStreams {
+
+  /** Count of the most frequent element of `arr`, as the longest equal
+    * run of the sorted array — one row-local fold, no shuffle. */
+  private def topRun(arr: String): String =
+    s"""aggregate(sort_array($arr),
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+       |  (a, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1),
+       |    'best', greatest(a.best, IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1, 1))),
+       |  a -> a.best)""".stripMargin
+
+  /** doc_id, lang, quality, repetition signals, and the keep decision —
+    * identical semantics to q_text_quality + q_text_repetition's flags,
+    * computed without any shuffle. Works on a streaming OR batch frame. */
+  def signals(docs: DataFrame): DataFrame = {
+    val stop = "t IN ('the', 'a', 'of', 'and', 'is')"
+    val bigrams =
+      "IF(size(w) >= 2, transform(sequence(0, size(w) - 2), " +
+        "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2))), " +
+        "CAST(array() AS ARRAY<STRING>))"
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("quality",
+        round(lit(0.5) * least(col("n_chars") / 400.0, lit(1.0)) +
+          lit(0.5) * least(
+            expr(s"size(filter(w, t -> $stop))").cast("double") / size(col("w")) * 10,
+            lit(1.0)), 9))
+      .withColumn("top_word_n", expr(topRun("w")))
+      .withColumn("bg", expr(bigrams))
+      .withColumn("top_bigram_n", expr(topRun("bg")))
+      .withColumn("word_frac", col("top_word_n").cast("double") / size(col("w")))
+      .withColumn("bigram_frac",
+        when(size(col("bg")) > 0, col("top_bigram_n").cast("double") / size(col("bg")))
+          .otherwise(lit(0.0)))
+      .withColumn("repetitive", col("word_frac") > 0.2 || col("bigram_frac") > 0.18)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("top_word_n"), col("top_bigram_n"), col("repetitive"))
+  }
+
+  /** The ingest-time keep filter: quality gate + repetition filter. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
+    signals(docs).filter(col("quality") >= minQuality && !col("repetitive"))
+}

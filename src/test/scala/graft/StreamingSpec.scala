@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Event, EventStreams}
+import graft.streaming.{Doc, DocStreams, Event, EventStreams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -417,6 +417,51 @@ class StreamingSpec extends GraftSuite {
       assert(s0.getAs[Long]("user_id") == 7)
       assert(s0.getAs[Long]("n_events") == 2)
       assert(s0.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("DocStreams.signals (row-local fold) equals the batch explode-count catalog queries") {
+    // the sorted-run-length fold must produce the SAME signals as
+    // q_text_quality (quality) + q_text_repetition (top-gram counts,
+    // repetitive flag) computed via explode + two-phase counts
+    val got = DocStreams.signals(Tables.df(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getInt(3), r.getInt(4), r.getBoolean(5)))).toMap
+    val quality = SparkEntry.queries("q_text_quality")(spark, sf)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rep = SparkEntry.queries("q_text_repetition")(spark, sf)
+      .select("doc_id", "top_word_n", "top_bigram_n", "repetitive").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))).toMap
+    assert(got.size == quality.size)
+    got.foreach { case (id, (q, tw, tb, rf)) =>
+      assert(q == quality(id), s"quality doc $id")
+      assert((tw, tb, rf) == rep(id), s"repetition doc $id")
+    }
+  }
+
+  test("streaming ingest curation: per-micro-batch output equals the batch filter") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[Doc].collect().toSeq
+    val in = MemoryStream[Doc]
+    val q = DocStreams.curate(in.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // arbitrary micro-batch boundaries must not affect row-local curation
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT doc_id FROM curated").collect()
+        .map(_.getLong(0)).toSet
+      val batch = DocStreams.curate(Tables.df(spark, sf, "documents")).collect()
+        .map(_.getLong(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < docs.size)
     } finally q.stop()
   }
 }
