@@ -446,6 +446,39 @@ object CurationQueries {
         .orderBy("lang", "split")
     },
 
+    // --- sequence packing for pretraining batches ----------------------------
+    Q("q_cur_pack",
+      s"""WITH sc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |              lang, $KnuthSql AS h FROM documents),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |        SUM(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum FROM sc)
+         |SELECT lang, CAST(FLOOR((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY lang, bin_id ORDER BY lang, bin_id""".stripMargin) { (s, d) =>
+      // Sequence packing (concat-then-chunk, the standard pretraining
+      // batcher): per language stream, documents are concatenated in
+      // deterministic hash order and cut into 512-token chunks; each doc
+      // is attributed to the chunk its FIRST token lands in, so chunk
+      // assignment is a pure function of the cumulative token count —
+      // reproducible across engines/runs, no rand(), no partition-layout
+      // dependence. One window per lang computes the running offset;
+      // `lang` is low-cardinality, so at 100 TB the offset pass is the
+      // distributed two-pass prefix sum q_cur_token_budget demonstrates
+      // (range repartition + per-partition offsets), per stratum.
+      val byH = Window.partitionBy("lang")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("int").as("n_tokens"),
+          knuth(col("doc_id")).as("h"))
+        .withColumn("cum", sum("n_tokens").over(byH))
+        .withColumn("bin_id", floor((col("cum") - col("n_tokens")) / 512).cast("long"))
+        .groupBy("lang", "bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("sum_tokens"))
+        .orderBy("lang", "bin_id")
+    },
+
     // --- int8-quantized similarity scoring ----------------------------------
     Q("q_cur_ann_int8",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

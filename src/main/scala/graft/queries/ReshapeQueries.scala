@@ -112,6 +112,26 @@ object ReshapeQueries {
       // window + one join keyed on nationkey), not |nation| point queries.
       // Same SQL text runs on DuckDB as the oracle.
 
+    // --- table-generating functions (the UDTF surface) ----------------------
+    Q("q_fn_generators",
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 20),
+        |     LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+        |ORDER BY doc_id, pos, tok""".stripMargin) { (s, d) =>
+      // Generator/UDTF surface (SURVEY §2.10 — the reference has no
+      // generator concept at all; Spark's Generate node is the native
+      // one): posexplode turns each document into (ordinal, token) rows
+      // WITH position — the ordinality-preserving flatten every
+      // tokenizer pipeline needs. Generate is map-side streaming (rows
+      // produced and consumed inside one whole-stage-codegen pass, never
+      // buffered per doc); the oracle spells the same thing with a
+      // LATERAL positional unnest.
+      t(s, d, "documents")
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos", "tok")
+    },
+
     // --- higher-order array functions ---------------------------------------
     Q("q_fn_higher_order",
       """WITH e AS (SELECT vec_id,

