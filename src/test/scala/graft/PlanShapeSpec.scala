@@ -403,6 +403,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_cur_end2end: the composite curation plan stays equi-join-only") {
+    val p = plan("q_cur_end2end")
+    // five stage operators composed into one tree must not degrade to a
+    // nested loop anywhere; the tiny sides (contamination pairs, eval
+    // shingles) broadcast
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_pivot with explicit values plans one scan (no pivot-domain discovery query)") {
     val p = plan("q_pivot")
     // count the detail headers "(n) Scan parquet" — one per scan node

@@ -440,6 +440,31 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("DocStreams run-length fold equals naive recounts on 300 random adversarial docs") {
+    // seeded-random texts over a 4-token alphabet (maximal tie/run
+    // density — the hard case for a run-length fold), incl. empty-ish
+    // and single-token docs
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = Vector("aa", "bb", "cc", "dd")
+    val docs = (1 to 300).map { i =>
+      val n = rnd.nextInt(12) + 1
+      val text = Seq.fill(n)(alpha(rnd.nextInt(alpha.size))).mkString(" ")
+      (i.toLong, text, "xx", "srcT", text.length.toLong)
+    }
+    val df = docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.streaming.DocStreams.signals(df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4)))).toMap
+    docs.foreach { case (id, text, _, _, _) =>
+      val w = text.split(" ", -1)
+      val topW = w.groupBy(identity).values.map(_.length).max
+      val bgs = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topB = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.length).max
+      assert(got(id) == ((topW, topB)), s"doc $id: '$text'")
+    }
+  }
+
   test("streaming ingest curation: per-micro-batch output equals the batch filter") {
     val s = spark
     implicit val sq = s.sqlContext
