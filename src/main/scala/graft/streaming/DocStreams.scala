@@ -74,4 +74,38 @@ object DocStreams {
   /** The ingest-time keep filter: quality gate + repetition filter. */
   def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
     signals(docs).filter(col("quality") >= minQuality && !col("repetitive"))
+
+  /** Ingest-time decontamination: flag documents sharing >= `minOverlap`
+    * distinct word 3-grams with the eval SUITE (the union of all eval
+    * docs' shingles — the batch audit `q_cur_decontaminate` is finer,
+    * counting per eval DOC; union overlap is a superset flag, which is
+    * the safe direction for a block-at-ingest filter). The eval shingle
+    * set is benchmark-sized (MBs), so it rides into the stream as one
+    * literal array and the whole check is row-local: distinct doc
+    * shingles ∩ eval set, no state, no shuffle, append mode. */
+  def decontaminate(docs: DataFrame, evalShingles: Seq[String], minOverlap: Int = 5): DataFrame = {
+    val tri =
+      "IF(size(w) >= 3, array_distinct(transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))), " +
+        "CAST(array() AS ARRAY<STRING>))"
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_overlap_eval",
+        size(array_intersect(expr(tri), array(evalShingles.map(lit): _*))))
+      .withColumn("contaminated", col("n_overlap_eval") >= minOverlap)
+      .select(col("doc_id"), col("lang"), col("n_overlap_eval"), col("contaminated"))
+  }
+
+  /** The eval suite's distinct shingle union, computed once in batch
+    * from the eval partition of the corpus (source = 'src0'). */
+  def evalShingleSet(evalDocs: DataFrame): Seq[String] = {
+    val tri =
+      "array_distinct(transform(sequence(0, size(w) - 3), " +
+        "i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))"
+    evalDocs
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 3)
+      .select(explode(expr(tri)).as("sh")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{Doc, DocStreams, Event, EventStreams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.sql.Timestamp
@@ -463,6 +464,41 @@ class StreamingSpec extends GraftSuite {
       val topB = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.length).max
       assert(got(id) == ((topW, topB)), s"doc $id: '$text'")
     }
+  }
+
+  test("streaming decontamination flags a superset of the per-eval-doc batch audit") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val docsDf = Tables.df(spark, sf, "documents")
+    val evalSh = DocStreams.evalShingleSet(docsDf.filter(col("source") === "src0"))
+    assert(evalSh.nonEmpty)
+    val corpus = docsDf.filter(col("source") =!= "src0")
+      .select("doc_id", "text", "lang", "source", "n_chars").as[Doc].collect().toSeq
+    val in = MemoryStream[Doc]
+    val q = DocStreams.decontaminate(in.toDF(), evalSh)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(corpus); q.processAllAvailable()
+      val flagged = spark.sql("SELECT doc_id FROM decon WHERE contaminated").collect()
+        .map(_.getLong(0)).toSet
+      // exact per-doc recount of the union-overlap semantics
+      def tris(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        if (w.length < 3) Set.empty
+        else w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      }
+      val evalSet = evalSh.toSet
+      val expect = corpus.filter(d => (tris(d.text) & evalSet).size >= 5).map(_.doc_id).toSet
+      assert(flagged == expect)
+      // and it must catch at least everything the finer batch audit catches
+      val batchFlagged = SparkEntry.queries("q_cur_decontaminate")(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batchFlagged.subsetOf(flagged),
+        s"missed by ingest filter: ${batchFlagged -- flagged}")
+      assert(batchFlagged.nonEmpty)
+    } finally q.stop()
   }
 
   test("streaming ingest curation: per-micro-batch output equals the batch filter") {
