@@ -1134,6 +1134,52 @@ object PipelineQueries {
         .orderBy("user_id", "purchase_id")
     },
 
+    // --- time-series resampling with forward fill ------------------------
+    Q("q_events_resample",
+      """WITH e0 AS (SELECT user_id, epoch_ms(ts) AS ems, arg_max(value, event_id) AS value
+        |            FROM events GROUP BY user_id, epoch_ms(ts)),
+        |b AS (SELECT user_id, MIN(ems) mn, MAX(ems) mx FROM e0 GROUP BY user_id),
+        |g AS (SELECT user_id, unnest(range(mn, mx + 1, 21600000)) AS gms FROM b)
+        |SELECT g.user_id AS user_id, g.gms AS grid_ms, e.value AS last_value
+        |FROM g ASOF JOIN e0 e ON g.user_id = e.user_id AND g.gms >= e.ems
+        |ORDER BY g.user_id, grid_ms""".stripMargin) { (s, d) =>
+      // Resample each user's value series onto a regular 6-hour grid
+      // anchored at the user's first event, forward-filling from the
+      // most recent at-or-before observation — the gap-filling step of
+      // every temporal feature pipeline. Determinism first: equal-ts
+      // events collapse by max_by(event_id) BEFORE filling (an ASOF tie
+      // would otherwise pick an arbitrary row per engine), and the grid
+      // is exact BIGINT-ms arithmetic. Execution is the same union-merge
+      // as q_join_asof: grid rows and observations interleave in ONE
+      // user_id shuffle and a single running last(ignoreNulls) window
+      // pass fills the grid — no per-grid-point subquery, no range
+      // join, and grid generation (sequence + explode) is map-side.
+      // Grid rows precede observations at equal ts (is_grid sorts
+      // first? no: observations first, so a grid point ON an
+      // observation takes THAT value, matching ASOF's >=).
+      val step = 21600000L
+      val e0 = t(s, d, "events")
+        .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ems"),
+          col("event_id"), col("value"))
+        .groupBy("user_id", "ems")
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      val grid = e0.groupBy("user_id")
+        .agg(min("ems").as("mn"), max("ems").as("mx"))
+        .select(col("user_id"),
+          explode(expr(s"sequence(mn, mx, ${step}L)")).as("gms"))
+        .withColumn("is_grid", lit(1)).withColumn("value", lit(null).cast("double"))
+      val obs = e0.select(col("user_id"), col("ems").as("gms"),
+        lit(0).as("is_grid"), col("value"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("gms"), col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      obs.unionByName(grid)
+        .withColumn("last_value", last(col("value"), ignoreNulls = true).over(w))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"), col("gms").as("grid_ms"), col("last_value"))
+        .orderBy("user_id", "grid_ms")
+    },
+
     // --- native session_window aggregation (same sessions as the
     // lag-gap construction, computed by Spark's built-in operator) -------
     Q("q_events_session_window",

@@ -301,6 +301,29 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_events_resample equals per-user grid + forward fill from scratch") {
+    val ev = Tables.df(spark, sf, "events")
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val step = 21600000L
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      // equal-ts collapse by max event_id, then sorted series
+      val series = rows.groupBy(_._2).toSeq
+        .map { case (ms, g) => ms -> g.maxBy(_._3)._4 }
+        .sortBy(_._1)
+      val (mn, mx) = (series.head._1, series.last._1)
+      (mn to mx by step).map { gms =>
+        val v = series.takeWhile(_._1 <= gms).last._2
+        (u, gms) -> v
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_events_resample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q_join_interval equals the naive user-equi + range-filter join") {
     val got = SparkEntry.queries("q_join_interval")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
