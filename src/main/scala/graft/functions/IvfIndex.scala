@@ -23,7 +23,11 @@ object IvfIndex {
       vecs: DataFrame, // columns: vec_id: long, v: array<double>
       k: Int,
       iters: Int = 3,
-      maxTrainRows: Long = 100000L): Array[Array[Double]] = {
+      maxTrainRows: Long = 100000L,
+      // assignment criterion for the Lloyd step: max-dot (cosine-ish, the
+      // IVF coarse quantizer default) or [[l2CellCol]] (true L2 k-means,
+      // what PQ codebooks need — subvectors are not unit-norm)
+      assign: (Array[Array[Double]], Column) => Column = cellCol): Array[Array[Double]] = {
     // Train on a bounded sample: a coarse quantizer needs ~thousands of
     // vectors per cell, not the corpus, so training cost must be
     // corpus-size-independent — at 100 TB the 1+iters training actions
@@ -60,7 +64,7 @@ object IvfIndex {
         }
       var it = 0
       while (it < iters) {
-        val assigned = cached.withColumn("cell", cellCol(centers, col("v")))
+        val assigned = cached.withColumn("cell", assign(centers, col("v")))
         // new centroid = element-wise mean of the cell's vectors, keyed
         // by cell id. A cell that attracted no vectors keeps its previous
         // centroid — positional indexing would shrink k and permute ids.
@@ -118,6 +122,20 @@ object IvfIndex {
       struct(DotProduct.dot_product(v, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
     }
     // array_max over structs compares by first field (score), then i
+    array_max(array(scored: _*)).getField("i")
+  }
+
+  /** Column: index of the nearest centroid by L2 distance —
+    * argmin ||v−c||² = argmax (v·c − ||c||²/2), so the same codegen'd
+    * dot-product drives it with a per-centroid bias. This is the
+    * criterion PQ codebooks need (subvectors are not unit-norm, where
+    * max-dot degenerates toward the largest-norm centroid). */
+  def l2CellCol(centers: Array[Array[Double]], v: Column): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      val bias = -0.5 * c.map(x => x * x).sum
+      struct((DotProduct.dot_product(v, array(c.map(lit): _*)) + lit(bias)).as("s"),
+        lit(i).as("i"))
+    }
     array_max(array(scored: _*)).getField("i")
   }
 

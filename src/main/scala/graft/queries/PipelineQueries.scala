@@ -1053,6 +1053,40 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // --- PQ ANN: product-quantized scan + exact re-rank ------------------
+    Q.noOracle("q_ann_pq") { (s, d) =>
+      // The memory half of the production ANN stack (IVF = where to
+      // look, PQ = what to store): the corpus is encoded once as m=16
+      // codes per vector (16× smaller than the 64-float embedding — at
+      // 100 TB that is the difference between an in-RAM index and not),
+      // and a probe is (1) one scan of the CODES computing the ADC
+      // approximation — per row just m array lookups into the query's
+      // literal lookup table, zero vector math — (2) a top-100
+      // shortlist, (3) exact cosine re-rank of the shortlist only,
+      // fetching raw vectors for 100 ids via a broadcast semi join.
+      // Approximate → rows-only gate; recall ≥0.9 vs q_ann_bruteforce
+      // asserted in ScalaTest.
+      import graft.functions.PqIndex
+      val dir = s"${SourceQueries.cacheDir(d)}/pq16x32"
+      SourceQueries.materialize(s"$dir/encoded") {
+        PqIndex.buildIndex(vecs(s, d), m = 16, k = 32, dir)
+      }
+      val cb = PqIndex.loadCodebook(s, dir)
+      val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
+        .head().getSeq[Double](0).toArray
+      val lt = PqIndex.lookupTable(cb, qv)
+      val shortlist = s.read.parquet(s"$dir/encoded")
+        .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
+        .orderBy(col("approx").desc, col("vec_id"))
+        .limit(100)
+      val qCol = array(qv.map(lit): _*)
+      vecs(s, d)
+        .join(broadcast(shortlist.select("vec_id")), "vec_id")
+        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // --- as-of join: each purchase paired with the user's most recent
     // click at-or-before it (point-in-time correctness — the canonical
     // feature-lookup join of a training pipeline) ------------------------

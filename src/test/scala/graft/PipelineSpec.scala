@@ -88,6 +88,28 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("PQ ANN (ADC shortlist + exact re-rank) finds the brute-force top-10 (recall >= 0.9)") {
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("q_ann_pq")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("PQ index stores codes only — no raw vectors — at 16 codes per 64-dim vector") {
+    // force the build, then inspect the encoded layout
+    SparkEntry.queries("q_ann_pq")(spark, sf).collect()
+    val dir = s"${graft.queries.SourceQueries.cacheDir(sf)}/pq16x32"
+    val enc = spark.read.parquet(s"$dir/encoded")
+    assert(enc.columns.sorted.toSeq == Seq("codes", "label", "vec_id"), enc.columns.mkString(","))
+    val sizes = enc.select(org.apache.spark.sql.functions.size(col("codes"))).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(16), s"code widths: $sizes")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    assert(cb.count() == 16 * 32)
+  }
+
   test("TopKAggregator keeps best-first order, ties to smaller id, bounded at k") {
     val agg = new graft.functions.TopKAggregator(3)
     var buf = agg.zero
