@@ -62,10 +62,14 @@ object Smoke {
     val (ivfIdxBuild, tIdx) = time(topIds(spark, dir, "q_ann_ivf_index")) // build + first probe
     val (ivfIdx, tProbe) = time(topIds(spark, dir, "q_ann_ivf_index"))    // warm probe only
     require(ivfIdxBuild == ivfIdx, "persisted-index probe must be deterministic")
+    val (pqBuild, tPqB) = time(topIds(spark, dir, "q_ann_pq"))            // codebook+encode+probe
+    val (pq, tPq) = time(topIds(spark, dir, "q_ann_pq"))                  // warm ADC probe
+    require(pqBuild == pq, "PQ probe must be deterministic")
     def recall(a: Set[Long]): Double = exact.intersect(a).size.toDouble / exact.size
     println(f"SMOKE ann: bruteforce=${tBf}%.1fs lsh=${tLsh}%.1fs (recall=${recall(lsh)}%.2f) " +
       f"ivf=${tIvf}%.1fs (recall=${recall(ivf)}%.2f) " +
-      f"ivf_index build+probe=${tIdx}%.1fs probe=${tProbe}%.1fs (recall=${recall(ivfIdx)}%.2f)")
+      f"ivf_index build+probe=${tIdx}%.1fs probe=${tProbe}%.1fs (recall=${recall(ivfIdx)}%.2f) " +
+      f"pq build+probe=${tPqB}%.1fs probe=${tPq}%.1fs (recall=${recall(pq)}%.2f)")
 
     // --- dedup scale path ----------------------------------------------
     val (nPairs, tMh) = time(SparkEntry.queries("q_dedup_minhash")(spark, dir).count())
