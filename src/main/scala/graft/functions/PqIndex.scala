@@ -64,6 +64,30 @@ object PqIndex {
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
 
+  /** Build the COMBINED index — IVF cells for pruning, PQ codes for
+    * memory: coarse centroids + product codebook + the corpus stored as
+    * (vec_id, label, codes) hive-partitioned by IVF cell. A probe reads
+    * only nProbe cells' FILES (partition pruning) and only their CODES
+    * (16× less data) — the two multiplicative reductions a 100 TB
+    * vector store needs. */
+  def buildIvfPqIndex(vecs: DataFrame, kCells: Int, m: Int, k: Int, dir: String): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centers = IvfIndex.trainCentroids(vecs.select("vec_id", "v"), kCells)
+    centers.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids")
+    val cb = trainCodebook(vecs, m, k)
+    cb.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq) }
+    }.toSeq.toDF("s", "c", "v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/codebook")
+    vecs.select(col("vec_id"), col("label"),
+        codesCol(cb, col("v")).as("codes"),
+        IvfIndex.cellCol(centers, col("v")).as("cell"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** ADC lookup table for one query: lt(s)(c) = q_s · codeword(s)(c),
     * so Σ_s lt(s)(codes(s)) ≈ q · reconstruction(x). Driver-side — it
     * is one vector against m·k codewords. */

@@ -1087,6 +1087,41 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // --- IVF+PQ ANN: partition-pruned cell scan over codes ----------------
+    Q.noOracle("q_ann_ivfpq") { (s, d) =>
+      // The combined production index: IVF cells answer WHERE to look
+      // (partition pruning reads nProbe/k of the corpus's FILES), PQ
+      // codes answer WHAT to read (each pruned row is 16 codes, not 64
+      // floats) — the reductions multiply, which is why this is the
+      // layout real 100 TB vector stores run. Probe = pruned ADC code
+      // scan → top-100 shortlist → exact cosine re-rank of 100 raw
+      // vectors via broadcast semi join. Approximate → rows-only gate;
+      // recall ≥0.9 vs brute force in ScalaTest; PartitionFilters
+      // asserted in PlanShapeSpec.
+      import graft.functions.{IvfIndex, PqIndex}
+      val dir = s"${SourceQueries.cacheDir(d)}/ivfpq16"
+      SourceQueries.materialize(s"$dir/cells") {
+        PqIndex.buildIvfPqIndex(vecs(s, d), kCells = 16, m = 16, k = 32, dir)
+      }
+      val centers = IvfIndex.loadCentroids(s, dir)
+      val cb = PqIndex.loadCodebook(s, dir)
+      val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
+        .head().getSeq[Double](0).toArray
+      val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
+      val lt = PqIndex.lookupTable(cb, qv)
+      val shortlist = s.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
+        .orderBy(col("approx").desc, col("vec_id"))
+        .limit(100)
+      val qCol = array(qv.map(lit): _*)
+      vecs(s, d)
+        .join(broadcast(shortlist.select("vec_id")), "vec_id")
+        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // --- as-of join: each purchase paired with the user's most recent
     // click at-or-before it (point-in-time correctness — the canonical
     // feature-lookup join of a training pipeline) ------------------------

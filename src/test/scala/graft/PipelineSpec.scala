@@ -97,6 +97,15 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("IVF+PQ ANN (pruned ADC scan + exact re-rank) finds the brute-force top-10 (recall >= 0.9)") {
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
+  }
+
   test("PQ index stores codes only — no raw vectors — at 16 codes per 64-dim vector") {
     // force the build, then inspect the encoded layout
     SparkEntry.queries("q_ann_pq")(spark, sf).collect()

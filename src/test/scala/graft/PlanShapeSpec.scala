@@ -283,6 +283,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
   }
 
+  test("q_ann_ivfpq probe prunes cell partitions at planning time") {
+    // same pruning story for the combined index: the ADC code scan only
+    // touches the probed cells' directories
+    val p = plan("q_ann_ivfpq")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     // The 100-TB co-location story: bucket both sides on the join key at
     // write time and the join needs no exchange at read time (the analog
