@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Engine-level invariance: a catalog query's RESULT must not depend on
+  * how the engine happened to execute it — AQE on or off, 4 shuffle
+  * partitions or 7. This is the distributed-correctness property that
+  * separates a deterministic pipeline from one that only "usually"
+  * returns the same rows (the reason every selection/packing operator
+  * keys on data hashes, never on partition layout). The subset below
+  * exercises the riskiest shapes: two-phase aggs, multi-join + AQE
+  * broadcast flips, the range-repartition prefix sum, LSH banding,
+  * windowed packing, and the union-merge forward fill.
+  */
+class InvarianceSpec extends GraftSuite {
+
+  private val queries = Seq(
+    "q1_pricing_summary",   // two-phase agg
+    "q_tpch_q5",            // 6-table join, AQE strategy flips
+    "q_cur_token_budget",   // range repartition + spark_partition_id offsets
+    "q_dedup_minhash",      // banded LSH candidate generation
+    "q_window_rank",        // window over hash partitioning
+    "q_cur_pack",           // per-stratum cumulative packing
+    "q_events_resample")    // union-merge forward fill
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try { confs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("results are identical with AQE disabled") {
+    val baseline = queries.map(q => q -> canon(SparkEntry.queries(q)(spark, sf))).toMap
+    withConfs("spark.sql.adaptive.enabled" -> "false") {
+      queries.foreach { q =>
+        assert(canon(SparkEntry.queries(q)(spark, sf)) == baseline(q), s"$q changed without AQE")
+      }
+    }
+  }
+
+  test("results are identical with a different shuffle partition count") {
+    val baseline = queries.map(q => q -> canon(SparkEntry.queries(q)(spark, sf))).toMap
+    withConfs("spark.sql.shuffle.partitions" -> "7") {
+      queries.foreach { q =>
+        assert(canon(SparkEntry.queries(q)(spark, sf)) == baseline(q), s"$q changed at 7 partitions")
+      }
+    }
+  }
+}
