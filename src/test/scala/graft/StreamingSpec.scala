@@ -466,6 +466,47 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("file-source ingest: dir-watched docs flow through curation into a parquet sink") {
+    // the full ingest path a corpus pipeline runs: files land in a
+    // directory, each micro-batch is curated (quality + repetition
+    // filters) and APPENDED to a parquet sink under a checkpoint — then
+    // the sink must equal the batch curation of everything that arrived
+    val inDir = java.nio.file.Files.createTempDirectory("graft_docs_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_docs_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_docs_ckpt").toString
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val all = docs.collect()
+    def writeWave(name: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      val s = spark
+      import scala.jdk.CollectionConverters._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wave")
+      s.createDataFrame(rows.asJava, docs.schema).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(inDir, name))
+    }
+    val (w1, w2) = all.splitAt(all.length / 2)
+    writeWave("w1.parquet", w1.toSeq)
+    val stream = spark.readStream.schema(docs.schema).parquet(inDir)
+    val q = DocStreams.curate(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      writeWave("w2.parquet", w2.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.read.parquet(outDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val batch = DocStreams.curate(docs).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sunk == batch)
+    assert(sunk.nonEmpty && sunk.size < all.length)
+  }
+
   test("streaming decontamination flags a superset of the per-eval-doc batch audit") {
     val s = spark
     implicit val sq = s.sqlContext
