@@ -19,6 +19,19 @@ object Q {
     Q(name, run, Some(oracle))
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, None)
+
+  /** Run one SQL text against per-directory scoped temp-view names (the
+    * only difference from the DuckDB oracle text is the table prefix).
+    * Idempotent registration; keying views on the data dir means
+    * concurrent runs against different scale factors cannot cross-bind —
+    * the view lookup happens at `s.sql` analysis time, inside this call.
+    * `tag` namespaces the views per caller file. */
+  def sqlRun(tag: String, tables: String*)(sql: String => String): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val p = s"graft_$tag${Integer.toHexString(d.hashCode)}_" // hex: identifier-safe
+      tables.foreach(t => graft.Tables.df(s, d, t).createOrReplaceTempView(s"$p$t"))
+      s.sql(sql(p))
+    }
 }
 
 /** Shared helpers for oracle-exact results.

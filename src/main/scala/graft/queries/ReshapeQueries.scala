@@ -20,15 +20,10 @@ import org.apache.spark.sql.functions._
 object ReshapeQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
-  /** Register views under per-dir scoped names and run one SQL text —
-    * same pattern as SubqueryQueries.run (the component under test is
-    * Spark's own parse/decorrelate of the text, not a hand-built plan). */
+  /** SQL-text queries run via [[Q.sqlRun]] — the component under test is
+    * Spark's own parse/decorrelate of the text, not a hand-built plan. */
   private def sqlRun(tables: String*)(sql: String => String): (SparkSession, String) => DataFrame =
-    (s, d) => {
-      val p = s"graft_rs${Integer.toHexString(d.hashCode)}_"
-      tables.foreach(n => Tables.df(s, d, n).createOrReplaceTempView(s"$p$n"))
-      s.sql(sql(p))
-    }
+    Q.sqlRun("rs", tables: _*)(sql)
 
   val all: Seq[Q] = Seq(
 

@@ -39,16 +39,9 @@ object SubqueryQueries {
   private type Sql = String => String
 
   /** Register the tables a query reads under scoped, per-directory view
-    * names (idempotent; avoids clobbering user temp views with bare
-    * names, and keys on the data dir so concurrent runs against
-    * different scale factors cannot cross-bind — the view lookup happens
-    * at `s.sql` analysis time, inside this call). */
+    * names and run the text — shared [[Q.sqlRun]] machinery. */
   private def run(tables: String*)(sql: Sql): (SparkSession, String) => DataFrame =
-    (s, d) => {
-      val p = s"graft_sq${Integer.toHexString(d.hashCode)}_" // hex: identifier-safe
-      tables.foreach(t => Tables.df(s, d, t).createOrReplaceTempView(s"$p$t"))
-      s.sql(sql(p))
-    }
+    Q.sqlRun("sq", tables: _*)(sql)
 
   // TPC-H Q4 (order priority checking): correlated EXISTS → left-semi
   // join on o_orderkey. Scale: the date window prunes orders at the scan;
