@@ -23,4 +23,14 @@ class DocsSpec extends GraftSuite {
         s"${q.name}: oracle SQL lacks column aliases ${missing.mkString(", ")}")
     }
   }
+
+  test("every catalog query has a recorded BASELINE.md bench row") {
+    // the perf gate compares BENCH_rN against these rows; a query added
+    // without recording its baseline silently escapes the 2x gate
+    val baseline = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BASELINE.md")))
+    val missing = SparkEntry.catalog.map(_.name)
+      .filterNot(n => baseline.contains(s"| $n | 0.1 |"))
+    assert(missing.isEmpty, s"queries without a bench baseline: ${missing.mkString(", ")}")
+  }
 }
