@@ -51,9 +51,25 @@ object Smoke {
         .drop("copy")
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/embeddings.parquet")
     }
+    if (!new java.io.File(s"$dir/events.parquet", "_SUCCESS").exists()) {
+      // ×docMult events as DISTINCT users (ids offset per copy): the
+      // temporal operators are per-user, so semantics stay exact and
+      // outputs scale linearly — a pure wall-clock probe of the
+      // user_id-shuffle family (asof/interval/resample/sessionize)
+      val ev = Tables.df(spark, sfDir, "events")
+      val maxUser = ev.agg(max("user_id")).head().getLong(0) + 1
+      val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+      ev.crossJoin(spark.range(docMult).toDF("copy"))
+        .withColumn("user_id", col("user_id") + col("copy") * maxUser)
+        .withColumn("event_id", col("event_id") + col("copy") * maxEvent)
+        .drop("copy")
+        .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    }
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    println(s"SMOKE corpus: $nDocs docs, $nVecs vectors at $dir")
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    println(s"SMOKE corpus: $nDocs docs, $nVecs vectors, $nEvents events at $dir")
 
     // --- ANN recall at scale (vs brute force on the same corpus) -------
     val (exact, tBf) = time(topIds(spark, dir, "q_ann_bruteforce"))
@@ -116,6 +132,14 @@ object Smoke {
     // (every eval doc and every contaminated doc appears M times →
     // pair count scales ~M², broadcast profile/shingle sets scale ~M —
     // still model-sized); repetition and langid scale linearly in docs.
+    // --- temporal operators at scale (round 7) --------------------------
+    val (nAsof, tAsof) = time(SparkEntry.queries("q_join_asof")(spark, dir).count())
+    val (nIv, tIv) = time(SparkEntry.queries("q_join_interval")(spark, dir).count())
+    val (nRs, tRs) = time(SparkEntry.queries("q_events_resample")(spark, dir).count())
+    val (nSess, tSess) = time(SparkEntry.queries("q_events_sessionize")(spark, dir).count())
+    println(f"SMOKE temporal: asof=${tAsof}%.1fs ($nAsof rows) interval=${tIv}%.1fs ($nIv) " +
+      f"resample=${tRs}%.1fs ($nRs) sessionize=${tSess}%.1fs ($nSess)")
+
     val (nDecon, tDecon) = time(SparkEntry.queries("q_cur_decontaminate")(spark, dir).count())
     val (nRep, tRep) = time(
       SparkEntry.queries("q_text_repetition")(spark, dir).filter("repetitive").count())
