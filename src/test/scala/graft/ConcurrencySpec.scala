@@ -40,7 +40,8 @@ class ConcurrencySpec extends GraftSuite {
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val names = Seq("q_csv_scan", "q_bucketed_join", "q_avro_scan", "q_listing_scan")
+      val names = Seq("q_csv_scan", "q_bucketed_join", "q_avro_scan", "q_listing_scan",
+        "q_ann_pq", "q_ann_ivfpq") // the ANN index builds share the same lock
       val futures = (0 until 2).flatMap(_ => names).map(n => Future {
         n -> SparkEntry.queries(n)(spark, sf).collect().map(_.toString).mkString("|")
       })
