@@ -127,4 +127,34 @@ class FunctionsSpec extends GraftSuite {
     }
     assert(e.getMessage.toLowerCase.contains("type"))
   }
+
+  test("custom codegen expressions match Scala models on 300 seeded-random rows") {
+    // drives RollingHash / IntersectCount / DotProduct through the real
+    // whole-stage-codegen path (a DataFrame scan, not interpreted eval)
+    // on randomized inputs incl. empty strings/arrays
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { i =>
+      val text = Iterator.fill(rnd.nextInt(40))((rnd.nextInt(95) + 32).toChar).mkString
+      val a = Seq.fill(rnd.nextInt(6))(rnd.nextInt(10).toLong).distinct
+      val b = Seq.fill(rnd.nextInt(6))(rnd.nextInt(10).toLong).distinct
+      val va = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+      val vb = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+      (i.toLong, text, a, b, va, vb)
+    }
+    val got = rows.toDF("id", "text", "a", "b", "va", "vb")
+      .select(col("id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("rh"),
+        graft.functions.IntersectCount.intersect_count(col("a"), col("b")).as("ic"),
+        graft.functions.DotProduct.dot_product(col("va"), col("vb")).as("dp"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    rows.foreach { case (id, text, a, b, va, vb) =>
+      val rh = text.getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 31 + (c & 0xff)) % 1000000007L)
+      val ic = (a.toSet & b.toSet).size
+      val dp = va.zip(vb).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      assert(got(id) == ((rh, ic, dp)), s"row $id text='$text' a=$a b=$b")
+    }
+  }
 }
