@@ -479,6 +479,123 @@ object CurationQueries {
         .orderBy("lang", "bin_id")
     },
 
+    // --- per-domain caps (keep best N docs per source) -----------------------
+    Q("q_cur_domain_cap",
+      s"""WITH $ScoredCte,
+         |j AS (SELECT d.source, sc.doc_id, sc.quality
+         |      FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+         |r AS (SELECT source, doc_id, quality,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |                           ORDER BY quality DESC, doc_id) AS rn
+         |      FROM j)
+         |SELECT source, doc_id AS keep_id, quality, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5 ORDER BY source, rn""".stripMargin) { (s, d) =>
+      // Per-domain caps (the Common-Crawl-style anti-boilerplate rule:
+      // no source may dominate the corpus): keep the best 5 docs per
+      // source by quality. Executed with the bounded-heap TopKAggregator
+      // — map-side partials reduce every partition to ≤5 (quality, id)
+      // pairs per source BEFORE the exchange, so the shuffle carries
+      // 5·partitions·|sources| rows, not the corpus. The oracle's window
+      // spelling (sort every source's rows) is what this replaces: at
+      // 100 TB a mega-domain would pin one sort task; the heap is O(5)
+      // memory per group regardless of domain size. Tie semantics
+      // (quality DESC, doc_id ASC) match the aggregator's built-in
+      // smaller-id tiebreak.
+      val topk = udaf(new graft.functions.TopKAggregator(5),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(scored(s, d).select("doc_id", "quality"), "doc_id")
+        .groupBy("source")
+        .agg(topk(col("quality"), col("doc_id")).as("arr"))
+        .select(col("source"), posexplode(col("arr")).as(Seq("pos", "p")))
+        .select(col("source"), col("p._2").as("keep_id"), col("p._1").as("quality"),
+          (col("pos") + 1).cast("bigint").as("rn"))
+        .orderBy("source", "rn")
+    },
+
+    // --- PII redaction with per-doc accounting -------------------------------
+    Q("q_cur_pii",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or call 555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9]+@[a-z.]+[a-z]')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '555-[0-9]{4}')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(t, '[a-z0-9]+@[a-z.]+[a-z]', '<EMAIL>', 'g'),
+        |                 '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // PII scrub — the compliance pass every released corpus needs:
+      // redact email/phone shapes and RECORD how many of each were
+      // removed per document (silent redaction is unauditable). The
+      // corpus text is synthetic word soup, so deterministic PII-shaped
+      // strings are appended in-query first; patterns stay in the
+      // POSIX-class subset that Java regex and RE2 interpret identically
+      // (greedy classes, no lookaround), which is what makes the exact
+      // cross-engine oracle possible. Purely row-local — no shuffle, no
+      // state; at 100 TB this runs at scan speed alongside ingest, the
+      // same place DocStreams applies its curation filters.
+      val email = "[a-z0-9]+@[a-z.]+[a-z]"
+      val phone = "555-[0-9]{4}"
+      val aug = t(s, d, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" now")).as("t"))
+      aug.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+        regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("redacted"))
+        .orderBy("doc_id")
+    },
+
+    // --- incremental snapshot upsert (SCD1 merge) ----------------------------
+    Q("q_cur_upsert",
+      """WITH upd AS (
+        |  SELECT doc_id, lang, source, text || ' rev2' AS text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |ins AS (
+        |  SELECT doc_id + 1000000 AS doc_id, lang, source,
+        |         'new doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |merged AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text, 1 AS version FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM delta)
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, text, 2 AS version FROM delta)
+        |SELECT doc_id, lang, source, CAST(version AS INT) AS version,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM merged ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Incremental corpus refresh — MERGE INTO semantics (SCD1) without
+      // a table format: a delta of updated rows (same key, new text) and
+      // inserted rows (new keys) replaces/extends the base snapshot.
+      // Composition: base ANTI JOIN delta-keys ∪ delta — ONE doc_id-keyed
+      // join, and since deltas are small relative to the snapshot the
+      // anti join broadcasts the delta key set, so the 100 TB base never
+      // shuffles; this is how every nightly corpus rebuild should look
+      // (full rewrite = the strawman). The streaming twin is the
+      // idempotent foreachBatch upsert sink in EventStreams. Output
+      // pins per-row content via exact text length + version lineage.
+      val base = t(s, d, "documents").select("doc_id", "lang", "source", "text")
+      val upd = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"), col("source"),
+          concat(lit("new doc "), col("doc_id").cast("string"), lit(" "), col("text")).as("text"))
+      val delta = upd.unionByName(ins).withColumn("version", lit(2))
+      val merged = base.withColumn("version", lit(1))
+        .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+      merged.select(col("doc_id"), col("lang"), col("source"),
+        col("version").cast("int").as("version"),
+        length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // --- int8-quantized similarity scoring ----------------------------------
     Q("q_cur_ann_int8",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -671,6 +671,37 @@ object PipelineQueries {
         .limit(50)
     },
 
+    // --- heavy hitters: Misra-Gries sketch + exact recount of the
+    // candidate set (two passes, bounded memory) -------------------------
+    Q("q_text_heavy_hitters",
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      // Top-20 terms via the production two-pass shape: pass 1 feeds every
+      // token through the Misra-Gries sketch (FreqSketch, m=100) — each
+      // map-side partial carries an m-entry map, NOT one row per distinct
+      // token, so the exchange is m×partitions regardless of vocabulary
+      // size (for n-gram vocabularies of trillions of keys, q_text_vocab's
+      // full groupBy shuffle is the thing that dies at 100 TB; this
+      // doesn't). Pass 2 re-counts ONLY the candidates exactly (broadcast
+      // semi join → tiny ≤m-key aggregate) and takes the top 20.
+      // Determinism: MG guarantees every token with freq > N/(m+1) is in
+      // the candidate set under ANY merge order; here vocabulary < m, so
+      // candidates = all tokens and the recount is exactly the oracle's
+      // global count (FunctionsSpec stress-tests the m < vocabulary
+      // regime and the error bound on adversarial streams).
+      val sketch = udaf(new graft.functions.FreqSketch(100),
+        org.apache.spark.sql.Encoders.STRING)
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val cands = toks.agg(sketch(col("token")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("token"))
+      toks.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    },
+
     // --- tf·idf: top-3 characteristic terms per document ----------------
     Q("q_text_tfidf",
       """WITH tok AS (
@@ -1278,6 +1309,36 @@ object PipelineQueries {
           date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    },
+
+    // --- hopping (sliding) time windows in batch ------------------------
+    Q("q_events_hopping",
+      """WITH x AS (
+        |  SELECT event_type, value,
+        |    TIMESTAMP '1970-01-01 00:00:00'
+        |      + (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) * 1800 - k.k * 1800) * INTERVAL 1 SECOND AS w
+        |  FROM events, (SELECT unnest(range(0, 4)) AS k) k)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM x GROUP BY w, event_type ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+      // Hopping windows (2 h length, 30 min slide): every event lands in
+      // exactly 4 overlapping epoch-aligned windows — the batch twin of
+      // the streaming windowedCounts aggregation (EventStreams), same
+      // built-in `window()` operator. Spark expands the 4 windows
+      // map-side then two-phase aggregates: the shuffle carries
+      // (window, type, partial) rows — windows×types, not events. The
+      // oracle derives the same 4 window starts arithmetically
+      // (bucket(ts) − k·slide, k ∈ 0..3), pinning the operator's
+      // alignment and boundary semantics ([start, end) — an event on a
+      // window boundary belongs to the window it STARTS).
+      t(s, d, "events")
+        .select(col("event_type"), col("value"), col("ts").cast("timestamp").as("ts"))
+        .groupBy(window(col("ts"), "2 hours", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("value")).as("total"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("ws", "event_type")
     },
 
     // --- event sessionization (gap > 30 min ⇒ new session) --------------

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source-format parity (SURVEY.md §2.2): CSV with delimiter+header,
@@ -73,6 +73,50 @@ object SourceQueries {
           col("o_orderpriority"))
         .coalesce(1).write.mode(SaveMode.Overwrite).json(s"${cacheDir(d)}/orders_json")
     }
+
+  /** Events re-laid-out by a sort key, range-partitioned into 32 files
+    * with small parquet row groups (32 KiB here so layout effects are
+    * measurable at test SF; production uses the default 128 MiB — the
+    * pruning argument is per-row-group either way). Shared by the
+    * Z-order and single-column layouts so LayoutSpec compares footers
+    * of structurally identical writes. */
+  private[graft] def eventsLayout(
+      s: SparkSession, d: String, name: String)(key: DataFrame => Column): String =
+    materialize(s"${cacheDir(d)}/$name") {
+      // INT96 (Spark's legacy default timestamp encoding) carries no
+      // row-group statistics — min/max pruning on ts requires the modern
+      // INT64 micros encoding.
+      val tsType = "spark.sql.parquet.outputTimestampType"
+      val prev = s.conf.get(tsType)
+      s.conf.set(tsType, "TIMESTAMP_MICROS")
+      try {
+        val ev = t(s, d, "events").withColumn("ts", col("ts").cast("timestamp"))
+        ev.withColumn("zz", key(ev))
+          .repartitionByRange(32, col("zz"))
+          .sortWithinPartitions("zz")
+          .drop("zz")
+          .write.mode(SaveMode.Overwrite)
+          .option("parquet.block.size", 32 * 1024)
+          .parquet(s"${cacheDir(d)}/$name")
+      } finally s.conf.set(tsType, prev)
+    }
+
+  /** Z-ordered events: 8-bit (user_id, time) Morton key. Bucket bounds
+    * come from one metadata-sized agg at write time (layout decisions
+    * may read stats; queries never do). */
+  private[graft] def zorderedEvents(s: SparkSession, d: String): String =
+    eventsLayout(s, d, "events_zorder") { ev =>
+      val b = ev.agg(min("user_id"), max("user_id"),
+        min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head()
+      graft.functions.ZOrder.zkey(
+        graft.functions.ZOrder.bucket(col("user_id"), b.getLong(0), b.getLong(1), 8),
+        graft.functions.ZOrder.bucket(unix_millis(col("ts")), b.getLong(2), b.getLong(3), 8),
+        8)
+    }
+
+  /** The single-dimension strawman: same write, sorted by time only. */
+  private[graft] def tsSortedEvents(s: SparkSession, d: String): String =
+    eventsLayout(s, d, "events_tsorted")(_ => unix_millis(col("ts")))
 
   val all: Seq[Q] = Seq(
 
@@ -289,6 +333,34 @@ object SourceQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), Qh.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    Q("q_zorder_scan",
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 19
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Multi-dimensional Z-order layout: events rewritten once sorted by
+      // the Morton interleave of (user_id, time) buckets, then a 2-D
+      // selective box (10 of the users × 2 of the 30 days). Both
+      // predicates reach the parquet scan as PushedFilters, and because
+      // every row group covers a small (user_id, ts) BOX — not a full
+      // user range like a time-sorted layout — row-group min/max prunes
+      // on both dimensions: at 100 TB the scan reads ~box-fraction of
+      // the table instead of every row group in the time range.
+      // LayoutSpec counts overlapping row groups from the footers of
+      // this layout vs the time-sorted strawman; the oracle reads the
+      // ORIGINAL events table — layout must never change results.
+      val path = zorderedEvents(s, d)
+      s.read.parquet(path)
+        .filter(col("user_id").between(10, 19) &&
+          col("ts") >= expr("timestamp'2024-01-10 00:00:00'") &&
+          col("ts") < expr("timestamp'2024-01-12 00:00:00'"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("value")).as("total"))
+        .orderBy("event_type")
     },
 
     Q("q_repartition",

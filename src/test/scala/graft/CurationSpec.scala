@@ -249,4 +249,55 @@ class CurationSpec extends GraftSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("q_cur_domain_cap: heap aggregate equals the window spelling, <=5 per source") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q_cur_domain_cap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val perSource = got.groupBy(_._1)
+    assert(perSource.nonEmpty && perSource.values.forall(_.size <= 5))
+    // from-scratch window recomputation over the same quality frame
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    val expect = Tables.df(spark, sf, "documents").select("doc_id", "source")
+      .join(SparkEntry.queries("q_text_quality")(spark, sf).select("doc_id", "quality"), "doc_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select("source", "doc_id", "quality", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q_cur_pii: redacted text carries no PII shapes and counts are accounted") {
+    val rows = SparkEntry.queries("q_cur_pii")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val email = "[a-z0-9]+@[a-z.]+[a-z]".r
+    val phone = "555-[0-9]{4}".r
+    rows.foreach { r =>
+      val red = r.getString(3)
+      assert(email.findFirstIn(red).isEmpty, s"doc ${r.getLong(0)}: email survived redaction")
+      assert(phone.findFirstIn(red).isEmpty, s"doc ${r.getLong(0)}: phone survived redaction")
+      // the synthesized suffix guarantees at least one of each; counts
+      // must equal the number of placeholders actually substituted
+      assert(r.getInt(1) >= 1 && r.getInt(2) >= 1)
+      assert("<EMAIL>".r.findAllIn(red).size == r.getInt(1))
+      assert("<PHONE>".r.findAllIn(red).size == r.getInt(2))
+    }
+  }
+
+  test("q_cur_upsert: version lineage and row accounting are exact") {
+    val base = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = SparkEntry.queries("q_cur_upsert")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(4)))
+    val updated = base.keySet.filter(_ % 7 == 0)
+    val inserted = base.keySet.filter(_ % 11 == 0).map(_ + 1000000L)
+    assert(got.length == base.size + inserted.size, "merge must keep every key exactly once")
+    assert(got.map(_._1).toSet == base.keySet ++ inserted)
+    got.foreach { case (id, version, nChars) =>
+      if (updated(id)) assert(version == 2 && nChars == base(id).length + 5) // ' rev2'
+      else if (id >= 1000000L) assert(version == 2)
+      else assert(version == 1 && nChars == base(id).length)
+    }
+  }
 }

@@ -157,4 +157,46 @@ class FunctionsSpec extends GraftSuite {
       assert(got(id) == ((rh, ic, dp)), s"row $id text='$text' a=$a b=$b")
     }
   }
+
+  test("FreqSketch: Misra-Gries bounds hold on an adversarial stream, any merge order") {
+    // vocabulary (10k) >> capacity (m=50): decrement and merge-trim paths
+    // fire constantly. Stream: 20 heavy items at ~2.5% each, the rest a
+    // long uniform tail. Checks all three MG guarantees against exact
+    // counts, for partials merged in shuffled order AND as a skewed
+    // left-deep chain — candidate-set guarantees must be merge-shape-free.
+    val m = 50
+    val sk = new graft.functions.FreqSketch(m)
+    val rnd = new scala.util.Random(11)
+    val heavy = (0 until 20).map(i => s"hot$i")
+    val stream = rnd.shuffle(
+      heavy.flatMap(h => Seq.fill(500)(h)) ++
+        Seq.fill(10000)(s"tail${rnd.nextInt(10000)}"))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+
+    val chunks = stream.grouped(997).map(_.foldLeft(sk.zero)(sk.reduce)).toSeq
+    for (partials <- Seq(rnd.shuffle(chunks), chunks.reverse)) {
+      val merged = partials.reduceLeft(sk.merge)
+      val est = sk.finish(merged)
+      assert(est.size <= m, s"summary exceeds capacity: ${est.size}")
+      est.foreach { case (t, c) =>
+        assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+        assert(exact(t) - c <= n / (m + 1), s"$t undercount beyond N/(m+1)")
+      }
+      val mustHave = exact.filter(_._2 > n / (m + 1)).keySet
+      assert(mustHave.subsetOf(est.keySet),
+        s"missing heavy items: ${(mustHave -- est.keySet).mkString(",")}")
+      assert(heavy.forall(est.contains), "every 2.5% item must be tracked")
+    }
+  }
+
+  test("FreqSketch: exact when vocabulary fits capacity (the catalog regime)") {
+    val sk = new graft.functions.FreqSketch(100)
+    val rnd = new scala.util.Random(3)
+    val stream = Seq.fill(5000)(s"w${rnd.nextInt(60)}")
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val partials = stream.grouped(321).map(_.foldLeft(sk.zero)(sk.reduce)).toSeq
+    val est = sk.finish(partials.reduceLeft(sk.merge))
+    assert(est == exact, "with vocab < m the sketch is the exact count map")
+  }
 }
