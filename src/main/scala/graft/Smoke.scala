@@ -148,6 +148,33 @@ object Smoke {
     println(f"SMOKE curation: decontaminate=${tDecon}%.1fs ($nDecon pairs) " +
       f"repetition=${tRep}%.1fs ($nRep flagged) langid=${tLang}%.1fs ($nLang scored) " +
       f"end2end=${tE2e}%.1fs ($nE2e lang-split cells)")
+
+    // --- round-8 operators at scale --------------------------------------
+    // heavy hitters: sketch pass + candidate recount, both linear scans;
+    // domain caps: heap partials bound the per-source shuffle; pii +
+    // upsert + weighted sample: row-local / broadcast-delta shapes;
+    // hopping: 4× map-side expand then windows×types-bounded agg.
+    val (hh, tHh) = time(SparkEntry.queries("q_text_heavy_hitters")(spark, dir).count())
+    val (nCap, tCap) = time(SparkEntry.queries("q_cur_domain_cap")(spark, dir).count())
+    // count() would prune the regex projections to a bare scan — noop
+    // write (the Bench convention) forces the real redaction work
+    val (nPii, tPii) = time {
+      val df = SparkEntry.queries("q_cur_pii")(spark, dir)
+      df.write.format("noop").mode(SaveMode.Overwrite).save()
+      df.count()
+    }
+    val (nUp, tUp) = time(SparkEntry.queries("q_cur_upsert")(spark, dir).count())
+    val (nWs, tWs) = time(SparkEntry.queries("q_cur_sample_weighted")(spark, dir).count())
+    val (nHop, tHop) = time(SparkEntry.queries("q_events_hopping")(spark, dir).count())
+    println(f"SMOKE round8: heavy_hitters=${tHh}%.1fs ($hh terms) " +
+      f"domain_cap=${tCap}%.1fs ($nCap kept) pii=${tPii}%.1fs ($nPii docs) " +
+      f"upsert=${tUp}%.1fs ($nUp rows) weighted_sample=${tWs}%.1fs ($nWs) " +
+      f"hopping=${tHop}%.1fs ($nHop windows)")
+    // Z-order layout at scale: one-time layout write (the expensive,
+    // amortized step) then the pruned 2-D probe
+    val (_, tZw) = time(graft.queries.SourceQueries.zorderedEvents(spark, dir))
+    val (nZ, tZp) = time(SparkEntry.queries("q_zorder_scan")(spark, dir).count())
+    println(f"SMOKE zorder: layout write=${tZw}%.1fs probe=${tZp}%.1fs ($nZ rows)")
     spark.stop()
   }
 }

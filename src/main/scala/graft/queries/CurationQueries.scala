@@ -177,6 +177,32 @@ object CurationQueries {
         .orderBy("lang", "rn")
     },
 
+    // --- weighted sampling (quality-proportional, deterministic) ---------
+    Q("q_cur_sample_weighted",
+      s"""WITH $ScoredCte,
+         |k AS (SELECT doc_id, quality,
+         |        ROUND(POW((($KnuthSql) + 1) / 4294967296.0, 1.0 / quality), 9) AS skey
+         |      FROM sc)
+         |SELECT doc_id, quality, skey FROM k
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      // Weighted sampling without replacement (Efraimidis–Spirakis
+      // exponential keys): key = u^(1/w) with weight w = quality and
+      // u = (knuth(doc_id)+1)/2^32 — the top-k by key IS a w-proportional
+      // sample. Same design rule as every sampler here: u comes from the
+      // data's hash, not rand(), so the sample is reproducible across
+      // runs/engines, and the selection is a row-local projection + one
+      // TakeOrdered — no shuffle, no coordination, no rejection loop.
+      // This is how "sample 100 docs biased toward quality" should run
+      // at 100 TB (the unweighted twin is q_cur_sample_hash). round9
+      // absorbs sub-ulp pow() differences across libm implementations.
+      val sc = scored(s, d)
+      sc.select(col("doc_id"), col("quality"),
+        round(pow((knuth(col("doc_id")) + 1) / lit(4294967296.0),
+          lit(1.0) / col("quality")), 9).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(100)
+    },
+
     // --- balanced source mixing ------------------------------------------
     Q("q_cur_mix_langs",
       s"""WITH x AS (SELECT doc_id, lang, $KnuthSql AS h FROM documents),

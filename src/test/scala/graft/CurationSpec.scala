@@ -250,6 +250,26 @@ class CurationSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_cur_sample_weighted: Efraimidis-Spirakis keys, quality-biased, reproducible") {
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // from-scratch key computation (same formula, independent code path)
+    val keys = docs.map { case (id, nc, text) =>
+      val u = (knuth(id) + 1).toDouble / 4294967296.0
+      (id, quality(nc, text), round9(math.pow(u, 1.0 / quality(nc, text))))
+    }
+    val expect = keys.sortBy { case (id, _, k) => (-k, id) }.take(100).toSeq
+    val got = SparkEntry.queries("q_cur_sample_weighted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == expect)
+    // weighting sanity: the sample's mean quality must beat the corpus mean
+    val corpusMean = keys.map(_._2).sum / keys.length
+    val sampleMean = got.map(_._2).sum / got.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample ($sampleMean) should be quality-biased vs corpus ($corpusMean)")
+  }
+
   test("q_cur_domain_cap: heap aggregate equals the window spelling, <=5 per source") {
     import org.apache.spark.sql.expressions.Window
     val got = SparkEntry.queries("q_cur_domain_cap")(spark, sf).collect()

@@ -21,7 +21,10 @@ class InvarianceSpec extends GraftSuite {
     "q_dedup_minhash",      // banded LSH candidate generation
     "q_window_rank",        // window over hash partitioning
     "q_cur_pack",           // per-stratum cumulative packing
-    "q_events_resample")    // union-merge forward fill
+    "q_events_resample",    // union-merge forward fill
+    "q_text_heavy_hitters", // MG sketch partials merge in layout-dependent
+                            //   order; the exact recount must erase that
+    "q_zorder_scan")        // layout + row-group pruning must not leak into results
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY

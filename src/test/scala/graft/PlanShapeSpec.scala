@@ -428,4 +428,26 @@ class PlanShapeSpec extends GraftSuite {
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1, p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
+
+  test("q_zorder_scan pushes BOTH box dimensions into the layout scan") {
+    // the Z-order layout only pays off if user_id AND ts predicates both
+    // reach the parquet reader for row-group min/max pruning (LayoutSpec
+    // counts the pruned groups from the footers; this pins the pushdown)
+    val p = plan("q_zorder_scan")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("GreaterThanOrEqual(user_id") || pushed.contains("In(user_id"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(ts"), pushed)
+    assert(pushed.contains("LessThan(ts"), pushed)
+  }
+
+  test("q_text_heavy_hitters recounts candidates via broadcast, two-phase aggs") {
+    val p = plan("q_text_heavy_hitters")
+    // pass 2 must join the exploded tokens against the ≤m-key candidate
+    // set as a broadcast semi join (never a token-keyed shuffle join),
+    // and both the sketch pass and the recount aggregate in two phases
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size
+      + "SortAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }
