@@ -161,6 +161,38 @@ object AggregateQueries {
         .orderBy("l_returnflag")
     },
 
+    Q("q_agg_histogram",
+      """WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc FROM lineitem),
+        |b AS (SELECT MIN(vc) AS mnc, MAX(vc) AS mxc FROM c)
+        |SELECT ((vc - mnc) * 20) // (mxc - mnc + 1) AS bucket,
+        |       MIN(mnc + ((((vc - mnc) * 20) // (mxc - mnc + 1)) * (mxc - mnc + 1)) // 20) AS lo_cents,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(vc) AS BIGINT) AS sum_cents
+        |FROM c, b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      // Equi-width histogram (the distribution-profiling primitive every
+      // corpus diagnostic needs): 20 buckets over [min, max]. Bucketing
+      // is EXACT INTEGER arithmetic — prices become cents (2-decimal
+      // doubles round-trip exactly through ROUND(x*100)), and the bucket
+      // index is a single integer multiply+divide — so no value can
+      // straddle a float bucket boundary differently across engines or
+      // executors. Shape: one metadata-sized min/max agg broadcast into
+      // a row-local bucketing pass, then a 20-group two-phase count/sum
+      // — the shuffle carries 20 rows per partition regardless of table
+      // size. (Spark's width_bucket is float division — same plan, but
+      // boundary values would be engine-dependent; documented trade.)
+      val c = t(s, d, "lineitem")
+        .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("vc"))
+      val b = c.agg(min("vc").as("mnc"), max("vc").as("mxc"))
+      c.crossJoin(broadcast(b))
+        .select(col("vc"), col("mnc"), col("mxc"),
+          expr("((vc - mnc) * 20) div (mxc - mnc + 1)").as("bucket"))
+        .groupBy("bucket")
+        .agg(min(expr("mnc + ((bucket * (mxc - mnc + 1)) div 20)")).as("lo_cents"),
+          count(lit(1)).as("n"),
+          sum("vc").cast("long").as("sum_cents"))
+        .orderBy("bucket")
+    },
+
     Q("q_agg_collect",
       """SELECT l_returnflag,
         |       to_json(list_sort(array_agg(DISTINCT l_linestatus)))::VARCHAR AS statuses

@@ -849,6 +849,55 @@ object PipelineQueries {
         .orderBy("label", "pos")
     },
 
+    // --- embedding drift between corpus snapshots -----------------------
+    Q("q_embed_drift",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e2 AS (SELECT vec_id, label,
+        |         [v[i] + ((vec_id * 31 + (i - 1)) % 7 - 3) / 128.0
+        |          for i in range(1, len(v) + 1)] AS v
+        |       FROM e),
+        |s1 AS (SELECT label, pos, SUM(CAST(floor(v[pos + 1] * 16777216) AS BIGINT)) AS sp
+        |       FROM e, (SELECT unnest(range(64)) AS pos) GROUP BY label, pos),
+        |s2 AS (SELECT label, pos, SUM(CAST(floor(v[pos + 1] * 16777216) AS BIGINT)) AS sp
+        |       FROM e2, (SELECT unnest(range(64)) AS pos) GROUP BY label, pos),
+        |n AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT s1.label, CAST(n.n_vecs AS BIGINT) AS n_vecs,
+        |  ROUND(SUM(CAST(s1.sp AS DOUBLE) * CAST(s2.sp AS DOUBLE))
+        |        / (SQRT(SUM(CAST(s1.sp AS DOUBLE) * CAST(s1.sp AS DOUBLE)))
+        |           * SQRT(SUM(CAST(s2.sp AS DOUBLE) * CAST(s2.sp AS DOUBLE)))), 9) AS drift_cos
+        |FROM s1 JOIN s2 ON s1.label = s2.label AND s1.pos = s2.pos
+        |JOIN n ON s1.label = n.label
+        |GROUP BY s1.label, n.n_vecs ORDER BY s1.label""".stripMargin) { (s, d) =>
+      // Embedding drift monitoring: cosine between each label's centroid
+      // in snapshot 1 (the corpus) and snapshot 2 (here: a derived
+      // re-embedding, jittered by a DYADIC rational of (vec_id, dim) —
+      // exact in binary floating point, so no libm call sits in front of
+      // the fixed-point floor and both engines see identical inputs).
+      // The per-(label, pos) component sums are exact integers (same
+      // 2^-24 fixed-point trick as q_embed_centroid — bit-stable at any
+      // parallelism); the count divisor cancels in the cosine, so the
+      // drift is computed straight from the integer sums. This is the
+      // nightly "did the embedding distribution move" check a feature
+      // store runs: two scans, one (label, pos) shuffle of partial sums,
+      // a |labels|×64-row join — no vector ever crosses the network.
+      val e = vecs(s, d)
+      val e2 = e.select(col("vec_id"), col("label"), expr(
+        "transform(v, (x, i) -> x + CAST((vec_id * 31 + i) % 7 - 3 AS DOUBLE) / 128.0)").as("v"))
+      def comp(df: DataFrame, out: String) = df
+        .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("x") * 16777216L).cast("long")).cast("double").as(out))
+      val n = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      comp(e, "sp1").join(comp(e2, "sp2"), Seq("label", "pos"))
+        .groupBy("label")
+        .agg(round(sum(col("sp1") * col("sp2")) /
+          (sqrt(sum(col("sp1") * col("sp1"))) * sqrt(sum(col("sp2") * col("sp2")))), 9)
+          .as("drift_cos"))
+        .join(broadcast(n), "label")
+        .select(col("label"), col("n_vecs"), col("drift_cos"))
+        .orderBy("label")
+    },
+
     // --- grouped top-k via bounded-heap aggregate (same result as the
     // window form, but map-side partials shuffle ≤k rows per partition
     // per group instead of sorting the whole corpus) ---------------------
@@ -1373,6 +1422,57 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_events"),
           (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("dur_ms"))
         .orderBy("user_id", "session_id")
+    },
+
+    // --- ordered funnel analysis (per user-day) -------------------------
+    Q("q_events_funnel",
+      """WITH z AS (SELECT user_id, DATE_TRUNC('day', ts) AS g, event_type, ts FROM events),
+        |t1 AS (SELECT user_id, g, MIN(ts) AS ts1 FROM z
+        |       WHERE event_type = 'view' GROUP BY user_id, g),
+        |t2 AS (SELECT z.user_id, z.g, MIN(z.ts) AS ts2
+        |       FROM z JOIN t1 ON z.user_id = t1.user_id AND z.g = t1.g
+        |       WHERE z.event_type = 'click' AND z.ts > t1.ts1
+        |       GROUP BY z.user_id, z.g),
+        |t3 AS (SELECT z.user_id, z.g
+        |       FROM z JOIN t2 ON z.user_id = t2.user_id AND z.g = t2.g
+        |       WHERE z.event_type = 'purchase' AND z.ts > t2.ts2
+        |       GROUP BY z.user_id, z.g)
+        |SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT user_id, g FROM z)) AS n_units,
+        |       (SELECT COUNT(*) FROM t1) AS n_view,
+        |       (SELECT COUNT(*) FROM t2) AS n_view_click,
+        |       (SELECT COUNT(*) FROM t3) AS n_full_funnel""".stripMargin) { (s, d) =>
+      // Ordered funnel (view → click → purchase within a user-day, each
+      // stage strictly AFTER the previous stage's first occurrence) —
+      // product-analytics' sequence primitive. The unit is (user, day):
+      // 30-min sessions on this corpus average ~1 event (zero funnels —
+      // measured, not assumed) while per-user-lifetime saturates at 100%;
+      // the day window yields real attrition at every stage. Stage k is
+      // a conditional MIN keyed by (user, day) joined back to the
+      // timeline: every join/agg shares that keying, so after ONE
+      // user-keyed shuffle the stage passes are co-partitioned — no new
+      // corpus-wide exchange per stage, which is what makes a 10-stage
+      // funnel feasible at 100 TB (the naive spelling — a self-join per
+      // stage pair on raw events — is quadratic in the timeline). Final
+      // counts are 4 scalars assembled in one plan.
+      val z = t(s, d, "events")
+        .select(col("user_id"), date_trunc("day", col("ts").cast("timestamp")).as("g"),
+          col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val keys = Seq("user_id", "g")
+      val t1 = z.filter(col("event_type") === "view")
+        .groupBy(keys.map(col): _*).agg(min("ts").as("ts1"))
+      val t2 = z.filter(col("event_type") === "click").join(t1, keys)
+        .filter(col("ts") > col("ts1"))
+        .groupBy(keys.map(col): _*).agg(min("ts").as("ts2"))
+      val t3 = z.filter(col("event_type") === "purchase").join(t2, keys)
+        .filter(col("ts") > col("ts2"))
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as("nn"))
+      // four 1-row aggregates assembled in ONE plan (no driver-side
+      // count() round-trips; the shared subtree is exchange-reused
+      // across branches)
+      z.select(keys.map(col): _*).distinct().agg(count(lit(1)).as("n_units"))
+        .crossJoin(t1.agg(count(lit(1)).as("n_view")))
+        .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel")))
     },
   )
 }

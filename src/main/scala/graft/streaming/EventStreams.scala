@@ -79,6 +79,29 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) window counts — the streaming twin of the batch
+    * `q_events_hopping` catalog query: every event lands in
+    * windowLen/slide overlapping epoch-aligned windows, expanded
+    * map-side before the two-phase agg; watermark finalizes each window
+    * once event time passes window_end + watermark. State is bounded by
+    * open windows × event types (windows close as the watermark
+    * advances), NOT by event volume. */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "2 hours",
+      slide: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Stream-stream interval join: pair each purchase with the same
     * user's clicks from the preceding hour. Both sides carry watermarks
     * so the join state is bounded — late rows past the watermark are

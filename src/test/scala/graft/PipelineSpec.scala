@@ -372,4 +372,74 @@ class PipelineSpec extends GraftSuite {
     assert(got == expect)
     assert(got.nonEmpty)
   }
+
+  test("q_events_funnel equals a from-scratch per-user-day walk") {
+    val Array(nU, nV, nVC, nF) =
+      SparkEntry.queries("q_events_funnel")(spark, sf).collect()(0)
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+    // independent reimplementation: bucket events into (user, utc-day)
+    // units, then walk each unit for view < click < purchase
+    val ev = Tables.df(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val units = ev.groupBy(e => (e._1, e._3 / 86400000L)).values
+      .map(_.map(e => (e._2, e._3)).toSeq).toSeq
+    def stage(unit: Seq[(String, Long)], tpe: String, after: Long): Option[Long] =
+      unit.filter(e => e._1 == tpe && e._2 > after).map(_._2).minOption
+    val v = units.flatMap(u => stage(u, "view", Long.MinValue).map(u -> _))
+    val vc = v.flatMap { case (u, t1) => stage(u, "click", t1).map(u -> _) }
+    val full = vc.flatMap { case (u, t2) => stage(u, "purchase", t2) }
+    assert((nU, nV, nVC, nF) ==
+      ((units.size.toLong, v.size.toLong, vc.size.toLong, full.size.toLong)))
+    assert(nF > 0 && nF <= nVC && nVC <= nV && nV <= nU,
+      s"funnel must attrit monotonically: $nU/$nV/$nVC/$nF")
+  }
+
+  test("q_agg_histogram: exact bucket accounting from first principles") {
+    val got = SparkEntry.queries("q_agg_histogram")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val cents = Tables.df(spark, sf, "lineitem")
+      .select(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(_.getLong(0))
+    val (mn, mx) = (cents.min, cents.max)
+    val expect = cents.groupBy(c => (c - mn) * 20 / (mx - mn + 1)).toSeq
+      .map { case (b, vs) => (b, mn + b * (mx - mn + 1) / 20, vs.length.toLong, vs.sum) }
+      .sortBy(_._1)
+    assert(got.toSeq == expect)
+    assert(got.map(_._3).sum == cents.length.toLong, "every row lands in exactly one bucket")
+  }
+
+  test("q_embed_drift matches centroid-cosine recomputation; identical snapshots give 1.0") {
+    val got = SparkEntry.queries("q_embed_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = Tables.df(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    val expect = vecs.groupBy(_._2).map { case (label, rows) =>
+      def fixSum(f: (Long, Seq[Double]) => Seq[Double]): Array[Double] = {
+        val acc = new Array[Double](64)
+        rows.foreach { case (id, _, v) =>
+          f(id, v).zipWithIndex.foreach { case (x, i) =>
+            acc(i) += math.floor(x * 16777216L)
+          }
+        }
+        acc
+      }
+      val s1 = fixSum((_, v) => v)
+      val s2 = fixSum((id, v) => v.zipWithIndex.map { case (x, i) =>
+        x + ((id * 31 + i) % 7 - 3).toDouble / 128.0
+      })
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      label -> (rows.size.toLong,
+        dot(s1, s2) / (math.sqrt(dot(s1, s1)) * math.sqrt(dot(s2, s2))))
+    }
+    expect.foreach { case (label, (n, cos)) =>
+      val (gn, gcos) = got(label)
+      assert(gn == n && math.abs(gcos - cos) < 1e-6, s"label $label: $gcos vs $cos")
+      assert(gcos > 0.8 && gcos < 1.0, s"jittered drift should be high-but-not-1, got $gcos")
+    }
+    assert(got.keySet == expect.keySet)
+  }
 }

@@ -71,6 +71,42 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts: hopping windows finalize under the watermark, stream equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val events = Seq(
+      Event(1, ts("2024-01-01 00:05:00"), 1, "click", 1.5),
+      Event(2, ts("2024-01-01 00:40:00"), 2, "click", 2.5),
+      Event(3, ts("2024-01-01 01:10:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 23:00:00"), 1, "click", 0.5)) // watermark pusher
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    val q = EventStreams.slidingCounts(in.toDF(), "2 hours", "30 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("sc_eq").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM sc_eq ORDER BY window_start, event_type").collect()
+      // every event must appear in exactly windowLen/slide = 4 windows
+      val mass = streamed.map(_.getAs[Long]("n_events")).sum +
+        4 /* pusher's un-finalized windows */
+      assert(mass == events.length * 4L, s"window mass: $mass")
+      // identical code in batch, restricted to watermark-finalized windows
+      val batch = EventStreams.slidingCounts(events.toDF(), "2 hours", "30 minutes")
+        .filter($"window_end" <= ts("2024-01-01 22:30:00"))
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+        s"streamed=${streamed.mkString(";")} batch=${batch.mkString(";")}")
+      // and the batch catalog twin agrees on total window mass at sf
+      val cat = SparkEntry.queries("q_events_hopping")(spark, sf)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      val nEvents = Tables.df(spark, sf, "events").count()
+      assert(cat == nEvents * 4, s"catalog hopping mass $cat vs ${nEvents * 4}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with preceding clicks") {
     val s = spark
     implicit val sq = s.sqlContext
