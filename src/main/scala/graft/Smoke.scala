@@ -175,6 +175,13 @@ object Smoke {
     val (_, tZw) = time(graft.queries.SourceQueries.zorderedEvents(spark, dir))
     val (nZ, tZp) = time(SparkEntry.queries("q_zorder_scan")(spark, dir).count())
     println(f"SMOKE zorder: layout write=${tZw}%.1fs probe=${tZp}%.1fs ($nZ rows)")
+    // incremental dedup: first call builds the corpus bands index, the
+    // second measures the steady-state delta probe alone
+    val (nInc1, tIdxB) = time(SparkEntry.queries("q_dedup_incremental")(spark, dir).count())
+    val (nInc, tProbeI) = time(SparkEntry.queries("q_dedup_incremental")(spark, dir).count())
+    require(nInc1 == nInc, "incremental probe must be deterministic")
+    println(f"SMOKE incremental dedup: index build+probe=${tIdxB}%.1fs " +
+      f"warm probe=${tProbeI}%.1fs ($nInc delta-corpus pairs)")
     spark.stop()
   }
 }

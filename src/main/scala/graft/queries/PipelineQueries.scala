@@ -32,13 +32,34 @@ object PipelineQueries {
   private def shingled(s: SparkSession, d: String, prePartition: Int = 0): DataFrame = {
     val docs = t(s, d, "documents")
     val spread = if (prePartition > 0) docs.repartition(prePartition) else docs
-    spread
+    shingleDf(spread)
+  }
+
+  /** (doc_id, sh): distinct word-3-gram shingles of a (doc_id, text) frame. */
+  private def shingleDf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(
         """array_distinct(transform(sequence(0, size(w) - 3),
           |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))"""
           .stripMargin).as("sh"))
+
+  /** (doc_id, band, h1, h2) LSH band keys of a shingled frame: 32
+    * per-seed min-hashes (hash-once-then-per-seed — the 10× HOF trap
+    * documented at q_dedup_minhash), paired into 16 two-row bands. Any
+    * frame hashed with THIS function probes any index built with it. */
+  private def bandKeys(sh: DataFrame): DataFrame = {
+    val hs = sh.select(col("doc_id"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+    val sig = hs.groupBy("doc_id")
+      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
+        (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
+    sig.select(col("doc_id"), explode(array(
+      (0 until 16).map(b => struct(lit(b).as("band"),
+        col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"),
+        col("bd.h1").as("h1"), col("bd.h2").as("h2"))
   }
 
   /** embeddings as array<double> (cosine math in double on both engines
@@ -77,15 +98,7 @@ object PipelineQueries {
 
   private[graft] def minhashPairs(s: SparkSession, d: String, bucketCap: Int): DataFrame = {
     val sh = shingled(s, d)
-    val hs = sh.select(col("doc_id"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
-    val sig = hs.groupBy("doc_id")
-      .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
-        (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 16).map(b => struct(lit(b).as("band"),
-        col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band").as("band"), col("bd.h1").as("h1"), col("bd.h2").as("h2"))
+    val bands = bandKeys(sh)
     // Bounded-at-the-map-side bucket materialization: partial buffers
     // never exceed bucketCap ids (see BoundedMinSet), so the shuffle
     // carries ≤ cap longs per bucket per partition — collect_set would
@@ -382,6 +395,69 @@ object PipelineQueries {
       minhashPairs(s, d).orderBy("i", "j")
     },
 
+    // --- incremental dedup: delta batch vs a PERSISTED corpus index -----
+    Q("q_dedup_incremental",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w) - 1)]) AS sh
+        |      FROM w),
+        |delta AS (SELECT doc_id + 1000000 AS delta_id, sh FROM s WHERE doc_id % 10 = 0),
+        |p AS (SELECT d.delta_id, c.doc_id AS corpus_id,
+        |        ROUND(len(list_intersect(d.sh, c.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(d.sh, c.sh))), 9) AS jac
+        |      FROM delta d, s c)
+        |SELECT delta_id, corpus_id, jac FROM p WHERE jac >= 0.8
+        |ORDER BY delta_id, corpus_id""".stripMargin) { (s, d) =>
+      // The production ingest shape: dedup each NEW batch against the
+      // existing corpus without rescanning or re-signing the corpus. The
+      // corpus's LSH band keys are computed ONCE and persisted (the
+      // bands table is the dedup analog of the persisted IVF/PQ ANN
+      // indexes); a delta batch — here a re-ingest of every 10th doc
+      // under new ids — computes its own signatures with the SAME hash
+      // family, probes the index by (band, h1, h2) equi join, and
+      // exact-jaccard-verifies only the candidates. Per-batch cost is
+      // O(delta) + bucket-key lookups, NOT O(corpus); the oracle is the
+      // all-pairs delta×corpus scan, which is exactly what this shape
+      // avoids at 100 TB. Index buckets are capped at build time with
+      // the same BoundedMinSet bound (+ observed drop counters) as
+      // q_dedup_minhash, so one boilerplate mega-bucket cannot blow up
+      // any future probe; P[miss] at jaccard ≥0.8 is ≤(1-0.64)^16≈1e-7.
+      val idxPath = SourceQueries.materialize(
+        s"${SourceQueries.cacheDir(d)}/lsh_bands") {
+        bandKeys(shingled(s, d))
+          .groupBy("band", "h1", "h2")
+          .agg(graft.functions.BoundedMinSet
+            .bounded_min_set(col("doc_id"), LshBucketCap).as("bs"))
+          .observe("graft_lsh_index_cap",
+            sum(when(col("bs.n") > LshBucketCap, lit(1)).otherwise(lit(0)))
+              .as("oversized_buckets"),
+            sum(when(col("bs.n") > LshBucketCap, col("bs.n") - LshBucketCap)
+              .otherwise(lit(0))).as("dropped_ids"))
+          .select(col("band"), col("h1"), col("h2"),
+            explode(col("bs.ids")).as("doc_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"${SourceQueries.cacheDir(d)}/lsh_bands")
+      }
+      val delta = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val deltaSh = shingleDf(delta)
+      val cand = bandKeys(deltaSh).withColumnRenamed("doc_id", "delta_id")
+        .join(s.read.parquet(idxPath), Seq("band", "h1", "h2"))
+        .select(col("delta_id"), col("doc_id").as("corpus_id"))
+        .distinct()
+      cand
+        .join(deltaSh.select(col("doc_id").as("delta_id"), col("sh").as("sha")), "delta_id")
+        .join(shingled(s, d).select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+          "corpus_id")
+        .select(col("delta_id"), col("corpus_id"),
+          round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))), 9).as("jac"))
+        .filter(col("jac") >= 0.8)
+        .orderBy("delta_id", "corpus_id")
+    },
+
     // --- exact n-gram Jaccard via rare-shingle inverted-index blocking --
     Q("q_dedup_ngram_jaccard",
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -669,6 +745,161 @@ object PipelineQueries {
         .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(50)
+    },
+
+    // --- PMI collocation mining --------------------------------------
+    Q("q_text_pmi",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |u AS (SELECT t, COUNT(*) AS cu FROM tok GROUP BY t),
+        |nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+        |bg AS (SELECT unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS pr
+        |       FROM (SELECT string_split(text, ' ') AS w FROM documents) WHERE len(w) >= 2),
+        |b AS (SELECT pr.a AS a, pr.b AS b, COUNT(*) AS cb FROM bg GROUP BY pr.a, pr.b),
+        |nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bg)
+        |SELECT a || ' ' || b AS bigram, CAST(cb AS BIGINT) AS n_pair,
+        |  ROUND(LN((cb / nb.n) / ((ua.cu / nu.n) * (ub.cu / nu.n))), 9) AS pmi
+        |FROM b JOIN u ua ON b.a = ua.t JOIN u ub ON b.b = ub.t, nu, nb
+        |WHERE cb >= 30
+        |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      // Collocation mining by pointwise mutual information — the lexical
+      // statistic behind phrase detection (word2vec-style phrase
+      // vocabularies): PMI = ln(p(ab) / (p(a)·p(b))), over exact unigram
+      // and bigram counts, with a min-count floor so rare-pair noise
+      // can't dominate. Shape: two two-phase counts (cardinality-bounded
+      // shuffles), then the bigram table joins the unigram table twice —
+      // at 100 TB the unigram side is vocabulary-sized and BROADCAST,
+      // so the big bigram table never re-shuffles. The PMI itself is a
+      // deterministic function of exact integer counts (round9 absorbs
+      // sub-ulp ln() differences across libm implementations).
+      val tok = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      val u = tok.groupBy("t").agg(count(lit(1)).as("cu"))
+      val nu = tok.agg(count(lit(1)).cast("double").as("nu"))
+      val bg = t(s, d, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+          .as("pr"))
+      val b = bg.groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(count(lit(1)).as("cb"))
+      val nb = bg.agg(count(lit(1)).cast("double").as("nb"))
+      b.filter(col("cb") >= 30)
+        .join(broadcast(u.select(col("t"), col("cu").as("cua"))), col("a") === col("t")).drop("t")
+        .join(broadcast(u.select(col("t"), col("cu").as("cub"))), col("b") === col("t")).drop("t")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+          col("cb").as("n_pair"),
+          round(log((col("cb") / col("nb")) /
+            ((col("cua") / col("nu")) * (col("cub") / col("nu")))), 9).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // --- hard-negative mining for contrastive training ------------------
+    Q("q_embed_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q_id, vec_id, label, ROUND(list_cosine_similarity(v, qv), 9) AS cs
+        |           FROM e, q WHERE label <> q_label)
+        |SELECT q_id, vec_id, label, cs FROM (
+        |  SELECT q_id, vec_id, label, cs,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY q_id""".stripMargin) { (s, d) =>
+      // Hard-negative mining (contrastive-training data prep): for each
+      // anchor, the most similar vector with a DIFFERENT label — the
+      // negatives that actually move an InfoNCE loss. Same scale shape
+      // as the batched ANN probe: anchors broadcast, one corpus scan
+      // scores all of them map-side, label inequality filters before
+      // ranking, grouped top-1 bounds the shuffle to one row per anchor.
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cs"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("q_id", "vec_id", "label", "cs")
+        .orderBy("q_id")
+    },
+
+    // --- BPE merge learning (tokenizer training, 3 declarative rounds) --
+    Q("q_text_bpe",
+      """WITH wf AS (SELECT t AS word, COUNT(*) AS freq
+        |            FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents) GROUP BY t),
+        |s0 AS (SELECT ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq, freq FROM wf),
+        |p1 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s0))
+        |       GROUP BY pr.a, pr.b),
+        |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s0, m1),
+        |p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s1))
+        |       GROUP BY pr.a, pr.b),
+        |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s1, m2),
+        |p3 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s2))
+        |       GROUP BY pr.a, pr.b),
+        |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS merge_rank, a AS tok_a, b AS tok_b, cnt FROM m1
+        |  UNION ALL SELECT 2, a, b, cnt FROM m2
+        |  UNION ALL SELECT 3, a, b, cnt FROM m3) ORDER BY merge_rank""".stripMargin) { (s, d) =>
+      // Tokenizer training: the first 3 BPE merges learned from the
+      // corpus, as ONE declarative plan (no driver loop, no collect).
+      // State is the (word-sequence, freq) table — bounded by DISTINCT
+      // words, not corpus size, so after the one corpus-scale word count
+      // every round touches vocabulary-sized data (at 100 TB: checkpoint
+      // wf once, then iterate; millions of rows, not billions). Each
+      // round is: explode adjacent token pairs weighted by word freq →
+      // two-phase count → 1-row argmax (count DESC, pair ASC — total
+      // order, so the learned merge is deterministic) broadcast into a
+      // row-local merge application. Sequences carry tokens separated by
+      // TWO spaces with single-space borders: literal replace of
+      // ' a  b ' with ' ab ' then consumes one border space from each
+      // side, so back-to-back occurrences still match (left-to-right
+      // non-overlapping = the standard BPE apply) and the rhythm is
+      // preserved for the next round. Both engines' replace() scan
+      // left-to-right non-overlapping, which is what makes the exact
+      // oracle possible for an iterative learner.
+      val wf = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val seq0 = wf.select(
+        concat(lit(" "),
+          array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
+          lit(" ")).as("seq"),
+        col("freq"))
+      def pairs(df: DataFrame): DataFrame = df
+        .select(expr("split(trim(seq), '  ')").as("tk"), col("freq"))
+        // single-token sequences have no pairs; also guards Spark's
+        // sequence(1, 0), which DESCENDS rather than returning empty
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
+          .as("pr"), col("freq"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      def top(p: DataFrame): DataFrame =
+        p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
+        df.crossJoin(broadcast(m))
+          .select(expr(
+            "replace(seq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("seq"),
+            col("freq"))
+      val m1 = top(pairs(seq0)); val seq1 = applyMerge(seq0, m1)
+      val m2 = top(pairs(seq1)); val seq2 = applyMerge(seq1, m2)
+      val m3 = top(pairs(seq2))
+      def row(m: DataFrame, r: Int): DataFrame = m.select(lit(r).as("merge_rank"),
+        col("a").as("tok_a"), col("b").as("tok_b"), col("cnt"))
+      row(m1, 1).unionByName(row(m2, 2)).unionByName(row(m3, 3)).orderBy("merge_rank")
     },
 
     // --- heavy hitters: Misra-Gries sketch + exact recount of the

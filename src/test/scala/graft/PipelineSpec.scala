@@ -373,6 +373,57 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_text_bpe equals a from-scratch BPE learner") {
+    val got = SparkEntry.queries("q_text_bpe")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // independent reimplementation: word-freq map, 3 rounds of
+    // (count adjacent pairs, take argmax, left-to-right merge)
+    var seqs: Map[Vector[String], Long] = Tables.df(spark, sf, "documents")
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, ws) => w.map(_.toString).toVector -> ws.length.toLong }
+    val expect = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      seqs.foreach { case (tk, f) =>
+        tk.sliding(2).filter(_.size == 2).foreach(p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f)
+      }
+      val (a, b) = counts.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head._1
+      val cnt = counts((a, b))
+      seqs = seqs.groupBy { case (tk, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < tk.length) {
+          if (i + 1 < tk.length && tk(i) == a && tk(i + 1) == b) { out += a + b; i += 2 }
+          else { out += tk(i); i += 1 }
+        }
+        out.result()
+      }.map { case (tk, grp) => tk -> grp.values.sum }
+      (r, a, b, cnt)
+    }
+    assert(got.toSeq == expect)
+  }
+
+  test("q_dedup_incremental: every delta doc finds its original at jaccard 1.0; probe is deterministic") {
+    val got = SparkEntry.queries("q_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact re-ingest ⇒ the (delta, original) self-pair is never missed
+    // (P[band miss] = 0 at jaccard 1.0) — this is the guarantee the
+    // persisted-index path must keep
+    val deltaIds = Tables.df(spark, sf, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .filter(org.apache.spark.sql.functions.size(split(col("text"), " ")) >= 3)
+      .select("doc_id").collect().map(_.getLong(0))
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    deltaIds.foreach { id =>
+      assert(pairs((id + 1000000, id)), s"delta of doc $id lost its original")
+      assert(got.find(p => p._1 == id + 1000000 && p._2 == id).get._3 == 1.0)
+    }
+    // warm probe against the already-persisted index returns the same rows
+    val again = SparkEntry.queries("q_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("q_events_funnel equals a from-scratch per-user-day walk") {
     val Array(nU, nV, nVC, nF) =
       SparkEntry.queries("q_events_funnel")(spark, sf).collect()(0)
