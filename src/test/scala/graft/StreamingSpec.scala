@@ -543,6 +543,38 @@ class StreamingSpec extends GraftSuite {
     assert(sunk.nonEmpty && sunk.size < all.length)
   }
 
+  test("redactPii at ingest: stream equals batch, nothing PII-shaped survives the sink") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val docs = Seq(
+      Doc(1, "write to alice99@mail.example.com or bob@x.org today", "en", "s1", 52),
+      Doc(2, "call 555-0192 then 555-7777 about the offer", "en", "s1", 43),
+      Doc(3, "clean document with no contact info at all", "en", "s2", 42),
+      Doc(4, "mixed c@d.ee and 555-0000 in one line", "en", "s2", 37))
+    val in = MemoryStream[Doc]
+    in.addData(docs: _*)
+    val q = DocStreams.redactPii(in.toDF())
+      .writeStream.format("memory").queryName("pii_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM pii_sink ORDER BY doc_id").collect()
+      val batch = DocStreams.redactPii(docs.toDF()).orderBy("doc_id").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      val byId = streamed.map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+      assert(byId(1) == ((2, 0, "write to <EMAIL> or <EMAIL> today")))
+      assert(byId(2) == ((0, 2, "call <PHONE> then <PHONE> about the offer")))
+      assert(byId(3)._3 == docs(2).text) // untouched
+      assert(byId(4) == ((1, 1, "mixed <EMAIL> and <PHONE> in one line")))
+      streamed.foreach { r =>
+        assert(!r.getString(4).matches(".*[a-z0-9]+@[a-z.]+[a-z].*"))
+        assert(!r.getString(4).matches(".*555-[0-9]{4}.*"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags a superset of the per-eval-doc batch audit") {
     val s = spark
     implicit val sq = s.sqlContext
