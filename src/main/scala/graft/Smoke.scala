@@ -154,6 +154,11 @@ object Smoke {
     // domain caps: heap partials bound the per-source shuffle; pii +
     // upsert + weighted sample: row-local / broadcast-delta shapes;
     // hopping: 4× map-side expand then windows×types-bounded agg.
+    val (_, tBpe) = time(SparkEntry.queries("q_text_bpe")(spark, dir).count())
+    val (nPmi, tPmi) = time(SparkEntry.queries("q_text_pmi")(spark, dir).count())
+    val (nHn, tHn) = time(SparkEntry.queries("q_embed_hard_negatives")(spark, dir).count())
+    println(f"SMOKE round8b: bpe=${tBpe}%.1fs (3 merges) pmi=${tPmi}%.1fs ($nPmi collocations) " +
+      f"hard_negatives=${tHn}%.1fs ($nHn anchors)")
     val (hh, tHh) = time(SparkEntry.queries("q_text_heavy_hitters")(spark, dir).count())
     val (nCap, tCap) = time(SparkEntry.queries("q_cur_domain_cap")(spark, dir).count())
     // count() would prune the regex projections to a bare scan — noop

@@ -335,6 +335,71 @@ object SourceQueries {
         .orderBy("o_orderpriority")
     },
 
+    Q("q_schema_evolution",
+      s"""WITH v1 AS (SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+         |            FROM orders WHERE o_orderkey % 2 = 0),
+         |v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+         |       FROM orders WHERE o_orderkey % 2 = 1),
+         |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+         |SELECT COALESCE(o_orderpriority, '<legacy>') AS priority,
+         |       COUNT(*) AS n, ${Qh.sqlDsum("o_totalprice")} AS total
+         |FROM u GROUP BY priority ORDER BY priority""".stripMargin) { (s, d) =>
+      // Schema evolution across ingest batches — the normal state of a
+      // long-lived 100 TB table: batch 1 was written before the
+      // o_orderpriority column existed, batch 2 carries it. One
+      // mergeSchema read reconciles the footers (absent columns read as
+      // NULL — exactly the oracle's CAST(NULL) union), so downstream
+      // queries never special-case old files. Merge cost is per-FOOTER
+      // at planning time, data is never rewritten — the alternative
+      // (backfill-rewrite the old batches) is the thing you cannot
+      // afford at scale.
+      val base = s"${cacheDir(d)}/orders_evolve"
+      val path = materialize(base) {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/batch=1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/batch=2")
+        // materialize() checks for a root _SUCCESS marker
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(base, "_SUCCESS")): Unit
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("priority"))
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("o_totalprice")).as("total"))
+        .orderBy("priority")
+    },
+
+    Q("q_nested_prune",
+      s"""SELECT o_orderpriority AS priority, COUNT(*) AS n,
+         |       ${Qh.sqlDsum("o_totalprice")} AS total
+         |FROM orders GROUP BY priority ORDER BY priority""".stripMargin) { (s, d) =>
+      // Nested-column pruning: the table stores rich structs (the shape
+      // of real event/feature tables), the query touches two leaf
+      // fields — and the scan must read ONLY those leaves, not the
+      // enclosing structs. Catalyst's nested schema pruning pushes the
+      // field selection into the parquet ReadSchema
+      // (struct<cust:struct<priority>,fin:struct<price>> — asserted in
+      // PlanShapeSpec), so at 100 TB a 50-field struct costs what the 2
+      // used fields cost. The oracle reads the equivalent flat columns:
+      // nesting must never change results.
+      val base = s"${cacheDir(d)}/orders_nested"
+      val path = materialize(base) {
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          struct(col("o_custkey").as("key"),
+            col("o_orderpriority").as("priority")).as("cust"),
+          struct(col("o_totalprice").as("price"),
+            col("o_orderdate").as("odate")).as("fin"))
+          .write.mode(SaveMode.Overwrite).parquet(base)
+      }
+      s.read.parquet(path)
+        .groupBy(col("cust.priority").as("priority"))
+        .agg(count(lit(1)).as("n"), Qh.dsum(col("fin.price")).as("total"))
+        .orderBy("priority")
+    },
+
     Q("q_zorder_scan",
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total

@@ -301,6 +301,173 @@ object TpchQueries {
           sum(when(hi, 1).otherwise(0)).as("high_line_count"),
           sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
         .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q7 (volume shipping): bidirectional trade volume between two
+    // nations by year — a 6-relation join where nation appears TWICE
+    // (supplier side and customer side). Scale: both nation dims
+    // broadcast (self-aliased), the fact chain shuffles on its join
+    // keys, and the two-nation OR filter evaluates on broadcast-joined
+    // name columns before the (nation, nation, year) aggregate whose
+    // output is 2 rows × years.
+    Q("q_tpch_q7",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  CAST(SUM(volume) AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         |    $sqlRevenue AS volume
+         |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |    AND c_nationkey = n2.n_nationkey
+         |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1998-01-01')
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(revenueExpr).cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 (national market share): the share of one supplier
+    // nation's volume within one region's market for one part type, by
+    // order year. Scale: the share is a ratio of two decimal-exact
+    // conditional sums computed in ONE aggregate pass (no second scan);
+    // part/nation/region dims broadcast; output is |years| rows.
+    Q("q_tpch_q8",
+      s"""SELECT o_year,
+         |  ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+         |                      ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |        / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+         |FROM (
+         |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         |    $sqlRevenue AS volume, n2.n_name AS nation
+         |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+         |    AND p_type = 'PROMO'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate <  TIMESTAMP '1998-01-01')
+         |GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+      val zero = lit(0).cast(D12)
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n1_region") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("nation") === "NATION_3", revenueExpr).otherwise(zero)).cast("double") /
+            sum(revenueExpr).cast("double"), 9).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q13 (customer order-count distribution): LEFT OUTER join so
+    // zero-order customers survive with count 0, then a GROUP BY ON AN
+    // AGGREGATE — the two-level aggregation shape. Scale: both
+    // aggregates are two-phase; the first keys on c_custkey (high
+    // cardinality, no skew), the second on the tiny count domain.
+    Q("q_tpch_q13",
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 (promotion effect): promo share of one month's revenue —
+    // a single-row ratio of conditional sums in one pass over the
+    // month's lineitem ⋈ broadcast part.
+    Q("q_tpch_q14",
+      s"""SELECT ROUND(100.00
+         |  * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $sqlRevenue
+         |             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         |  / CAST(SUM($sqlRevenue) AS DOUBLE), 9) AS promo_revenue
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND l_shipdate >= TIMESTAMP '1997-09-01'
+         |  AND l_shipdate <  TIMESTAMP '1997-10-01'""".stripMargin) { (s, d) =>
+      val zero = lit(0).cast(D12)
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenueExpr).otherwise(zero)).cast("double") /
+          sum(revenueExpr).cast("double"), 9).as("promo_revenue"))
+    },
+
+    // TPC-H Q15 (top supplier): quarter revenue per supplier, then the
+    // supplier(s) hitting the maximum — the "view + scalar subquery"
+    // shape. Scale: the revenue aggregate keys on l_suppkey; the MAX is
+    // a 1-row broadcast; equality on decimal-exact totals (cast to
+    // double once) is deterministic, unlike float-summed revenue.
+    Q("q_tpch_q15",
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, CAST(SUM($sqlRevenue) AS DOUBLE) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate <  TIMESTAMP '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier, revenue
+         |WHERE s_suppkey = supplier_no
+         |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(revenueExpr).cast("double").as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("mx"))
+      t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
     }
   )
 }

@@ -429,6 +429,14 @@ class PlanShapeSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
+  test("q_nested_prune reads only the touched struct leaves") {
+    val p = plan("q_nested_prune")
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs.contains("cust:struct<priority:string>"), rs) // key pruned away
+    assert(rs.contains("fin:struct<price:double>"), rs)     // odate pruned away
+    assert(!rs.contains("key") && !rs.contains("odate") && !rs.contains("o_orderkey"), rs)
+  }
+
   test("q_zorder_scan pushes BOTH box dimensions into the layout scan") {
     // the Z-order layout only pays off if user_id AND ts predicates both
     // reach the parquet reader for row-group min/max pruning (LayoutSpec
