@@ -227,4 +227,46 @@ class EngineSpec extends GraftSuite {
     assert(p.contains("Physical Plan"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("PipelineRunner: a failed stage resumes without recomputing its predecessors") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val docs = Tables.df(spark, sf, "documents")
+    val stage1Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val filterStage = (df: org.apache.spark.sql.DataFrame) => {
+      stage1Runs.incrementAndGet()
+      df.filter(col("n_chars") >= 100)
+    }
+    val tokenStage = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("n_tokens", size(split(col("text"), " ")))
+    val boom = (_: org.apache.spark.sql.DataFrame) =>
+      throw new RuntimeException("injected stage failure")
+    val rollup = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy("lang").agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+
+    // first attempt dies in stage 3 — stages 1-2 are already committed
+    val e = intercept[RuntimeException] {
+      PipelineRunner.run(spark, root, docs,
+        Seq("filter" -> filterStage, "tokens" -> tokenStage, "rollup" -> boom))
+    }
+    assert(e.getMessage.contains("injected"))
+    assert(stage1Runs.get() == 1)
+
+    // retry with the fixed stage: 1-2 load from their checkpoints (the
+    // stage-1 closure must NOT run again), only the repaired stage runs
+    val (out, report) = PipelineRunner.run(spark, root, docs,
+      Seq("filter" -> filterStage, "tokens" -> tokenStage, "rollup" -> rollup))
+    assert(report.loaded == Seq("filter", "tokens") && report.computed == Seq("rollup"))
+    assert(stage1Runs.get() == 1, "resume must not re-execute committed stages")
+
+    // result equals the same transforms composed directly
+    val direct = rollup(tokenStage(filterStage(docs)))
+      .orderBy("lang").collect().map(_.toString).toSeq
+    assert(out.orderBy("lang").collect().map(_.toString).toSeq == direct)
+
+    // a fully-committed pipeline is pure resume
+    val (_, again) = PipelineRunner.run(spark, root, docs,
+      Seq("filter" -> filterStage, "tokens" -> tokenStage, "rollup" -> rollup))
+    assert(again.computed.isEmpty && again.loaded.size == 3)
+  }
 }
