@@ -35,6 +35,31 @@ object TpchQueries {
     """CAST(l_extendedprice AS DECIMAL(12,2))
       | * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))""".stripMargin
 
+  /** Derived partsupp: the driver schema ships no `partsupp` table, so
+    * the four queries that need one (Q2/Q11/Q16/Q20) derive it — every
+    * part gets 4 suppliers with a supply cost (integer CENTS — decimal
+    * division scale rules differ across engines, integer cents don't)
+    * and an availqty, all PURE INTEGER FUNCTIONS of (p_partkey, k), so
+    * both engines materialize the identical relation and the textbook
+    * join/subquery shapes run unchanged. The 17·k term stays
+    * collision-free mod any driver supplier count (10/100/1000). */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(t(s, d, "supplier").agg(count(lit(1)).as("nsupp"))))
+      .select(col("p_partkey"), explode(expr("sequence(0, 3)")).as("k"), col("nsupp"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 31 + col("k") * 17 + 7) % col("nsupp")).as("ps_suppkey"),
+        ((col("p_partkey") * 13 + col("k") * 7919) % 100000).as("ps_cost_cents"),
+        ((col("p_partkey") * 7 + col("k") * 13) % 1000 + 1).as("ps_availqty"))
+
+  private val PsCte =
+    """ns AS (SELECT COUNT(*) AS nsupp FROM supplier),
+      |ps AS (SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 31 + k * 17 + 7) % nsupp AS ps_suppkey,
+      |         (p_partkey * 13 + k * 7919) % 100000 AS ps_cost_cents,
+      |         (p_partkey * 7 + k * 13) % 1000 + 1 AS ps_availqty
+      |       FROM part, ns, (SELECT unnest(range(0, 4)) AS k))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q3 (shipping priority): customer ⋈ orders ⋈ lineitem,
@@ -467,6 +492,147 @@ object TpchQueries {
         .crossJoin(broadcast(mx))
         .filter(col("total_revenue") === col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q2 (minimum-cost supplier): for each qualifying part, the
+    // region's cheapest supplier — the correlated-MIN shape, lowered to
+    // aggregate-then-join (same decorrelation as q_tpch_q17). Scale:
+    // the region-filtered supplier side broadcasts; the per-part MIN is
+    // a keyed two-phase aggregate joined back on (part, cost) — no
+    // per-part subquery execution.
+    Q("q_tpch_q2",
+      s"""WITH $PsCte
+         |SELECT s_acctbal, s_name, n_name, p_partkey,
+         |  CAST(ps_cost_cents / 100.0 AS DOUBLE) AS supplycost
+         |FROM part, ps, supplier, nation, region
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size <= 10 AND p_type = 'LARGE'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND ps_cost_cents = (
+         |    SELECT MIN(ps2.ps_cost_cents)
+         |    FROM ps ps2, supplier s2, nation n2, region r2
+         |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+         |      AND r2.r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20""".stripMargin) { (s, d) =>
+      val regionSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+      val psr = partsupp(s, d)
+        .join(regionSupp, col("ps_suppkey") === col("s_suppkey"))
+      val minCost = psr.groupBy("ps_partkey")
+        .agg(min("ps_cost_cents").as("min_cents"))
+      t(s, d, "part").filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+        .join(psr, col("p_partkey") === col("ps_partkey"))
+        .join(minCost.withColumnRenamed("ps_partkey", "mc_partkey"),
+          col("p_partkey") === col("mc_partkey") &&
+            col("ps_cost_cents") === col("min_cents"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"),
+          (col("ps_cost_cents") / 100.0).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q11 (important stock): per-part inventory value within one
+    // nation, kept when above a fraction of the national total — the
+    // HAVING-with-scalar-subquery shape. Scale: value sums are exact
+    // integer cents·qty; the threshold is a 1-row broadcast; both
+    // aggregates are two-phase on high-cardinality ps_partkey.
+    Q("q_tpch_q11",
+      s"""WITH $PsCte,
+         |nps AS (SELECT ps_partkey, ps_cost_cents * ps_availqty AS val
+         |        FROM ps, supplier, nation
+         |        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |          AND n_name = 'NATION_5')
+         |SELECT ps_partkey, CAST(SUM(val) AS BIGINT) AS value_cents
+         |FROM nps GROUP BY ps_partkey
+         |HAVING SUM(val) > (SELECT SUM(val) * 0.01 FROM nps)
+         |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, d) =>
+      val nps = partsupp(s, d)
+        .join(t(s, d, "supplier"), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_cost_cents") * col("ps_availqty")).as("val"))
+      val thr = nps.agg((sum("val") * 0.01).as("thr"))
+      nps.groupBy("ps_partkey").agg(sum("val").as("value_cents"))
+        .crossJoin(broadcast(thr))
+        .filter(col("value_cents") > col("thr"))
+        .select(col("ps_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("ps_partkey"))
+    },
+
+    // TPC-H Q16 (parts/supplier relationship): supplier counts per part
+    // descriptor, excluding "complaint" suppliers (negative balance ≙
+    // the missing comment field) — NOT IN + COUNT DISTINCT. Scale: the
+    // exclusion list is tiny and broadcast as an anti join; the distinct
+    // count is two-phase.
+    Q("q_tpch_q16",
+      s"""WITH $PsCte
+         |SELECT p_brand, p_type, p_size,
+         |  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM ps, part
+         |WHERE p_partkey = ps_partkey
+         |  AND p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+      partsupp(s, d)
+        .join(t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)),
+          col("ps_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q20 (excess inventory): suppliers whose stock of a part
+    // family exceeds half of what they actually shipped in a year — the
+    // nested correlated-aggregate shape, lowered to agg-then-join with
+    // the comparison rewritten 2·availqty > Σqty so the shipped side
+    // stays a decimal-exact sum (no 0.5·decimal cross-engine scale
+    // drama). Scale: the year's (part, supplier) shipping aggregate is
+    // two-phase on a composite key; the final supplier membership is a
+    // semi join.
+    Q("q_tpch_q20",
+      s"""WITH $PsCte,
+         |q AS (SELECT l_partkey, l_suppkey,
+         |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sumq
+         |      FROM lineitem
+         |      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |        AND l_shipdate <  TIMESTAMP '1998-01-01'
+         |      GROUP BY l_partkey, l_suppkey),
+         |cand AS (SELECT DISTINCT ps_suppkey
+         |         FROM ps
+         |         JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
+         |         JOIN q ON q.l_partkey = ps_partkey AND q.l_suppkey = ps_suppkey
+         |         WHERE 2.0 * ps_availqty > sumq)
+         |SELECT s_suppkey, s_name FROM supplier
+         |WHERE s_suppkey IN (SELECT ps_suppkey FROM cand)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val q = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast(D12)).cast("double").as("sumq"))
+      val cand = partsupp(s, d)
+        .join(broadcast(t(s, d, "part").filter(col("p_name").like("small%"))
+          .select("p_partkey")), col("ps_partkey") === col("p_partkey"))
+        .join(q, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(lit(2.0) * col("ps_availqty") > col("sumq"))
+        .select("ps_suppkey").distinct()
+      t(s, d, "supplier")
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     }
   )
