@@ -622,6 +622,62 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // --- corpus datasheet (per-stratum documentation report) -----------------
+    Q("q_cur_datasheet",
+      s"""WITH $ScoredCte,
+         |${PipelineQueries.RepetitionCtes},
+         |$ContaminationCtes,
+         |dup AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY text) > 1 AS is_dup
+         |        FROM documents)
+         |SELECT d.lang, d.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(sc.n_tokens) AS BIGINT) AS sum_tokens,
+         |  ROUND(CAST(SUM(CAST(ROUND(sc.quality * 1000000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000000 / COUNT(*), 9) AS mean_quality,
+         |  CAST(SUM(CASE WHEN rep.repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+         |  CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+         |  CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM ov) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |FROM documents d
+         |JOIN sc ON d.doc_id = sc.doc_id
+         |JOIN rep ON d.doc_id = rep.doc_id
+         |JOIN dup ON d.doc_id = dup.doc_id
+         |GROUP BY d.lang, d.source
+         |ORDER BY d.lang, d.source""".stripMargin) { (s, d) =>
+      // The "datasheet for a dataset" rollup — the per-stratum report a
+      // released corpus ships with: size, token mass, mean quality,
+      // repetitive share, exact-duplicate share, benchmark-contamination
+      // share, per (lang, source). Every signal is an already-verified
+      // operator (scored / repetitionSignals / exact-dup window /
+      // contaminationPairs) composed by doc_id-keyed joins into ONE
+      // declarative plan; the output is |langs × sources| rows. At
+      // 100 TB this is the nightly corpus-health job: one pass of
+      // doc-keyed joins, tiny rollup, every number auditable against
+      // the operator that produced it.
+      val docs = t(s, d, "documents")
+      val dupW = Window.partitionBy("text")
+      val dup = docs.select(col("doc_id"),
+        (count(lit(1)).over(dupW) > 1).as("is_dup"))
+      val contaminated = contaminationPairs(s, d).select("doc_id").distinct()
+        .withColumn("is_cont", lit(true))
+      docs.select("doc_id", "lang", "source")
+        .join(scored(s, d), "doc_id")
+        .join(PipelineQueries.repetitionSignals(s, d).select("doc_id", "repetitive"), "doc_id")
+        .join(dup, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_outer")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"),
+          // qualities are round9 values, so quality·1e9 is an exact
+          // integer — summing LONGS keeps the mean merge-order-free
+          // (a float sum's low bits once flipped a round9 boundary here)
+          round(sum(round(col("quality") * 1e9).cast("long")).cast("double")
+            / 1e9 / count(lit(1)), 9).as("mean_quality"),
+          sum(when(col("repetitive"), 1).otherwise(0)).as("n_repetitive"),
+          sum(when(col("is_dup"), 1).otherwise(0)).as("n_exact_dup"),
+          sum(when(col("is_cont"), 1).otherwise(0)).as("n_contaminated"))
+        .orderBy("lang", "source")
+    },
+
     // --- int8-quantized similarity scoring ----------------------------------
     Q("q_cur_ann_int8",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -250,6 +250,35 @@ class CurationSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_cur_datasheet: every reported number re-derives from the stage operators") {
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val quality = SparkEntry.queries("q_text_quality")(spark, sf)
+      .select("doc_id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nTokens = SparkEntry.queries("q_text_stats")(spark, sf)
+      .select("doc_id", "n_tokens").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val repetitive = SparkEntry.queries("q_text_repetition")(spark, sf)
+      .select("doc_id", "repetitive").collect()
+      .filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val contaminated = SparkEntry.queries("q_cur_decontaminate")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val textCount = docs.groupBy(_._4).view.mapValues(_.length).toMap
+    val expect = docs.groupBy(d => (d._2, d._3)).map { case (k, grp) =>
+      k -> ((grp.length.toLong,
+        grp.map(d => nTokens(d._1).toLong).sum,
+        round9(grp.map(d => math.round(quality(d._1) * 1e9)).sum.toDouble / 1e9 / grp.length),
+        grp.count(d => repetitive(d._1)).toLong,
+        grp.count(d => textCount(d._4) > 1).toLong,
+        grp.count(d => contaminated(d._1)).toLong))
+    }
+    val got = SparkEntry.queries("q_cur_datasheet")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q_cur_sample_weighted: Efraimidis-Spirakis keys, quality-biased, reproducible") {
     val docs = Tables.df(spark, sf, "documents")
       .select("doc_id", "n_chars", "text").collect()
