@@ -24,7 +24,9 @@ class InvarianceSpec extends GraftSuite {
     "q_events_resample",    // union-merge forward fill
     "q_text_heavy_hitters", // MG sketch partials merge in layout-dependent
                             //   order; the exact recount must erase that
-    "q_zorder_scan")        // layout + row-group pruning must not leak into results
+    "q_zorder_scan",        // layout + row-group pruning must not leak into results
+    "q_tpch_q2",            // derived partsupp + agg-then-join decorrelation
+    "q_cur_datasheet")      // integer-exact mean quality across merge orders
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
