@@ -75,6 +75,37 @@ object DocStreams {
   def curate(docs: DataFrame, minQuality: Double = 0.5): DataFrame =
     signals(docs).filter(col("quality") >= minQuality && !col("repetitive"))
 
+  /** Watermarked per-window token counts over a timestamped text stream
+    * — the trending-terms pipeline's stateful stage. Tokens explode
+    * map-side; the windowed two-phase count's state is bounded by open
+    * windows × vocabulary (windows retire as the watermark passes), not
+    * by stream volume; append mode emits each (window, token) count
+    * exactly once, finalized. */
+  def tokenCounts(
+      docs: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(window(col("ts"), windowLen), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("token"), col("n"))
+
+  /** Trending terms: top-k tokens per finalized window. Runs over
+    * `tokenCounts` output — in streaming, downstream of the append sink
+    * (the rows are final, so the rank is final); in batch, directly.
+    * Per-window vocabulary bounds the sort. */
+  def trendingTerms(finalizedCounts: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start").orderBy(col("n").desc, col("token"))
+    finalizedCounts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy("window_start", "rank")
+  }
+
   /** Ingest-time PII redaction (streaming twin of the batch `q_cur_pii`
     * audit, same Java-regex/RE2-identical patterns): scrub email/phone
     * shapes and carry the per-doc redaction counts with the document —

@@ -7,6 +7,10 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import java.sql.Timestamp
 
+/** Timestamped text page for the trending-terms scenarios (top-level so
+  * Spark can derive its encoder). */
+final case class Page(doc_id: Long, ts: Timestamp, text: String)
+
 /** Structured Streaming semantics driven through MemoryStream — the
   * beyond-parity surface (the reference has no streaming, SURVEY §2.9). */
 class StreamingSpec extends GraftSuite {
@@ -541,6 +545,41 @@ class StreamingSpec extends GraftSuite {
       .map(_.getLong(0)).toSet
     assert(sunk == batch)
     assert(sunk.nonEmpty && sunk.size < all.length)
+  }
+
+  test("trending terms: watermarked token counts finalize once; top-k equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    // timestamped pages; window 1 h, watermark 30 min
+    val pages = Seq(
+      Page(1, ts("2024-01-01 00:05:00"), "spark spark scan join"),
+      Page(2, ts("2024-01-01 00:40:00"), "spark scan scan table"),
+      Page(3, ts("2024-01-01 01:10:00"), "join join join spark"),
+      Page(4, ts("2024-01-01 09:00:00"), "late watermark pusher"))
+    val in = MemoryStream[Page]
+    in.addData(pages: _*)
+    val q = DocStreams.tokenCounts(in.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("trend_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // a token arriving AFTER its window passed the watermark is dropped
+      in.addData(Page(5, ts("2024-01-01 00:50:00"), "spark spark spark"))
+      q.processAllAvailable()
+      val sunk = spark.table("trend_sink")
+      // hour 00: spark 3× (late ones dropped), scan 3×, join 1, table 1
+      val top = DocStreams.trendingTerms(sunk, 2).collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(top.take(2).map(t => (t._2, t._3)).toSeq == Seq(("scan", 3L), ("spark", 3L)),
+        top.mkString(";"))
+      // batch twin over the SAME on-time pages, finalized windows only
+      val batch = DocStreams.trendingTerms(
+        DocStreams.tokenCounts(pages.toDF(), "1 hour", "30 minutes")
+          .filter($"window_start" < ts("2024-01-01 08:30:00")), 2)
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getInt(3)))
+      assert(top.toSeq == batch.toSeq, s"stream=${top.mkString(";")} batch=${batch.mkString(";")}")
+    } finally q.stop()
   }
 
   test("redactPii at ingest: stream equals batch, nothing PII-shaped survives the sink") {
