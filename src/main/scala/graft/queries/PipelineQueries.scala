@@ -1591,6 +1591,47 @@ object PipelineQueries {
         .orderBy("user_id", "session_start")
     },
 
+    // --- event debouncing (drop same-type repeats within a cooldown) ----
+    Q("q_events_debounce",
+      """WITH x AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL
+        |                      AND ts - prev <= INTERVAL 5 MINUTE
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM x GROUP BY user_id, event_type
+        |HAVING SUM(CASE WHEN prev IS NOT NULL AND ts - prev <= INTERVAL 5 MINUTE
+        |               THEN 1 ELSE 0 END) > 0
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      // Debouncing — the event-pipeline hygiene filter (double-clicks,
+      // retry storms, at-least-once delivery): an event is a BOUNCE if
+      // the same user emitted the same type within the last 5 minutes.
+      // One (user_id, event_type) shuffle + a lag window; the report
+      // keeps only affected groups, counting kept vs dropped. Note the
+      // lag-based rule (vs previous KEPT event) is the streaming-state
+      // shape: EventStreams.dedupe is the watermarked twin keyed on an
+      // explicit id; this is the time-proximity variant. n_kept counts
+      // the group's total (kept = total − dropped downstream; both
+      // reported so the filter is auditable).
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val bounce = when(col("prev").isNotNull &&
+        unix_millis(col("ts")) - unix_millis(col("prev")) <= 5L * 60 * 1000, 1).otherwise(0)
+      t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("ts").cast("timestamp").as("ts"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("b", bounce)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_kept"), sum(col("b")).as("n_dropped"))
+        .filter(col("n_dropped") > 0)
+        .orderBy("user_id", "event_type")
+    },
+
     // --- hopping (sliding) time windows in batch ------------------------
     Q("q_events_hopping",
       """WITH x AS (
