@@ -747,6 +747,82 @@ object PipelineQueries {
         .limit(50)
     },
 
+    // --- character-entropy quality signal -------------------------------
+    Q("q_text_entropy",
+      """WITH ch AS (
+        |  SELECT doc_id, c, COUNT(*) AS n FROM (
+        |    SELECT doc_id, unnest([text[i] for i in range(1, len(text) + 1)]) AS c
+        |    FROM documents)
+        |  GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, SUM(n) AS tn FROM ch GROUP BY doc_id)
+        |SELECT ch.doc_id,
+        |  ROUND(-SUM((n::DOUBLE / tn) * LN(n::DOUBLE / tn)), 9) AS entropy,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        |FROM ch JOIN tot ON ch.doc_id = tot.doc_id
+        |GROUP BY ch.doc_id, tn ORDER BY ch.doc_id""".stripMargin) { (s, d) =>
+      // Character-entropy scoring — the gibberish/boilerplate detector of
+      // the Gopher-family quality heuristics: natural text sits in a
+      // narrow entropy band; binary spills, key-mash, and single-char
+      // floods fall outside it. Shape: explode chars → two-phase
+      // (doc, char) counts (the shuffle carries counts bounded by
+      // |docs|×|alphabet|, never text) → per-doc -Σ p·ln p. Exact
+      // integer counts feed the entropy, so round9 only has to absorb
+      // sub-ulp ln() differences. Probability terms are summed in
+      // deterministic per-doc groups of ≤|alphabet| values — association
+      // noise ~1e-15, far under the round9 grid.
+      val ch = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+        .filter(col("c") =!= "")
+        .groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+      val tot = ch.groupBy("doc_id").agg(sum("n").as("tn"))
+      ch.join(tot, "doc_id")
+        .groupBy(col("doc_id"), col("tn"))
+        .agg(round(-sum((col("n").cast("double") / col("tn")) *
+          log(col("n").cast("double") / col("tn"))), 9).as("entropy"),
+          count(lit(1)).as("n_distinct_chars"))
+        .select("doc_id", "entropy", "n_distinct_chars")
+        .orderBy("doc_id")
+    },
+
+    // --- embedding QA (feature-store validation) -------------------------
+    Q("q_embed_qa",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label,
+        |        SQRT(list_sum([v[i] * v[i] for i in range(1, len(v) + 1)])) AS nrm,
+        |        len(v) AS dim,
+        |        len(list_filter(v, x -> isnan(x) OR x IS NULL)) AS n_bad
+        |      FROM e)
+        |SELECT label,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |  CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_values,
+        |  CAST(SUM(CASE WHEN nrm < 0.99 OR nrm > 1.01 THEN 1 ELSE 0 END) AS BIGINT) AS n_off_norm,
+        |  ROUND(MIN(nrm), 9) AS min_norm, ROUND(MAX(nrm), 9) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      // Embedding QA — the validation pass a feature store runs before
+      // accepting a batch: per label, vector count, wrong-dimension
+      // count, NaN/null-component count, off-unit-norm count, and the
+      // norm envelope. Row-local math + a |labels|-row rollup; at 100 TB
+      // this rides the ingest scan like the text-side quality gates.
+      // Min/max of norms are order-free aggregates; round9 absorbs
+      // sqrt()'s sub-ulp spread. (The corpus is healthy — the checks
+      // prove ZEROS — which is exactly what a QA gate should output on
+      // good data; PipelineSpec corrupts a copy to prove the detectors
+      // fire.)
+      val n = vecs(s, d).select(col("label"),
+        sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("nrm"),
+        size(col("v")).as("dim"),
+        expr("size(filter(v, x -> isnan(x) OR x IS NULL))").as("n_bad"))
+      n.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("dim") =!= 64, 1).otherwise(0)).as("n_bad_dim"),
+          sum(when(col("n_bad") > 0, 1).otherwise(0)).as("n_bad_values"),
+          sum(when(col("nrm") < 0.99 || col("nrm") > 1.01, 1).otherwise(0)).as("n_off_norm"),
+          round(min("nrm"), 9).as("min_norm"),
+          round(max("nrm"), 9).as("max_norm"))
+        .orderBy("label")
+    },
+
     // --- PMI collocation mining --------------------------------------
     Q("q_text_pmi",
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),

@@ -373,6 +373,48 @@ class PipelineSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("q_text_entropy equals a from-scratch Shannon entropy") {
+    val got = SparkEntry.queries("q_text_entropy")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    Tables.df(spark, sf, "documents").select("doc_id", "text").collect()
+      .foreach { r =>
+        val counts = r.getString(1).groupBy(identity).map(_._2.length.toDouble)
+        val tn = counts.sum
+        val h = -counts.map(c => (c / tn) * math.log(c / tn)).sum
+        val (ge, gn) = got(r.getLong(0))
+        assert(math.abs(ge - h) < 1e-8 && gn == counts.size, s"doc ${r.getLong(0)}")
+      }
+    // sanity: word-soup entropy sits between single-char (0) and the
+    // uniform bound ln(alphabet)
+    assert(got.values.forall { case (h, k) => h > 0 && h <= math.log(k.toDouble) + 1e-9 })
+  }
+
+  test("q_embed_qa detectors fire on a corrupted copy") {
+    import org.apache.spark.sql.functions._
+    // corrupt a copy of the corpus: off-norm scaling, NaN injection,
+    // wrong dimension — the exact failure modes the QA counts
+    val e = Tables.df(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .withColumn("v", expr(
+        """CASE WHEN vec_id % 10 = 0 THEN transform(v, x -> x * 2.0D)
+          |     WHEN vec_id % 7 = 0 THEN concat(array(CAST('NaN' AS DOUBLE)), slice(v, 2, 63))
+          |     WHEN vec_id % 13 = 0 THEN slice(v, 1, 32)
+          |     ELSE v END""".stripMargin))
+    val n = e.select(col("label"),
+      sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))).as("nrm"),
+      size(col("v")).as("dim"),
+      expr("size(filter(v, x -> isnan(x) OR x IS NULL))").as("n_bad"))
+    val qa = n.agg(
+      sum(when(col("dim") =!= 64, 1).otherwise(0)).as("bad_dim"),
+      sum(when(col("n_bad") > 0, 1).otherwise(0)).as("bad_vals"),
+      sum(when(col("nrm") < 0.99 || col("nrm") > 1.01, 1).otherwise(0)).as("off_norm"))
+      .collect()(0)
+    assert(qa.getLong(0) > 0 && qa.getLong(1) > 0 && qa.getLong(2) > 0, qa.toString)
+    // and the clean corpus reports zeros on every detector
+    val clean = SparkEntry.queries("q_embed_qa")(spark, sf).collect()
+    assert(clean.forall(r => r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0))
+  }
+
   test("q_text_bpe equals a from-scratch BPE learner") {
     val got = SparkEntry.queries("q_text_bpe")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
