@@ -1802,9 +1802,14 @@ object PipelineQueries {
       // funnel feasible at 100 TB (the naive spelling — a self-join per
       // stage pair on raw events — is quadratic in the timeline). Final
       // counts are 4 scalars assembled in one plan.
+      // persisted: the unit-keyed timeline feeds FOUR branches (three
+      // stage aggregates + the unit count) — without it Catalyst plans
+      // an events scan per reference (measured: 14 scans). At 100 TB
+      // this is a PipelineRunner checkpoint; in one plan, persist().
       val z = t(s, d, "events")
         .select(col("user_id"), date_trunc("day", col("ts").cast("timestamp")).as("g"),
           col("event_type"), col("ts").cast("timestamp").as("ts"))
+        .persist()
       val keys = Seq("user_id", "g")
       val t1 = z.filter(col("event_type") === "view")
         .groupBy(keys.map(col): _*).agg(min("ts").as("ts1"))
