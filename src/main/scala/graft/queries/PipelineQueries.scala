@@ -847,8 +847,11 @@ object PipelineQueries {
       // so the big bigram table never re-shuffles. The PMI itself is a
       // deterministic function of exact integer counts (round9 absorbs
       // sub-ulp ln() differences across libm implementations).
+      // both exploded frames feed a count AND a total — persist so each
+      // is one corpus pass, not two
       val tok = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("t"))
+        .persist()
       val u = tok.groupBy("t").agg(count(lit(1)).as("cu"))
       val nu = tok.agg(count(lit(1)).cast("double").as("nu"))
       val bg = t(s, d, "documents")
@@ -857,6 +860,7 @@ object PipelineQueries {
         .select(explode(expr(
           "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
           .as("pr"))
+        .persist()
       val b = bg.groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(count(lit(1)).as("cb"))
       val nb = bg.agg(count(lit(1)).cast("double").as("nb"))
@@ -945,9 +949,13 @@ object PipelineQueries {
       // preserved for the next round. Both engines' replace() scan
       // left-to-right non-overlapping, which is what makes the exact
       // oracle possible for an iterative learner.
+      // persisted: the ONE corpus-scale pass — every merge round re-reads
+      // this vocabulary-sized table instead of re-counting the corpus
+      // (un-persisted, the 3 rounds planned 14 corpus scans)
       val wf = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
+        .persist()
       val seq0 = wf.select(
         concat(lit(" "),
           array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
