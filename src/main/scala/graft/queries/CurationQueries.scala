@@ -274,7 +274,7 @@ object CurationQueries {
       // splits. Two keyed joins on doc_id; the pair set, not the corpus,
       // is what shuffles.
       val sp = splitAssign(s, d).select(col("doc_id"), col("split"))
-      PipelineQueries.minhashPairs(s, d, PipelineQueries.LshBucketCap)
+      PipelineQueries.minhashPairsShared(s, d)
         .join(sp.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
         .join(sp.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
         .filter(col("split_i") =!= col("split_j"))
@@ -317,7 +317,6 @@ object CurationQueries {
       val ranged = sc
         .repartitionByRange(parts, col("quality").desc, col("doc_id"))
         .withColumn("pid", spark_partition_id())
-        .persist()
       val offsW = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
       val offsets = ranged.groupBy("pid").agg(sum("n_tokens").as("ptok"))
         .withColumn("off", coalesce(sum("ptok").over(offsW), lit(0L)))
@@ -325,13 +324,14 @@ object CurationQueries {
       val intraW = Window.partitionBy("pid")
         .orderBy(col("quality").desc, col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ranged
-        .join(broadcast(offsets), "pid")
-        .withColumn("cum_tokens", col("off") + sum("n_tokens").over(intraW))
-        .crossJoin(broadcast(budget))
-        .filter(col("cum_tokens") <= col("budget"))
-        .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
-        .orderBy(col("quality").desc, col("doc_id"))
+      Qh.materializedWith(ranged)(
+        ranged
+          .join(broadcast(offsets), "pid")
+          .withColumn("cum_tokens", col("off") + sum("n_tokens").over(intraW))
+          .crossJoin(broadcast(budget))
+          .filter(col("cum_tokens") <= col("budget"))
+          .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
+          .orderBy(col("quality").desc, col("doc_id")))
     },
 
     // --- keep-best canonical dedup over near-dup clusters -------------------

@@ -91,13 +91,38 @@ object PipelineQueries {
 
   /** Verified near-dup pairs (i < j, exact jaccard ≥ 0.8) via banded
     * MinHash-LSH candidate generation — the shared core of
-    * q_dedup_minhash and q_dedup_clusters. See q_dedup_minhash for the
-    * plan-shape commentary. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    minhashPairs(s, d, LshBucketCap)
-
-  private[graft] def minhashPairs(s: SparkSession, d: String, bucketCap: Int): DataFrame = {
+    * q_dedup_minhash, q_dedup_clusters, q_cur_keep_best and
+    * q_cur_leakage_audit. See q_dedup_minhash for the plan-shape
+    * commentary.
+    *
+    * Eager: the shingle frame feeds THREE consumers (band keys + both
+    * verify-join sides), so it is persisted for exactly one
+    * materializing job and dropped before returning — un-persisted,
+    * those were two extra full-corpus scan+split+distinct passes per
+    * call, multiplied across the four callers (round-7 verdict #1). */
+  private[queries] def minhashPairsShared(s: SparkSession, d: String): DataFrame = {
     val sh = shingled(s, d)
+    Qh.materializedWith(sh)(minhashPairsFrom(sh, LshBucketCap))
+  }
+
+  /** Lazy, self-contained form — PipelineSpec's cap-equivalence and
+    * drop-counter tests need `observe()` metrics on the RETURNED frame's
+    * own QueryExecution, which an eager checkpoint would hide. */
+  private[graft] def minhashPairs(s: SparkSession, d: String, bucketCap: Int): DataFrame =
+    minhashPairsFrom(shingled(s, d), bucketCap)
+
+  /** Formatted plan of the pair pipeline over a PERSISTED shingle frame —
+    * for PlanShapeSpec (the catalog query checkpoints, so its public plan
+    * is a scan of the checkpointed RDD): asserts live on the inner plan,
+    * where the three shingle consumers must all read InMemoryTableScan. */
+  private[graft] def minhashPlanProbe(s: SparkSession, d: String): String = {
+    val sh = shingled(s, d).persist()
+    try minhashPairsFrom(sh, LshBucketCap).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally sh.unpersist()
+  }
+
+  private def minhashPairsFrom(sh: DataFrame, bucketCap: Int): DataFrame = {
     val bands = bandKeys(sh)
     // Bounded-at-the-map-side bucket materialization: partial buffers
     // never exceed bucketCap ids (see BoundedMinSet), so the shuffle
@@ -151,7 +176,33 @@ object PipelineQueries {
     * cap smallest members — what the cap sacrifices is pair-completeness
     * within that cluster, same documented tradeoff as the LSH bucket
     * cap. */
+  /** Eager form for the catalog query: the shingle frame feeds FOUR
+    * consumers (postings ×2 via df-count + prefix, verify-join sides ×2)
+    * — persisted for the one materializing job, dropped on return, same
+    * rationale as [[minhashPairsShared]]. */
+  private[queries] def ngramPairsShared(s: SparkSession, d: String): DataFrame = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp)
+    Qh.materializedWith(shStr)(ngramPairsFrom(shStr, sp, NgramDfCap))
+  }
+
+  /** Lazy, self-contained form — see [[minhashPairs]] for why the
+    * cap-equivalence / drop-counter tests need it. */
   private[graft] def ngramJaccardPairs(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    ngramPairsFrom(shingled(s, d, sp), sp, cap)
+  }
+
+  /** Plan probe over a persisted shingle frame — see [[minhashPlanProbe]]. */
+  private[graft] def ngramPlanProbe(s: SparkSession, d: String): String = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp).persist()
+    try ngramPairsFrom(shStr, sp, NgramDfCap).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally shStr.unpersist()
+  }
+
+  private def ngramPairsFrom(shStr: DataFrame, sp: Int, cap: Int): DataFrame = {
     val t = 0.8 // jaccard threshold (must match the oracle SQL)
     // Hash each shingle string to a long ONCE and run every downstream
     // stage (postings, df counts, window, set intersections) on longs —
@@ -161,8 +212,6 @@ object PipelineQueries {
     // the string sets' absent an xxhash64 collision within a compared
     // pair (~1e-15 odds corpus-wide; the all-pairs DuckDB oracle would
     // catch one as a hash mismatch).
-    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val shStr = shingled(s, d, sp)
     // hashed ARRAYS only where the array itself is joined (verify step;
     // no explode) — 5000 narrow rows
     val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
@@ -244,7 +293,7 @@ object PipelineQueries {
     * (vertex, label) — the only shape that survives 100 TB. Shared by
     * q_dedup_clusters and q_cur_keep_best (CurationQueries). */
   private[queries] def nearDupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = minhashPairs(s, d).select(col("i"), col("j"))
+    val pairs = minhashPairsShared(s, d).select(col("i"), col("j"))
     val edges = pairs.union(pairs.select(col("j").as("i"), col("i").as("j"))).cache()
     var labels = edges.select(col("i").as("v")).distinct()
       .withColumn("lbl", col("v"))
@@ -392,7 +441,7 @@ object PipelineQueries {
       // ~10x slower), one aggregation per band-bucket for candidates
       // (never a self-join that would recompute the pipeline), exact
       // jaccard verification on candidates only.
-      minhashPairs(s, d).orderBy("i", "j")
+      minhashPairsShared(s, d).orderBy("i", "j")
     },
 
     // --- incremental dedup: delta batch vs a PERSISTED corpus index -----
@@ -474,8 +523,8 @@ object PipelineQueries {
         |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
         |            / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8
         |ORDER BY i, j""".stripMargin) { (s, d) =>
-      // See ngramJaccardPairs for the plan + scale commentary.
-      ngramJaccardPairs(s, d, NgramDfCap)
+      // See ngramPairsFrom for the plan + scale commentary.
+      ngramPairsShared(s, d)
     },
 
     // --- near-dup clustering: connected components over the pair graph --
@@ -847,11 +896,11 @@ object PipelineQueries {
       // so the big bigram table never re-shuffles. The PMI itself is a
       // deterministic function of exact integer counts (round9 absorbs
       // sub-ulp ln() differences across libm implementations).
-      // both exploded frames feed a count AND a total — persist so each
-      // is one corpus pass, not two
+      // both exploded frames feed a count AND a total — persisted for
+      // the one materializing job (each is one corpus pass, not two)
+      // and dropped on return via materializedWith
       val tok = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("t"))
-        .persist()
       val u = tok.groupBy("t").agg(count(lit(1)).as("cu"))
       val nu = tok.agg(count(lit(1)).cast("double").as("nu"))
       val bg = t(s, d, "documents")
@@ -860,20 +909,20 @@ object PipelineQueries {
         .select(explode(expr(
           "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
           .as("pr"))
-        .persist()
       val b = bg.groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(count(lit(1)).as("cb"))
       val nb = bg.agg(count(lit(1)).cast("double").as("nb"))
-      b.filter(col("cb") >= 30)
-        .join(broadcast(u.select(col("t"), col("cu").as("cua"))), col("a") === col("t")).drop("t")
-        .join(broadcast(u.select(col("t"), col("cu").as("cub"))), col("b") === col("t")).drop("t")
-        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-        .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
-          col("cb").as("n_pair"),
-          round(log((col("cb") / col("nb")) /
-            ((col("cua") / col("nu")) * (col("cub") / col("nu")))), 9).as("pmi"))
-        .orderBy(col("pmi").desc, col("bigram"))
-        .limit(20)
+      Qh.materializedWith(tok, bg)(
+        b.filter(col("cb") >= 30)
+          .join(broadcast(u.select(col("t"), col("cu").as("cua"))), col("a") === col("t")).drop("t")
+          .join(broadcast(u.select(col("t"), col("cu").as("cub"))), col("b") === col("t")).drop("t")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .select(concat(col("a"), lit(" "), col("b")).as("bigram"),
+            col("cb").as("n_pair"),
+            round(log((col("cb") / col("nb")) /
+              ((col("cua") / col("nu")) * (col("cub") / col("nu")))), 9).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+          .limit(20))
     },
 
     // --- hard-negative mining for contrastive training ------------------
@@ -949,13 +998,13 @@ object PipelineQueries {
       // preserved for the next round. Both engines' replace() scan
       // left-to-right non-overlapping, which is what makes the exact
       // oracle possible for an iterative learner.
-      // persisted: the ONE corpus-scale pass — every merge round re-reads
-      // this vocabulary-sized table instead of re-counting the corpus
+      // persisted (for the one materializing job; dropped on return):
+      // the ONE corpus-scale pass — every merge round re-reads this
+      // vocabulary-sized table instead of re-counting the corpus
       // (un-persisted, the 3 rounds planned 14 corpus scans)
       val wf = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq"))
-        .persist()
       val seq0 = wf.select(
         concat(lit(" "),
           array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
@@ -983,7 +1032,8 @@ object PipelineQueries {
       val m3 = top(pairs(seq2))
       def row(m: DataFrame, r: Int): DataFrame = m.select(lit(r).as("merge_rank"),
         col("a").as("tok_a"), col("b").as("tok_b"), col("cnt"))
-      row(m1, 1).unionByName(row(m2, 2)).unionByName(row(m3, 3)).orderBy("merge_rank")
+      Qh.materializedWith(wf)(
+        row(m1, 1).unionByName(row(m2, 2)).unionByName(row(m3, 3)).orderBy("merge_rank"))
     },
 
     // --- heavy hitters: Misra-Gries sketch + exact recount of the
@@ -1810,14 +1860,14 @@ object PipelineQueries {
       // funnel feasible at 100 TB (the naive spelling — a self-join per
       // stage pair on raw events — is quadratic in the timeline). Final
       // counts are 4 scalars assembled in one plan.
-      // persisted: the unit-keyed timeline feeds FOUR branches (three
-      // stage aggregates + the unit count) — without it Catalyst plans
-      // an events scan per reference (measured: 14 scans). At 100 TB
-      // this is a PipelineRunner checkpoint; in one plan, persist().
+      // persisted (for the one materializing job; dropped on return):
+      // the unit-keyed timeline feeds FOUR branches (three stage
+      // aggregates + the unit count) — without it Catalyst plans an
+      // events scan per reference (measured: 14 scans). At 100 TB this
+      // is a PipelineRunner checkpoint; in one plan, materializedWith.
       val z = t(s, d, "events")
         .select(col("user_id"), date_trunc("day", col("ts").cast("timestamp")).as("g"),
           col("event_type"), col("ts").cast("timestamp").as("ts"))
-        .persist()
       val keys = Seq("user_id", "g")
       val t1 = z.filter(col("event_type") === "view")
         .groupBy(keys.map(col): _*).agg(min("ts").as("ts1"))
@@ -1830,10 +1880,11 @@ object PipelineQueries {
       // four 1-row aggregates assembled in ONE plan (no driver-side
       // count() round-trips; the shared subtree is exchange-reused
       // across branches)
-      z.select(keys.map(col): _*).distinct().agg(count(lit(1)).as("n_units"))
-        .crossJoin(t1.agg(count(lit(1)).as("n_view")))
-        .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
-        .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel")))
+      Qh.materializedWith(z)(
+        z.select(keys.map(col): _*).distinct().agg(count(lit(1)).as("n_units"))
+          .crossJoin(t1.agg(count(lit(1)).as("n_view")))
+          .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel"))))
     },
   )
 }

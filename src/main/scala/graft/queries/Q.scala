@@ -50,6 +50,31 @@ object Qh {
   val D12: DecimalType = DecimalType(12, 2) // prices, quantities
   val D3: DecimalType = DecimalType(3, 2)   // rates in [0,1)
 
+  /** Persist `inputs`, EAGERLY materialize `result`, then unpersist the
+    * inputs before returning.
+    *
+    * This is the session-hygiene form of the persist() pattern used by
+    * multi-consumer queries (a corpus-pass frame feeding several plan
+    * branches): a bare `df.persist()` inside a lazily-returned query
+    * leaks the cache for the life of the SparkSession — across a
+    * 158-query bench/verify run those corpus-sized caches accumulate and
+    * evict each other (round-7 ADVICE). Here the one job triggered by
+    * `localCheckpoint(eager = true)` computes every persisted input
+    * exactly once (each consumer reads the cache), the small result is
+    * pinned as executor-resident blocks with its lineage truncated, and
+    * the inputs are dropped in a finally — no cache outlives the call.
+    * The builder runs inside Bench's timed region, so the eager work is
+    * measured exactly like the lazy form was. At 100 TB the same shape
+    * is a PipelineRunner stage checkpoint to reliable storage;
+    * localCheckpoint is the in-session analog (results here are
+    * candidate pairs / top-k / scalar rollups — orders of magnitude
+    * smaller than the corpus passes they retire). */
+  def materializedWith(inputs: DataFrame*)(result: DataFrame): DataFrame = {
+    inputs.foreach(_.persist())
+    try result.localCheckpoint(eager = true)
+    finally inputs.foreach(_.unpersist())
+  }
+
   /** Exact, order-independent sum of a double money column. */
   def dsum(c: Column): Column = sum(c.cast(D12)).cast(DoubleType)
   /** Exact average: exact decimal sum, then one double division. */

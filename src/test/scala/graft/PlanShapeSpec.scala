@@ -49,14 +49,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
-  test("q_dedup_minhash never builds an all-pairs join (no CartesianProduct)") {
-    val p = plan("q_dedup_minhash")
+  // Both dedup queries eagerly checkpoint (their shingle frame is
+  // persisted for exactly one job and dropped on return), so the catalog
+  // frame's public plan is a checkpoint scan — the assertions live on the
+  // inner plan via the *PlanProbe hooks: no all-pairs join, and every
+  // shingle consumer reads the ONE persisted computation.
+  test("q_dedup_minhash: no CartesianProduct; 3 shingle consumers read one cache") {
+    val p = graft.queries.PipelineQueries.minhashPlanProbe(spark, sf)
     assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"expected band keys + both verify-join sides on InMemoryTableScan:\n$p")
   }
 
-  test("q_dedup_ngram_jaccard never builds an all-pairs join (no CartesianProduct)") {
-    val p = plan("q_dedup_ngram_jaccard")
+  test("q_dedup_ngram_jaccard: no CartesianProduct; 4 shingle consumers read one cache") {
+    val p = graft.queries.PipelineQueries.ngramPlanProbe(spark, sf)
     assert(!p.contains("CartesianProduct"), p)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
+      s"expected postings x2 + both verify-join sides on InMemoryTableScan:\n$p")
   }
 
   test("q_ann_bruteforce broadcasts the query vector (no shuffle of corpus)") {
