@@ -31,6 +31,14 @@ object PipelineRunner {
   /** One run's audit: which stages were computed vs resumed-from-disk. */
   final case class Report(computed: Seq[String], loaded: Seq[String])
 
+  /** Per-root run serialization: two concurrent runs sharing a root
+    * would otherwise both see a stage's marker missing and race the
+    * same output directory (same hazard SourceQueries.materialize
+    * guards with cacheLock). JVM-local striped locks — cross-JVM
+    * coordination is the deployment's scheduler's job, as it is for
+    * the reference's scheduler-owned job state. */
+  private val rootLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Run `stages` over `source`, checkpointing each under `root`.
     * Returns the final stage's frame (read back from its checkpoint —
     * downstream consumers see the committed data, never a live plan)
@@ -42,20 +50,29 @@ object PipelineRunner {
       stages: Seq[(String, DataFrame => DataFrame)]): (DataFrame, Report) = {
     require(stages.nonEmpty, "empty pipeline")
     require(stages.map(_._1).distinct.size == stages.size, "duplicate stage names")
-    var cur = source
-    val computed = Seq.newBuilder[String]
-    val loaded = Seq.newBuilder[String]
-    stages.zipWithIndex.foreach { case ((name, f), i) =>
-      val dir = f"$root/$i%02d_$name"
-      if (new java.io.File(dir, "_SUCCESS").exists()) {
-        loaded += name
-        cur = spark.read.parquet(dir)
-      } else {
-        f(cur).write.mode(SaveMode.Overwrite).parquet(dir)
-        computed += name
-        cur = spark.read.parquet(dir)
+    // Resolve _SUCCESS through Hadoop's FileSystem, not java.io.File:
+    // a java.io probe silently never matches on HDFS/S3 roots (the
+    // 100 TB deployment), so resume would quietly recompute every
+    // stage there (round-7 ADVICE).
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    rootLocks.computeIfAbsent(root, _ => new Object).synchronized {
+      var cur = source
+      val computed = Seq.newBuilder[String]
+      val loaded = Seq.newBuilder[String]
+      stages.zipWithIndex.foreach { case ((name, f), i) =>
+        val dir = f"$root/$i%02d_$name"
+        val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+        val fs = marker.getFileSystem(hadoopConf)
+        if (fs.exists(marker)) {
+          loaded += name
+          cur = spark.read.parquet(dir)
+        } else {
+          f(cur).write.mode(SaveMode.Overwrite).parquet(dir)
+          computed += name
+          cur = spark.read.parquet(dir)
+        }
       }
+      (cur, Report(computed.result(), loaded.result()))
     }
-    (cur, Report(computed.result(), loaded.result()))
   }
 }

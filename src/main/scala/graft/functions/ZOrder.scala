@@ -30,7 +30,23 @@ object ZOrder {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Scale `v` from [lo, hi] into an integer bucket in [0, 2^bits). */
-  def bucket(v: Column, lo: Long, hi: Long, bits: Int): Column =
-    floor(((v - lit(lo)) * lit(1L << bits)) / lit(hi - lo + 1)).cast("long")
+  /** Scale `v` from [lo, hi] into an integer bucket in [0, 2^bits).
+    *
+    * The scaling multiplies `(v - lo) * 2^bits` in exact long
+    * arithmetic (floating the scale would let a double rounding flip a
+    * bucket boundary), so the domain width is bounded at construction:
+    * a width near 2^63-bits — e.g. millisecond epochs spanning years
+    * with bits near 31 — would overflow to NEGATIVE buckets and
+    * silently degenerate the whole layout. Callers with wider domains
+    * pre-shift/pre-divide the column (a coarser unit loses nothing:
+    * sub-bucket resolution is invisible to the z-key anyway). */
+  def bucket(v: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    require(hi >= lo, s"empty domain: [$lo, $hi]")
+    val width = hi - lo + 1 // lo <= hi, so no overflow here
+    require(width <= (Long.MaxValue >> bits),
+      s"domain width $width * 2^$bits overflows long arithmetic; " +
+        "rescale the column to a coarser unit first")
+    floor(((v - lit(lo)) * lit(1L << bits)) / lit(width)).cast("long")
+  }
 }

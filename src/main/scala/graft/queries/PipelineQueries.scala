@@ -1051,20 +1051,57 @@ object PipelineQueries {
       // doesn't). Pass 2 re-counts ONLY the candidates exactly (broadcast
       // semi join → tiny ≤m-key aggregate) and takes the top 20.
       // Determinism: MG guarantees every token with freq > N/(m+1) is in
-      // the candidate set under ANY merge order; here vocabulary < m, so
-      // candidates = all tokens and the recount is exactly the oracle's
-      // global count (FunctionsSpec stress-tests the m < vocabulary
-      // regime and the error bound on adversarial streams).
-      val sketch = udaf(new graft.functions.FreqSketch(100),
+      // the candidate set under ANY merge order; the recount equals the
+      // oracle's exact top-20 only while that guarantee actually covers
+      // the top-20, so the query CERTIFIES itself instead of silently
+      // returning a plausible-but-wrong top-k on a corpus whose
+      // vocabulary outgrows m (round-7 ADVICE). Certification, driver-
+      // side over 3 scalars off the checkpointed ≤m-row recount:
+      // (a) 20 rows returned and the 20th recounts > N/(m+1) — then no
+      //     dropped token can displace any returned one (the MG bound);
+      //     free, and the path heavy-tailed corpora — MG's regime —
+      //     take at any scale;
+      // (b) else, one broadcast anti-join corpus pass must find ZERO
+      //     non-candidate tokens (candidates = whole vocabulary, the
+      //     gate regime when the bound is too tight to certify) — else
+      //     fail loudly. FunctionsSpec stress-tests the m < vocabulary
+      //     regime and the error bound on adversarial streams.
+      val m = 100
+      val sketch = udaf(new graft.functions.FreqSketch(m),
         org.apache.spark.sql.Encoders.STRING)
       val toks = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-      val cands = toks.agg(sketch(col("token")).as("sk"))
-        .select(explode(map_keys(col("sk"))).as("token"))
-      toks.join(broadcast(cands), Seq("token"), "left_semi")
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token"))
-        .limit(20)
+      // ONE pass-1 consumer: n_total rides the sketch aggregate and is
+      // carried through the exploded candidate rows (a second consumer
+      // of the agg would re-run the corpus pass).
+      val cands = toks.agg(sketch(col("token")).as("sk"), count(lit(1)).as("n_total"))
+        .select(explode(map_keys(col("sk"))).as("token"), col("n_total"))
+      // pass 2 once: the ≤m-row recount is checkpointed, so the top-20
+      // output and the certification scalars both read it without
+      // re-scanning the corpus
+      val rec = Qh.materializedWith()(
+        toks.join(broadcast(cands), Seq("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"), first("n_total").as("n_total")))
+      val topk = rec.orderBy(col("cnt").desc, col("token")).limit(20)
+      val cert = topk
+        .agg(count(lit(1)).as("k_rows"), min("cnt").as("kth"), max("n_total").as("n_total"))
+        .collect()(0)
+      val certified = cert.getLong(0) == 20L &&
+        cert.getLong(1) * (m + 1) > cert.getLong(2)
+      if (!certified) {
+        val nUncand = toks
+          .join(broadcast(rec.select("token")), Seq("token"), "left_anti")
+          .agg(count(lit(1))).collect()(0).getLong(0)
+        // min/max are null on an empty recount — print them safely
+        def sc(i: Int): String = if (cert.isNullAt(i)) "-" else cert.getLong(i).toString
+        if (nUncand > 0) throw new IllegalStateException(
+          s"q_text_heavy_hitters: MG sketch (m=$m) cannot certify exact top-20: " +
+            s"${cert.getLong(0)} candidate rows, 20th count ${sc(1)} " +
+            s"<= N/(m+1) with N=${sc(2)}, and $nUncand tokens fell " +
+            "out of the candidate set — a dropped token could outrank the " +
+            "result; raise m or lower k")
+      }
+      topk.select("token", "cnt")
     },
 
     // --- tf·idf: top-3 characteristic terms per document ----------------

@@ -269,4 +269,29 @@ class EngineSpec extends GraftSuite {
       Seq("filter" -> filterStage, "tokens" -> tokenStage, "rollup" -> rollup))
     assert(again.computed.isEmpty && again.loaded.size == 3)
   }
+
+  test("PipelineRunner: concurrent runs on a shared root serialize per stage") {
+    import org.apache.spark.sql.functions._
+    // Unserialized, both runs see the marker missing and race the same
+    // output directory; the per-root lock must make one run compute and
+    // the other pure-load.
+    val root = java.nio.file.Files.createTempDirectory("graft_pipe_race").toString
+    val docs = Tables.df(spark, sf, "documents")
+    val stageRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = Seq(
+      "tokens" -> ((df: org.apache.spark.sql.DataFrame) => {
+        stageRuns.incrementAndGet()
+        df.withColumn("n_tokens", size(split(col("text"), " ")))
+      }),
+      "rollup" -> ((df: org.apache.spark.sql.DataFrame) =>
+        df.groupBy("lang").agg(count(lit(1)).as("n"))))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = (1 to 2).map(_ => Future(PipelineRunner.run(spark, root, docs, stages)._2))
+    val reports = Await.result(Future.sequence(runs), 120.seconds)
+    assert(stageRuns.get() == 1, s"stage closure ran ${stageRuns.get()} times under the lock")
+    assert(reports.map(_.computed.size).sum == 2 && reports.map(_.loaded.size).sum == 2,
+      s"expected one computing run and one loading run: $reports")
+  }
 }

@@ -86,6 +86,26 @@ class LayoutSpec extends GraftSuite {
     assert(zB <= zBoxes.size / 2, s"z-order should prune a user-only box to <=half the row groups, got $zB/${zBoxes.size}")
   }
 
+  test("ZOrder.bucket refuses domains whose scaling overflows long arithmetic") {
+    // (v - lo) * 2^bits is exact long math; a millisecond-epoch domain
+    // spanning years with bits near 31 would overflow into NEGATIVE
+    // buckets and silently degenerate the layout — must fail loudly.
+    val wide = intercept[IllegalArgumentException] {
+      ZOrder.bucket(col("v"), 0L, Long.MaxValue / 2, 31)
+    }
+    assert(wide.getMessage.contains("overflows"), wide.getMessage)
+    intercept[IllegalArgumentException] { ZOrder.bucket(col("v"), 10L, 9L, 8) }
+    intercept[IllegalArgumentException] { ZOrder.bucket(col("v"), 0L, 100L, 0) }
+    // the widest legal domain at each extreme still buckets correctly
+    val lim = Long.MaxValue >> 31
+    val df = spark.range(1).select(
+      ZOrder.bucket(lit(0L), 0L, lim - 1, 31).as("b_lo"),
+      ZOrder.bucket(lit(lim - 1), 0L, lim - 1, 31).as("b_hi"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) >= 0L && r.getLong(1) < (1L << 31),
+      r.toString)
+  }
+
   test("layout never changes results: zorder scan equals original-table scan") {
     val q = SparkEntry.queries("q_zorder_scan")
     val fromLayout = q(spark, sf01).collect().toSeq

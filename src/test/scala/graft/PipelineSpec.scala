@@ -279,6 +279,27 @@ class PipelineSpec extends GraftSuite {
     assert(metrics.getLong(1) > 0, s"no dropped ids observed: $metrics")
   }
 
+  test("heavy hitters fails loudly when the sketch cannot certify exact top-k") {
+    // 400 distinct tokens at ~equal frequency: every top-20 recount is
+    // ~N/400 < N/101, so the MG candidate set may have silently dropped
+    // a true top-20 token — the in-plan assert_true must throw rather
+    // than return a plausible-but-uncertified top-k.
+    val dir = "/tmp/graft_test_flatvocab"
+    spark.range(400).selectExpr(
+      "id + 1 AS doc_id",
+      // each doc repeats its own token 5 times: flat 400-token vocabulary
+      "concat_ws(' ', array_repeat(concat('tok', CAST(id AS STRING)), 5)) AS text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_text_heavy_hitters")(spark, dir).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.getMessage != null && c.getMessage.contains("cannot certify")),
+      s"expected the certification guard to fire, got: $e")
+  }
+
   test("q_text_repetition signals equal per-doc Scala recounts") {
     def round9(x: Double): Double =
       BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
