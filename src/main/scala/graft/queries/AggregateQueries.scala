@@ -123,19 +123,34 @@ object AggregateQueries {
     },
 
     // Native variance/stddev/corr/covar (reference AggregateFunction ids
-    // 7-14, datafusion.proto:536-546) — float-merge nondeterminism means
-    // no byte-exact oracle; checked by shape + a ScalaTest tolerance
-    // test against the exact-moment query above.
-    Q.noOracle("q_agg_stats_native") { (s, d) =>
+    // 7-14, datafusion.proto:536-546). Float-merge nondeterminism rules
+    // out a byte-exact oracle on the RAW estimates, but magnitude-aware
+    // rounding absorbs it: var/covar sit at ~1e7 with cross-engine merge
+    // noise ~1e-6 absolute (Chan-merge over 32 partitions vs DuckDB's
+    // streaming Welford) → round 3 keeps a 1000× margin; stddev ~3e3
+    // with ~1e-10 noise (the square root contracts it) → round 6; corr
+    // is in [-1, 1] → the catalog-standard round 9. The exact-moment
+    // twin (q_agg_stats_exact) and the PipelineSpec 1e-6-relative
+    // tolerance test stay as the unrounded backstop.
+    Q("q_agg_stats_native",
+      """SELECT c_mktsegment,
+        |  ROUND(var_samp(c_acctbal), 3) AS var_s,
+        |  ROUND(var_pop(c_acctbal), 3) AS var_p,
+        |  ROUND(stddev_samp(c_acctbal), 6) AS std_s,
+        |  ROUND(stddev_pop(c_acctbal), 6) AS std_p,
+        |  ROUND(corr(c_acctbal, c_custkey), 9) AS corr_bal_key,
+        |  ROUND(covar_samp(c_acctbal, c_custkey), 3) AS covar_s,
+        |  ROUND(covar_pop(c_acctbal, c_custkey), 3) AS covar_p
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
       t(s, d, "customer").groupBy("c_mktsegment")
         .agg(
-          var_samp(col("c_acctbal")).as("var_s"),
-          var_pop(col("c_acctbal")).as("var_p"),
-          stddev_samp(col("c_acctbal")).as("std_s"),
-          stddev_pop(col("c_acctbal")).as("std_p"),
-          corr(col("c_acctbal"), col("c_custkey")).as("corr_bal_key"),
-          covar_samp(col("c_acctbal"), col("c_custkey")).as("covar_s"),
-          covar_pop(col("c_acctbal"), col("c_custkey")).as("covar_p"))
+          round(var_samp(col("c_acctbal")), 3).as("var_s"),
+          round(var_pop(col("c_acctbal")), 3).as("var_p"),
+          round(stddev_samp(col("c_acctbal")), 6).as("std_s"),
+          round(stddev_pop(col("c_acctbal")), 6).as("std_p"),
+          round(corr(col("c_acctbal"), col("c_custkey")), 9).as("corr_bal_key"),
+          round(covar_samp(col("c_acctbal"), col("c_custkey")), 3).as("covar_s"),
+          round(covar_pop(col("c_acctbal"), col("c_custkey")), 3).as("covar_p"))
         .orderBy("c_mktsegment")
     },
 
