@@ -107,6 +107,27 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Incrementally add `delta` vectors to an existing index: assign them
+    * to the index's EXISTING centroids (one broadcast-model map stage)
+    * and append per-cell parquet files into the hive-partitioned
+    * `cells/` layout. Per-batch cost is O(delta) — the corpus is never
+    * re-scanned, re-trained, or rewritten, and partition pruning keeps
+    * working because appends land inside the touched `cell=N/`
+    * directories. This is the ingest symmetry of q_dedup_incremental's
+    * persisted LSH bands: the index is the restart point, each batch
+    * pays only its own assignment. Centroids are frozen by design
+    * (probes stay consistent with every previously indexed vector); if
+    * the delta distribution drifts far from the training sample, cells
+    * skew and recall decays — the standard IVF answer is a periodic
+    * rebuild, not per-batch re-centering, which would orphan the
+    * already-written cell assignment. */
+  def upsertIndex(delta: DataFrame, dir: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val centers = loadCentroids(delta.sparkSession, dir)
+    delta.withColumn("cell", cellCol(centers, col("v")))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** Load the (tiny) centroid table back — k rows to the driver, the
     * same thing a real IVF index keeps in RAM. */
   def loadCentroids(spark: org.apache.spark.sql.SparkSession, dir: String): Array[Array[Double]] =

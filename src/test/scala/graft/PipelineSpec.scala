@@ -79,6 +79,23 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
   }
 
+  test("IVF upsert: delta vectors are searchable; recall >= 0.9 vs full corpus") {
+    // at sf0.001 the 90%-base corpus is ~450 vectors — too few for a
+    // 16-cell quantizer to be stable; sf0.01 (5k vectors) is the
+    // smallest fixture where recall measures the UPSERT, not k-means
+    // seeding noise (same reason LayoutSpec runs there)
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("q_ann_ivf_upsert")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0))
+    // the query vector IS a delta vector (vec_id 0): only an index the
+    // upsert extended can return it, at cosine 1 = rank 1
+    assert(rows.head == 0L, s"upserted query vector not found first: ${rows.toSeq}")
+    val recall = exact.intersect(rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=${rows.toSeq}")
+  }
+
   test("LSH ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -292,6 +292,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
   }
 
+  test("q_ann_ivf_upsert probe prunes cell partitions over the appended layout") {
+    // appends must not break the index contract: the probe still reads
+    // only the nProbe cells' directories, base and delta files alike
+    val p = plan("q_ann_ivf_upsert")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
+  }
+
   test("q_ann_ivfpq probe prunes cell partitions at planning time") {
     // same pruning story for the combined index: the ADC code scan only
     // touches the probed cells' directories
