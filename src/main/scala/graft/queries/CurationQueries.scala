@@ -467,6 +467,12 @@ object CurationQueries {
         .join(contaminationPairs(s, d).select("doc_id").distinct(),
           Seq("doc_id"), "left_anti")
         .join(splitAssign(s, d).select("doc_id", "split"), "doc_id")
+      // NOT persisted: the stage operators re-scan documents (8 pruned
+      // columnar scans), and caching the raw text-heavy relation for one
+      // job measured 26% SLOWER at sf0.1 — the per-branch split/shingle
+      // work dominates and a cache removes only the cheap scan while
+      // adding columnar encode cost. materializedWith is for DERIVED
+      // corpus-pass frames (shingles, exploded tokens), not raw scans.
       keep.groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
         .orderBy("lang", "split")
@@ -659,6 +665,8 @@ object CurationQueries {
         (count(lit(1)).over(dupW) > 1).as("is_dup"))
       val contaminated = contaminationPairs(s, d).select("doc_id").distinct()
         .withColumn("is_cont", lit(true))
+      // NOT persisted: see q_cur_end2end — caching the raw relation for
+      // the 8 stage scans measured 24% slower than the pruned re-scans
       docs.select("doc_id", "lang", "source")
         .join(scored(s, d), "doc_id")
         .join(PipelineQueries.repetitionSignals(s, d).select("doc_id", "repetitive"), "doc_id")

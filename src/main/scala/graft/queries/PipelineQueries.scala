@@ -511,15 +511,19 @@ object PipelineQueries {
         .join(s.read.parquet(idxPath), Seq("band", "h1", "h2"))
         .select(col("delta_id"), col("doc_id").as("corpus_id"))
         .distinct()
-      cand
-        .join(deltaSh.select(col("doc_id").as("delta_id"), col("sh").as("sha")), "delta_id")
-        .join(shingled(s, d).select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
-          "corpus_id")
-        .select(col("delta_id"), col("corpus_id"),
-          round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(array_union(col("sha"), col("shb"))), 9).as("jac"))
-        .filter(col("jac") >= 0.8)
-        .orderBy("delta_id", "corpus_id")
+      // the delta batch is shingled once for both its consumers (band
+      // keys + the verify-join side) — at scale that is the whole
+      // per-batch cost, so don't pay it twice; dropped on return
+      Qh.materializedWith(deltaSh)(
+        cand
+          .join(deltaSh.select(col("doc_id").as("delta_id"), col("sh").as("sha")), "delta_id")
+          .join(shingled(s, d).select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+            "corpus_id")
+          .select(col("delta_id"), col("corpus_id"),
+            round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_union(col("sha"), col("shb"))), 9).as("jac"))
+          .filter(col("jac") >= 0.8)
+          .orderBy("delta_id", "corpus_id"))
     },
 
     // --- exact n-gram Jaccard via rare-shingle inverted-index blocking --
@@ -1297,6 +1301,9 @@ object PipelineQueries {
         .groupBy("label", "pos")
         .agg(sum(floor(col("x") * 16777216L).cast("long")).cast("double").as(out))
       val n = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      // NOT persisted: e's three consumers are pruned columnar scans;
+      // caching the 64-double arrays for one job measured 30% slower
+      // at sf0.1 than re-scanning (see q_cur_end2end's note)
       comp(e, "sp1").join(comp(e2, "sp2"), Seq("label", "pos"))
         .groupBy("label")
         .agg(round(sum(col("sp1") * col("sp2")) /

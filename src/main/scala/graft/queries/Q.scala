@@ -68,7 +68,15 @@ object Qh {
     * is a PipelineRunner stage checkpoint to reliable storage;
     * localCheckpoint is the in-session analog (results here are
     * candidate pairs / top-k / scalar rollups — orders of magnitude
-    * smaller than the corpus passes they retire). */
+    * smaller than the corpus passes they retire).
+    *
+    * Persist DERIVED corpus-pass frames (shingles, exploded tokens,
+    * recounts) — the ones whose recomputation repeats real CPU work.
+    * Do NOT point this at a raw table scan: caching text-heavy rows to
+    * save pruned columnar re-scans measured 24-30% SLOWER at sf0.1
+    * (q_cur_datasheet/q_cur_end2end/q_embed_drift, round 8) — the
+    * per-branch transform work dominates and stays either way, while
+    * the cache adds a columnar encode pass. */
   def materializedWith(inputs: DataFrame*)(result: DataFrame): DataFrame = {
     inputs.foreach(_.persist())
     try result.localCheckpoint(eager = true)
