@@ -88,6 +88,28 @@ object PqIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Incrementally add `delta` vectors to an existing IVF+PQ index:
+    * encode them with the FROZEN product codebook and assign them to the
+    * FROZEN coarse centroids (one broadcast-model map stage), then
+    * append per-cell code files into the hive-partitioned `cells/`
+    * layout. Per-batch cost is O(delta) — neither model is retrained and
+    * the corpus codes are never rewritten, so every previously returned
+    * ADC score stays valid and partition pruning keeps working (appends
+    * land inside the touched `cell=N/` directories). Same frozen-model
+    * contract as [[IvfIndex.upsertIndex]]: distribution drift degrades
+    * quantization error gradually, and the answer is a periodic rebuild,
+    * not per-batch re-centering (which would invalidate every stored
+    * code). */
+  def upsertIvfPqIndex(delta: DataFrame, dir: String): Unit = {
+    val spark = delta.sparkSession
+    val centers = IvfIndex.loadCentroids(spark, dir)
+    val cb = loadCodebook(spark, dir)
+    delta.select(col("vec_id"), col("label"),
+        codesCol(cb, col("v")).as("codes"),
+        IvfIndex.cellCol(centers, col("v")).as("cell"))
+      .write.mode(SaveMode.Append).partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** ADC lookup table for one query: lt(s)(c) = q_s · codeword(s)(c),
     * so Σ_s lt(s)(codes(s)) ≈ q · reconstruction(x). Driver-side — it
     * is one vector against m·k codewords. */

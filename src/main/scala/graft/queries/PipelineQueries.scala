@@ -1662,6 +1662,50 @@ object PipelineQueries {
         .limit(10)
     },
 
+    // --- incremental IVF+PQ upsert: delta batch into the combined index --
+    Q.noOracle("q_ann_ivfpq_upsert") { (s, d) =>
+      // The ingest path of the combined index: built ONCE from the base
+      // corpus (90%), then each arriving batch (the held-out 10%) is
+      // ENCODED with the frozen product codebook and ASSIGNED to the
+      // frozen coarse centroids — one broadcast-model map stage,
+      // O(delta) per batch, no retraining, no rewrite of existing codes,
+      // partition pruning intact (PartitionFilters asserted in
+      // PlanShapeSpec). The probe queries with a DELTA vector (vec_id 0
+      // is held out), so a correct result proves the upsert extended the
+      // code layout. Probe = pruned ADC scan → top-100 shortlist →
+      // exact re-rank via broadcast semi join. Approximate → rows-only
+      // gate; recall ≥0.9 vs brute force in PipelineSpec. nProbe 6 for
+      // the same frozen-centroid reason as q_ann_ivf_upsert.
+      import graft.functions.{IvfIndex, PqIndex}
+      val dir = s"${SourceQueries.cacheDir(d)}/ivfpq16_upsert"
+      val e = vecs(s, d)
+      // commit marker lands only after BOTH steps: a build that died
+      // before the upsert must not leave a silently smaller index
+      SourceQueries.materialize(s"$dir/commit") {
+        PqIndex.buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
+          kCells = 16, m = 16, k = 32, dir)
+        PqIndex.upsertIvfPqIndex(e.filter(col("vec_id") % 10 === 0), dir)
+        s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$dir/commit")
+      }
+      val centers = IvfIndex.loadCentroids(s, dir)
+      val cb = PqIndex.loadCodebook(s, dir)
+      val qv = e.filter(col("vec_id") === 0).select("v")
+        .head().getSeq[Double](0).toArray
+      val probes = IvfIndex.probeCells(centers, qv, nProbe = 6)
+      val lt = PqIndex.lookupTable(cb, qv)
+      val shortlist = s.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(probes: _*))
+        .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
+        .orderBy(col("approx").desc, col("vec_id"))
+        .limit(100)
+      val qCol = array(qv.map(lit): _*)
+      e.join(broadcast(shortlist.select("vec_id")), "vec_id")
+        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // --- as-of join: each purchase paired with the user's most recent
     // click at-or-before it (point-in-time correctness — the canonical
     // feature-lookup join of a training pipeline) ------------------------

@@ -41,7 +41,7 @@ class ConcurrencySpec extends GraftSuite {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val names = Seq("q_csv_scan", "q_bucketed_join", "q_avro_scan", "q_listing_scan",
-        "q_ann_pq", "q_ann_ivfpq", // the ANN index builds share the same lock
+        "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_upsert", // the ANN index builds share the same lock
         // round-8 materializations: Morton layout, LSH bands index,
         // nested/evolving parquet derivations
         "q_zorder_scan", "q_dedup_incremental", "q_nested_prune", "q_schema_evolution")

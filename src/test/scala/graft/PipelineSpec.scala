@@ -96,6 +96,23 @@ class PipelineSpec extends GraftSuite {
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=${rows.toSeq}")
   }
 
+  test("IVF+PQ upsert: delta codes are searchable; recall >= 0.9 vs full corpus") {
+    // same sf0.01 floor as the IVF upsert test: 16 cells x 16x32
+    // codebooks need ~5k vectors before recall measures the UPSERT
+    // rather than quantizer seeding noise
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("q_ann_ivfpq_upsert")(spark, sf01)
+      .select("vec_id").collect().map(_.getLong(0))
+    // the query vector IS a delta vector (vec_id 0): only a code layout
+    // the upsert extended can return it, and the exact re-rank must put
+    // it first at cosine 1
+    assert(rows.head == 0L, s"upserted query vector not found first: ${rows.toSeq}")
+    val recall = exact.intersect(rows.toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact approx=${rows.toSeq}")
+  }
+
   test("LSH ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -310,6 +310,15 @@ class PlanShapeSpec extends GraftSuite {
     assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
   }
 
+  test("q_ann_ivfpq_upsert probe prunes cell partitions over the appended codes") {
+    // the combined index's ingest path: delta code files appended inside
+    // cell=N/ directories must leave the ADC scan partition-pruned
+    val p = plan("q_ann_ivfpq_upsert")
+    assert(p.contains("PartitionFilters"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell"), s"cell filter not pushed to partitions: $pf")
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located join)") {
     // The 100-TB co-location story: bucket both sides on the join key at
     // write time and the join needs no exchange at read time (the analog
