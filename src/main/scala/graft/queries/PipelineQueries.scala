@@ -645,6 +645,65 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- semantic dedup: embedding-cell pruning (SemDeDup-style) --------
+    Q("q_dedup_semantic", {
+      // The cell id is 4 random-hyperplane sign bits; the planes are
+      // Knuth-hash dyadic rationals (w = ((i*2654435761) % 2^32 >> 16)
+      // / 2^16 − 0.5 — exact BIGINT + dyadic-double arithmetic both
+      // engines compute bit-identically, the repo's cross-engine
+      // randomness convention), so the DERIVED clustering itself is
+      // oracle-checkable, not just the per-pair cosines.
+      val cellExpr = (0 until 4).map { b =>
+        s"""(CASE WHEN ROUND(list_sum(list_transform(range(1,65),
+           |  k -> v[CAST(k AS INT)] *
+           |       (CAST(((($b*64 + k) * 2654435761) % 4294967296) // 65536 AS DOUBLE)
+           |        / 65536.0 - 0.5))), 9) >= 0 THEN ${1 << b} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id, label, v, $cellExpr AS cell FROM e),
+         |drops AS (
+         |  SELECT DISTINCT b.vec_id AS j
+         |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.3)
+         |SELECT vec_id, label, cell FROM c
+         |WHERE vec_id NOT IN (SELECT j FROM drops) ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+      // embedding space, call two documents semantic duplicates when
+      // their cosine exceeds a threshold WITHIN a cluster, keep one
+      // representative (min vec_id) per duplicate group, and return the
+      // SURVIVING corpus — the dedup decision, where q_embed_neardup
+      // only lists pairs inside a GIVEN label. The cells here are
+      // 4 sign-bit random-hyperplane buckets (= one-table LSH): unlike
+      // the paper's k-means they make the whole operator deterministic
+      // and oracle-able, and the plan shape is identical — a corpus
+      // map stage computes the cell (4 codegen'd 64-dim dot products),
+      // the pair join shuffles on cell and never crosses cells, and the
+      // survivor set is one left-anti join. At 100 TB: more bits (cells
+      // ≈ corpus/10k) plus a per-cell id cap (the LshBucketCap pattern)
+      // bound every task; cross-cell duplicates are the documented
+      // recall price (the paper accepts the same within-cluster-only
+      // comparison), bought back with multi-probe or a second plane set.
+      val planes: Seq[Seq[Double]] = (0 until 4).map { b =>
+        (1 to 64).map { k =>
+          (((b.toLong * 64 + k) * 2654435761L) % 4294967296L / 65536L).toDouble / 65536.0 - 0.5
+        }
+      }
+      val cell = planes.zipWithIndex.map { case (p, b) =>
+        when(round(graft.functions.DotProduct.dot_product(
+          col("v"), array(p.map(lit): _*)), 9) >= 0, lit(1 << b)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val c = vecs(s, d).withColumn("cell", cell)
+      val a = c.select(col("vec_id").as("i"), col("cell"), col("v"))
+      val b = c.select(col("vec_id").as("j"), col("cell").as("cb"), col("v").as("vb"))
+      val drops = a.join(b, col("cell") === col("cb") && col("i") < col("j"))
+        .filter(cosine(col("v"), col("vb")) >= 0.3)
+        .select(col("j").as("vec_id")).distinct()
+      c.join(drops, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"), col("cell"))
+        .orderBy("vec_id")
+    },
+
     // --- text analysis: tokenization + counting -------------------------
     Q("q_text_stats",
       """SELECT doc_id,

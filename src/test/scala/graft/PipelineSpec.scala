@@ -31,6 +31,40 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
+    // independent of the DuckDB oracle: recompute the whole operator in
+    // plain Scala (cells from the same Knuth-hash planes, brute-force
+    // within-cell cosines, min-id-keeps drop rule) and require the same
+    // survivor set
+    val vecs = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cell(v: Array[Double]): Int = (0 until 4).map { b =>
+      val dot = (1 to 64).map { k =>
+        val w = (((b.toLong * 64 + k) * 2654435761L) % 4294967296L / 65536L).toDouble / 65536.0 - 0.5
+        v(k - 1) * w
+      }.sum
+      if (BigDecimal(dot).setScale(9, BigDecimal.RoundingMode.HALF_UP) >= 0) 1 << b else 0
+    }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = vecs.groupBy { case (_, v) => cell(v) }
+    val dropped = byCell.values.flatMap { members =>
+      for {
+        (j, vj) <- members
+        if members.exists { case (i, vi) =>
+          i < j && BigDecimal(cos(vi, vj)).setScale(9, BigDecimal.RoundingMode.HALF_UP) >= BigDecimal("0.3")
+        }
+      } yield j
+    }.toSet
+    val expected = vecs.map(_._1).filterNot(dropped).sorted.toSeq
+    val got = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"got ${got.size} survivors, expected ${expected.size}")
+  }
+
   test("documents corpus is ASCII (q_dedup_simhash oracle precondition)") {
     // RollingHash folds UTF-8 bytes; the DuckDB simhash oracle folds
     // ascii() code points. They agree only on single-byte ASCII text, so
