@@ -412,6 +412,47 @@ object PipelineQueries {
     round(dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b))), 9)
   }
 
+  // ---- BPE helpers (shared by q_text_bpe learning + q_text_bpe_encode) --
+
+  /** (word, freq) over the corpus — the ONE corpus-scale pass of BPE;
+    * everything after it touches vocabulary-sized data. */
+  private def bpeWordFreq(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** The two-space char-sequence representation of `word` (tokens
+    * separated by TWO spaces with single-space borders — see q_text_bpe
+    * for why the rhythm makes literal replace() a correct merge apply). */
+  private def bpeSeqCol: Column = concat(lit(" "),
+    array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
+    lit(" "))
+
+  /** Adjacent-token pair counts weighted by `freq` over the `seq`
+    * column: explode pairs → two-phase count. */
+  private def bpePairCounts(df: DataFrame): DataFrame = df
+    .select(expr("split(trim(seq), '  ')").as("tk"), col("freq"))
+    // single-token sequences have no pairs; also guards Spark's
+    // sequence(1, 0), which DESCENDS rather than returning empty
+    .filter(size(col("tk")) >= 2)
+    .select(explode(expr(
+      "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
+      .as("pr"), col("freq"))
+    .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+    .agg(sum("freq").as("cnt"))
+
+  /** 1-row argmax (count DESC, pair ASC — total order, deterministic). */
+  private def bpeTop(p: DataFrame): DataFrame =
+    p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+
+  /** Apply one learned merge to `seq` (broadcast 1-row merge, row-local
+    * left-to-right non-overlapping replace), carrying every other column. */
+  private def bpeApply(df: DataFrame, m: DataFrame): DataFrame =
+    df.crossJoin(broadcast(m.select("a", "b")))
+      .withColumn("seq", expr(
+        "replace(seq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"))
+      .drop("a", "b")
+
   val all: Seq[Q] = Seq(
 
     // --- exact deduplication: content-hash groupBy ----------------------
@@ -1080,38 +1121,84 @@ object PipelineQueries {
       // the ONE corpus-scale pass — every merge round re-reads this
       // vocabulary-sized table instead of re-counting the corpus
       // (un-persisted, the 3 rounds planned 14 corpus scans)
-      val wf = t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-      val seq0 = wf.select(
-        concat(lit(" "),
-          array_join(expr("filter(split(word, ''), x -> x <> '')"), "  "),
-          lit(" ")).as("seq"),
-        col("freq"))
-      def pairs(df: DataFrame): DataFrame = df
-        .select(expr("split(trim(seq), '  ')").as("tk"), col("freq"))
-        // single-token sequences have no pairs; also guards Spark's
-        // sequence(1, 0), which DESCENDS rather than returning empty
-        .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
-          .as("pr"), col("freq"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum("freq").as("cnt"))
-      def top(p: DataFrame): DataFrame =
-        p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-      def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
-        df.crossJoin(broadcast(m))
-          .select(expr(
-            "replace(seq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))").as("seq"),
-            col("freq"))
-      val m1 = top(pairs(seq0)); val seq1 = applyMerge(seq0, m1)
-      val m2 = top(pairs(seq1)); val seq2 = applyMerge(seq1, m2)
-      val m3 = top(pairs(seq2))
+      val wf = bpeWordFreq(s, d)
+      val seq0 = wf.select(bpeSeqCol.as("seq"), col("freq"))
+      val m1 = bpeTop(bpePairCounts(seq0)); val seq1 = bpeApply(seq0, m1)
+      val m2 = bpeTop(bpePairCounts(seq1)); val seq2 = bpeApply(seq1, m2)
+      val m3 = bpeTop(bpePairCounts(seq2))
       def row(m: DataFrame, r: Int): DataFrame = m.select(lit(r).as("merge_rank"),
         col("a").as("tok_a"), col("b").as("tok_b"), col("cnt"))
       Qh.materializedWith(wf)(
         row(m1, 1).unionByName(row(m2, 2)).unionByName(row(m3, 3)).orderBy("merge_rank"))
+    },
+
+    // --- BPE apply: encode the corpus with the learned tokenizer --------
+    Q("q_text_bpe_encode",
+      """WITH wf AS (SELECT t AS word, COUNT(*) AS freq
+        |            FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents) GROUP BY t),
+        |s0 AS (SELECT ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq, freq FROM wf),
+        |p1 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s0))
+        |       GROUP BY pr.a, pr.b),
+        |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s0, m1),
+        |p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s1))
+        |       GROUP BY pr.a, pr.b),
+        |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s1, m2),
+        |p3 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s2))
+        |       GROUP BY pr.a, pr.b),
+        |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        |v0 AS (SELECT word, ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq
+        |       FROM (SELECT word FROM wf WHERE word <> '')),
+        |v1 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v0, m1),
+        |v2 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v1, m2),
+        |v3 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v2, m3),
+        |venc AS (SELECT word, len(string_split(trim(seq), '  ')) AS n_tok FROM v3),
+        |dw AS (SELECT doc_id, word, COUNT(*) AS c FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |       WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT dw.doc_id AS doc_id, CAST(SUM(dw.c) AS BIGINT) AS n_words,
+        |       CAST(SUM(dw.c * venc.n_tok) AS BIGINT) AS n_tokens
+        |FROM dw JOIN venc USING(word) GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // The apply half of the tokenizer lifecycle (q_text_bpe is the
+      // train half): learn the 3 merges, then ENCODE THE VOCABULARY, not
+      // the corpus — each distinct word's char sequence goes through the
+      // merge chain once, yielding (word → token count), and documents
+      // are priced by joining their (doc, word) counts against that
+      // vocabulary table. At 100 TB the distinction is the whole cost
+      // model: the merge chain touches millions of vocabulary rows
+      // instead of re-tokenizing billions of documents, and the join
+      // shuffles on word with counts, never text. Output is per-doc
+      // exact word/BPE-token counts — the number a token-budget pass
+      // (q_cur_token_budget) consumes.
+      val wf = bpeWordFreq(s, d)
+      val seq0 = wf.select(bpeSeqCol.as("seq"), col("freq"))
+      val m1 = bpeTop(bpePairCounts(seq0)); val seq1 = bpeApply(seq0, m1)
+      val m2 = bpeTop(bpePairCounts(seq1)); val seq2 = bpeApply(seq1, m2)
+      val m3 = bpeTop(bpePairCounts(seq2))
+      // vocabulary encode: same seq representation, same merge chain,
+      // carrying the word key through bpeApply's column passthrough
+      val v0 = wf.filter(col("word") =!= "").select(col("word"), bpeSeqCol.as("seq"))
+      val v3 = bpeApply(bpeApply(bpeApply(v0, m1), m2), m3)
+      val venc = v3.select(col("word"),
+        size(expr("split(trim(seq), '  ')")).as("n_tok"))
+      val dw = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      // persisted: wf feeds the 3 learning rounds AND the vocab encode
+      Qh.materializedWith(wf)(
+        dw.join(venc, "word")
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_words"),
+            sum(col("c") * col("n_tok")).as("n_tokens"))
+          .orderBy("doc_id"))
     },
 
     // --- heavy hitters: Misra-Gries sketch + exact recount of the
