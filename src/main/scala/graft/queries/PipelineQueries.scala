@@ -1044,6 +1044,65 @@ object PipelineQueries {
           .limit(20))
     },
 
+    // --- LM perplexity scoring: bigram model filter (CCNet-style) -------
+    Q("q_text_lm_score",
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+        |uni AS (SELECT t AS a, COUNT(*) AS ca FROM tok GROUP BY t),
+        |vs AS (SELECT COUNT(*) AS v FROM uni),
+        |bg AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM (
+        |         SELECT doc_id, unnest([{'a': w[i], 'b': w[i+1]} for i in range(1, len(w))]) AS pr
+        |         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |         WHERE len(w) >= 2)),
+        |bgc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+        |sc AS (SELECT doc_id, CAST(ROUND(ln((cab + 1.0) / (ca + v)) * 1e9) AS BIGINT) AS lp9
+        |       FROM bg JOIN bgc USING (a, b) JOIN uni USING (a) CROSS JOIN vs)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(SUM(lp9) / 1e9 / COUNT(*), 9) AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // The perplexity-filter step of a CCNet-style curation pipeline:
+      // train an add-1-smoothed bigram LM on the corpus itself, score
+      // every document by its mean token log-probability, and let a
+      // downstream gate drop the tails (gibberish scores far below the
+      // mean; boilerplate far above). P(b|a) = (c(a,b)+1)/(c(a)+V) —
+      // a deterministic function of exact integer counts, so the whole
+      // model is oracle-able. Shape: two two-phase counts train the
+      // model (bigram table is vocabulary²-bounded, unigram table
+      // vocabulary-bounded), then the corpus bigram stream joins the
+      // model on its keys — at 100 TB the unigram+V sides broadcast and
+      // the bigram-count join shuffles counts on (a,b), never text, and
+      // nothing is ever all-pairs. Cross-engine float discipline: each
+      // bigram's log-prob is rounded to fixed-point 1e-9 and summed as
+      // LONG (merge-order-independent across 1000 executors; a float
+      // sum could flip a round9 boundary), divided once at the end.
+      // The one corpus-scale exploded frame feeds both the model counts
+      // and the scoring stream — persisted for the one materializing
+      // job, dropped on return.
+      val docs = t(s, d, "documents")
+      val tok = docs.select(explode(split(col("text"), " ")).as("a"))
+      val uni = tok.groupBy("a").agg(count(lit(1)).as("ca"))
+      val vs = uni.agg(count(lit(1)).as("v"))
+      val bg = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+          .as("pr"))
+        .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      val bgc = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      Qh.materializedWith(bg)(
+        bg.join(bgc, Seq("a", "b"))
+          .join(broadcast(uni), Seq("a"))
+          .crossJoin(broadcast(vs))
+          .select(col("doc_id"),
+            round(log((col("cab") + lit(1.0)) / (col("ca") + col("v"))) * lit(1e9))
+              .cast("long").as("lp9"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lp9")).as("s9"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("s9").cast("double") / lit(1e9) / col("n_bigrams"), 9).as("avg_logp"))
+          .orderBy("doc_id"))
+    },
+
     // --- hard-negative mining for contrastive training ------------------
     Q("q_embed_hard_negatives",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
