@@ -187,6 +187,34 @@ object Smoke {
     require(nInc1 == nInc, "incremental probe must be deterministic")
     println(f"SMOKE incremental dedup: index build+probe=${tIdxB}%.1fs " +
       f"warm probe=${tProbeI}%.1fs ($nInc delta-corpus pairs)")
+
+    // --- round-8c operators at scale -------------------------------------
+    // semantic dedup: cell map stage + within-cell pair join over the
+    // ×M jittered vector corpus (cells bound the fan-out; the jitter
+    // keeps copies NEAR-duplicate, so drops are a real measurement);
+    // ivfpq upsert: build+encode once, then the warm pruned ADC probe;
+    // bpe_encode: vocab-bounded merge chain + (doc,word)-counts join;
+    // lm_score: vocab²-bounded model + counts-only scoring join.
+    // the bit count is the operator's scale knob (cells ≈ corpus/2^bits,
+    // within-cell join quadratic in cell size): the gate's 4 bits on the
+    // ×25 corpus is the WRONG knob setting (cells of ~3k → ~77M pairs),
+    // 8 bits holds per-cell work at the base corpus's budget — run both
+    // so the knob's effect is measured, not asserted
+    val (nSem4, tSem4) = time(
+      graft.queries.PipelineQueries.semanticDedupSurvivors(spark, dir, 4, 0.3).count())
+    val (nSem8, tSem8) = time(
+      graft.queries.PipelineQueries.semanticDedupSurvivors(spark, dir, 8, 0.3).count())
+    println(f"SMOKE semantic dedup: 4bit/16cells=${tSem4}%.1fs ($nSem4 survivors of $nVecs) " +
+      f"8bit/256cells=${tSem8}%.1fs ($nSem8 survivors)")
+    val (pqU1, tPqU1) = time(topIds(spark, dir, "q_ann_ivfpq_upsert"))
+    val (pqU, tPqU) = time(topIds(spark, dir, "q_ann_ivfpq_upsert"))
+    require(pqU1 == pqU, "upserted IVF+PQ probe must be deterministic")
+    println(f"SMOKE ivfpq upsert: build+upsert+probe=${tPqU1}%.1fs " +
+      f"warm probe=${tPqU}%.1fs (recall=${recall(pqU)}%.2f)")
+    val (nEnc, tEnc) = time(SparkEntry.queries("q_text_bpe_encode")(spark, dir).count())
+    val (nLm, tLm) = time(SparkEntry.queries("q_text_lm_score")(spark, dir).count())
+    println(f"SMOKE round8c text: bpe_encode=${tEnc}%.1fs ($nEnc docs priced) " +
+      f"lm_score=${tLm}%.1fs ($nLm docs scored)")
     spark.stop()
   }
 }

@@ -412,6 +412,49 @@ object PipelineQueries {
     round(dot_product(a, b) / (sqrt(dot_product(a, a)) * sqrt(dot_product(b, b))), 9)
   }
 
+  /** SemDeDup survivor set (see q_dedup_semantic): embedding cells from
+    * `bits` Knuth-hash hyperplane sign bits, within-cell cosine ≥ `tau`
+    * prune keeping the min vec_id, survivors via one left-anti join.
+    *
+    * `bits` is the SCALE KNOB: cells ≈ corpus/2^bits vectors, and the
+    * within-cell pair join is quadratic in cell size — so bits grows
+    * with the corpus to hold per-cell work constant (the smoke runs the
+    * ×25 corpus at 8 bits for the same per-cell pair budget the gate's
+    * 4 bits give the base corpus). Cross-cell duplicates are the
+    * documented recall price (the paper accepts the same
+    * within-cluster-only comparison), bought back with multi-probe or a
+    * second plane set. Plan: one corpus map stage computes cell id
+    * (`bits` codegen'd 64-dim dots) AND the vector norm — the pair join
+    * then pays ONE dot product per pair instead of recomputing both
+    * norms (same values, same multiply order, so round9 cosines stay
+    * bit-identical to the oracle's list_cosine_similarity); the join
+    * shuffles on cell and never crosses cells. */
+  private[graft] def semanticDedupSurvivors(
+      s: SparkSession, d: String, bits: Int, tau: Double): DataFrame = {
+    import graft.functions.DotProduct.dot_product
+    val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
+      (1 to 64).map { k =>
+        (((b.toLong * 64 + k) * 2654435761L) % 4294967296L / 65536L).toDouble / 65536.0 - 0.5
+      }
+    }
+    val cell = planes.zipWithIndex.map { case (p, b) =>
+      when(round(dot_product(col("v"), array(p.map(lit): _*)), 9) >= 0,
+        lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val c = vecs(s, d).withColumn("cell", cell)
+      .withColumn("nrm", sqrt(dot_product(col("v"), col("v"))))
+    val a = c.select(col("vec_id").as("i"), col("cell"), col("v"), col("nrm"))
+    val b = c.select(col("vec_id").as("j"), col("cell").as("cb"),
+      col("v").as("vb"), col("nrm").as("nrmb"))
+    val drops = a.join(b, col("cell") === col("cb") && col("i") < col("j"))
+      .filter(round(dot_product(col("v"), col("vb")) /
+        (col("nrm") * col("nrmb")), 9) >= tau)
+      .select(col("j").as("vec_id")).distinct()
+    c.join(drops, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   // ---- BPE helpers (shared by q_text_bpe learning + q_text_bpe_encode) --
 
   /** (word, freq) over the corpus — the ONE corpus-scale pass of BPE;
@@ -714,35 +757,10 @@ object PipelineQueries {
       // their cosine exceeds a threshold WITHIN a cluster, keep one
       // representative (min vec_id) per duplicate group, and return the
       // SURVIVING corpus — the dedup decision, where q_embed_neardup
-      // only lists pairs inside a GIVEN label. The cells here are
-      // 4 sign-bit random-hyperplane buckets (= one-table LSH): unlike
-      // the paper's k-means they make the whole operator deterministic
-      // and oracle-able, and the plan shape is identical — a corpus
-      // map stage computes the cell (4 codegen'd 64-dim dot products),
-      // the pair join shuffles on cell and never crosses cells, and the
-      // survivor set is one left-anti join. At 100 TB: more bits (cells
-      // ≈ corpus/10k) plus a per-cell id cap (the LshBucketCap pattern)
-      // bound every task; cross-cell duplicates are the documented
-      // recall price (the paper accepts the same within-cluster-only
-      // comparison), bought back with multi-probe or a second plane set.
-      val planes: Seq[Seq[Double]] = (0 until 4).map { b =>
-        (1 to 64).map { k =>
-          (((b.toLong * 64 + k) * 2654435761L) % 4294967296L / 65536L).toDouble / 65536.0 - 0.5
-        }
-      }
-      val cell = planes.zipWithIndex.map { case (p, b) =>
-        when(round(graft.functions.DotProduct.dot_product(
-          col("v"), array(p.map(lit): _*)), 9) >= 0, lit(1 << b)).otherwise(lit(0))
-      }.reduce(_ + _)
-      val c = vecs(s, d).withColumn("cell", cell)
-      val a = c.select(col("vec_id").as("i"), col("cell"), col("v"))
-      val b = c.select(col("vec_id").as("j"), col("cell").as("cb"), col("v").as("vb"))
-      val drops = a.join(b, col("cell") === col("cb") && col("i") < col("j"))
-        .filter(cosine(col("v"), col("vb")) >= 0.3)
-        .select(col("j").as("vec_id")).distinct()
-      c.join(drops, Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("label"), col("cell"))
-        .orderBy("vec_id")
+      // only lists pairs inside a GIVEN label. See semanticDedupSurvivors
+      // for the plan; 4 bits = 16 cells here so the gate-SF oracle stays
+      // cheap to compute in DuckDB. The bit count is the scale knob.
+      semanticDedupSurvivors(s, d, bits = 4, tau = 0.3)
     },
 
     // --- text analysis: tokenization + counting -------------------------
