@@ -62,6 +62,35 @@ object PipelineQueries {
         col("bd.h1").as("h1"), col("bd.h2").as("h2"))
   }
 
+  /** (doc_id, chunk_idx, chunk_hash, chunk_words): content-defined
+    * chunks of a (doc_id, text) frame. A boundary falls after word i iff
+    * rolling_hash(word_i) % 8 == 0 (content-local: an edit never moves
+    * boundaries beyond the next one), chunk identity is the RollingHash
+    * of the chunk text. Row-local HOF work — one pass, no per-doc O(n²):
+    * boundary positions from one filter, each chunk from one slice.
+    * Shared by q_dedup_cdc and the PipelineSpec locality test. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 1)
+      .withColumn("wh", transform(col("w"),
+        x => graft.functions.RollingHash.rolling_hash(x)))
+      .withColumn("p", filter(sequence(lit(1), size(col("w"))),
+        i => element_at(col("wh"), i) % 8 === 0))
+      .withColumn("bnd", concat(array(lit(0)),
+        when(size(col("p")) > 0 && element_at(col("p"), -1) === size(col("w")),
+          col("p"))
+          .otherwise(concat(col("p"), array(size(col("w")))))))
+      .select(col("doc_id"), col("w"), col("bnd"),
+        explode(sequence(lit(1), size(col("bnd")) - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        graft.functions.RollingHash.rolling_hash(array_join(
+          slice(col("w"), element_at(col("bnd"), col("chunk_idx")) + 1,
+            element_at(col("bnd"), col("chunk_idx") + 1)
+              - element_at(col("bnd"), col("chunk_idx"))), " ")).as("chunk_hash"),
+        (element_at(col("bnd"), col("chunk_idx") + 1)
+          - element_at(col("bnd"), col("chunk_idx"))).as("chunk_words"))
+
   /** embeddings as array<double> (cosine math in double on both engines
     * so results are bit-comparable). */
   private def vecs(s: SparkSession, d: String): DataFrame =
@@ -778,6 +807,77 @@ object PipelineQueries {
       // for the plan; 4 bits = 16 cells here so the gate-SF oracle stays
       // cheap to compute in DuckDB. The bit count is the scale knob.
       semanticDedupSurvivors(s, d, bits = 4, tau = 0.3)
+    },
+
+    // --- content-defined chunking: chunk-level exact-substring dedup ----
+    Q("q_dedup_cdc",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 1),
+        |h AS (SELECT doc_id, w,
+        |        list_transform(w, x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(ascii(x[i]) AS BIGINT) for i in range(1, length(x) + 1)]),
+        |          (h, c) -> (h * 31 + c) % 1000000007)) AS wh
+        |      FROM w),
+        |b AS (SELECT doc_id, w,
+        |        [i for i in range(1, len(w) + 1) if wh[CAST(i AS INT)] % 8 = 0] AS p
+        |      FROM h),
+        |b2 AS (SELECT doc_id, w,
+        |        list_concat([CAST(0 AS BIGINT)],
+        |          CASE WHEN len(p) > 0 AND p[-1] = len(w) THEN p
+        |               ELSE list_append(p, CAST(len(w) AS BIGINT)) END) AS bnd
+        |      FROM b),
+        |o AS (SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(ascii(cs[i]) AS BIGINT) for i in range(1, length(cs) + 1)]),
+        |          (h, c) -> (h * 31 + c) % 1000000007) AS chunk_hash,
+        |        bnd[CAST(j AS INT) + 1] - bnd[CAST(j AS INT)] AS chunk_words
+        |      FROM (SELECT doc_id, bnd,
+        |              array_to_string(w[CAST(bnd[CAST(j AS INT)] AS INT) + 1 :
+        |                                CAST(bnd[CAST(j AS INT) + 1] AS INT)], ' ') AS cs, j
+        |            FROM b2, UNNEST(range(1, len(bnd))) AS t(j))),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_hash
+        |        ORDER BY doc_id, chunk_idx) AS rn FROM o)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+        |  ROUND(sum(CASE WHEN rn > 1 THEN chunk_words ELSE 0 END)::DOUBLE
+        |        / sum(chunk_words), 9) AS dup_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Content-defined chunking (the FastCDC/LBFS family, here gear-less
+      // word-level): a chunk boundary falls after word i whenever
+      // rolling_hash(word_i) % 8 == 0, so boundaries depend only on LOCAL
+      // content — an insertion early in a document shifts every fixed-size
+      // block but leaves all CDC chunks after the next boundary intact.
+      // Chunk identity = rolling hash of the chunk text (the codegen'd
+      // cross-engine h*31+c fold, q_text_fingerprint's convention); an
+      // occurrence is a duplicate iff an identical chunk exists earlier in
+      // (doc_id, chunk_idx) order. This is the chunk-level form of exact
+      // substring dedup (Lee et al. 2022 use suffix arrays; CDC trades
+      // their arbitrary-boundary guarantee for a single declarative pass).
+      //
+      // Scale: the chunker is row-local HOF work (one corpus pass, no
+      // O(n²) per doc — boundary positions come from one filter, chunks
+      // from one slice per boundary pair). The shuffle carries only
+      // (hash, doc_id, idx, len) — never chunk text. First-occurrence is
+      // a groupBy(hash).min(struct) — partial-aggregatable, so one
+      // boilerplate chunk repeated across the whole corpus bounds its
+      // map-side state at one row per partition instead of hot-keying a
+      // window (the oracle's row_number formulation is exactly what does
+      // NOT survive 100 TB). The occurrences frame feeds both the owner
+      // aggregate and the join probe: materializedWith computes the
+      // chunking once.
+      val occ = cdcChunks(t(s, d, "documents"))
+      val owners = occ.groupBy("chunk_hash")
+        .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+      val dup = !(col("doc_id") === col("first.doc_id") &&
+        col("chunk_idx") === col("first.chunk_idx"))
+      Qh.materializedWith(occ)(
+        occ.join(owners, "chunk_hash")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(dup, 1L).otherwise(0L)).as("dup_chunks"),
+            round(sum(when(dup, col("chunk_words")).otherwise(0)).cast("double")
+              / sum(col("chunk_words")), 9).as("dup_ratio"))
+          .orderBy("doc_id"))
     },
 
     // --- text analysis: tokenization + counting -------------------------

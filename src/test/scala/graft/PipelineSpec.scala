@@ -65,6 +65,36 @@ class PipelineSpec extends GraftSuite {
     assert(got == expected, s"got ${got.size} survivors, expected ${expected.size}")
   }
 
+  test("CDC chunking is boundary-local: a front insertion changes only the first chunk") {
+    // the property that distinguishes content-defined chunking from
+    // fixed-size blocking: word hashes (hence boundaries) depend only on
+    // local content, so prepending a word leaves every chunk after the
+    // first boundary identical — a near-dup pair still shares almost all
+    // chunk hashes
+    val words = (1 to 200).map(k => s"w${(k * 2654435761L) % 97}")
+    val docA = words.mkString(" ")
+    // "zq" must not itself end a chunk or the first boundary would move;
+    // rolling_hash("zq") = (122*31 + 113) % 1e9+7 = 3895, 3895 % 8 != 0
+    val docB = ("zq" +: words).mkString(" ")
+    val chunks = graft.queries.PipelineQueries
+      .cdcChunks(spark.createDataFrame(Seq((0L, docA), (1L, docB)))
+        .toDF("doc_id", "text"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getInt(3)))
+      }
+    val (a, b) = (chunks(0L), chunks(1L))
+    assert(a.map(_._2).sum == 200 && b.map(_._2).sum == 201,
+      "chunk words must partition each document")
+    assert(a.length == b.length, s"${a.length} vs ${b.length} chunks")
+    assert(a.length >= 5, "fixture must produce several chunks")
+    assert(b.head._2 == a.head._2 + 1 && b.head._1 != a.head._1,
+      "first chunk absorbs the insertion")
+    assert(a.drop(1).sameElements(b.drop(1)),
+      "all chunks after the first boundary must be identical")
+  }
+
   test("documents corpus is ASCII (q_dedup_simhash oracle precondition)") {
     // RollingHash folds UTF-8 bytes; the DuckDB simhash oracle folds
     // ascii() code points. They agree only on single-byte ASCII text, so
