@@ -1238,6 +1238,92 @@ object PipelineQueries {
           .orderBy("doc_id"))
     },
 
+    // --- trained classifier filter: multinomial Naive Bayes -------------
+    Q("q_text_nb_classify",
+      """WITH tr AS (SELECT doc_id, lang AS label, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id, lang AS label, string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (SELECT label, unnest(w) AS t FROM tr),
+        |ct AS (SELECT label, t, COUNT(*) AS c FROM tok GROUP BY label, t),
+        |cl AS (SELECT label, COUNT(*) AS n FROM tok GROUP BY label),
+        |vs AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+        |pri AS (SELECT label, COUNT(*) AS nd FROM tr GROUP BY label),
+        |tot AS (SELECT COUNT(*) AS ntr FROM tr),
+        |tt AS (SELECT doc_id, unnest(w) AS t FROM te),
+        |sc AS (SELECT tt.doc_id, cl.label,
+        |         CAST(ROUND(ln((COALESCE(ct.c, 0) + 1.0) / (cl.n + vs.v)) * 1e9)
+        |           AS BIGINT) AS lp9
+        |       FROM tt CROSS JOIN cl CROSS JOIN vs
+        |       LEFT JOIN ct ON ct.label = cl.label AND ct.t = tt.t),
+        |agg AS (SELECT doc_id, label, CAST(SUM(lp9) AS BIGINT) AS s9
+        |        FROM sc GROUP BY doc_id, label),
+        |wp AS (SELECT agg.doc_id, agg.label,
+        |         s9 + CAST(ROUND(ln(pri.nd::DOUBLE / tot.ntr) * 1e9) AS BIGINT) AS score9
+        |       FROM agg JOIN pri USING (label) CROSS JOIN tot),
+        |best AS (SELECT doc_id, label AS pred FROM (
+        |  SELECT doc_id, label,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score9 DESC, label) AS rn
+        |  FROM wp) WHERE rn = 1)
+        |SELECT te.doc_id, te.label AS actual, best.pred,
+        |  CASE WHEN te.label = best.pred THEN 1 ELSE 0 END AS correct
+        |FROM te JOIN best ON te.doc_id = best.doc_id
+        |ORDER BY te.doc_id""".stripMargin) { (s, d) =>
+      // The trained-classifier curation step (the GPT-3/CCNet pipelines
+      // train a linear quality/domain classifier and gate documents on
+      // its score): multinomial Naive Bayes with add-one smoothing
+      // (McCallum & Nigam 1998) — the classic text classifier whose
+      // training is PURE counting, so both training and inference are
+      // declarative plans and the whole operator is oracle-able. Train
+      // on the doc_id%5!=0 split (label = lang), score the held-out
+      // 20%: argmax_l [ ln P(l) + Σ_t ln (c(l,t)+1)/(c(l)+V) ].
+      //
+      // Scale: the model is vocabulary-bounded, never corpus-bounded —
+      // c(l,t)/c(l)/V/priors are two-phase counts. Scoring expands the
+      // held-out token stream |labels|× (bounded by the label alphabet,
+      // 5 here) and joins the broadcast count table on (label, token);
+      // if the vocabulary outgrows a broadcast, Spark falls back to a
+      // shuffle on (label, t) — a standard fact-dim join, never
+      // all-pairs. Per-token log-probs are fixed-point 1e-9 LONGs
+      // summed (merge-order-independent across 1000 executors, the
+      // q_text_lm_score convention); the argmax is a partial-
+      // aggregatable min(struct(-score, label)) with the deterministic
+      // smallest-label tie-break, not a per-doc window. The training
+      // token stream feeds three model counts — one materializing job.
+      val docs = t(s, d, "documents")
+      val tr = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("lang").as("label"), split(col("text"), " ").as("w"))
+      val te = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang").as("label"), split(col("text"), " ").as("w"))
+      val tok = tr.select(col("label"), explode(col("w")).as("t"))
+      val ct = tok.groupBy("label", "t").agg(count(lit(1)).as("c"))
+      val cl = tok.groupBy("label").agg(count(lit(1)).as("n"))
+      val vs = tok.agg(countDistinct(col("t")).as("v"))
+      val pri = tr.groupBy("label").agg(count(lit(1)).as("nd"))
+      val tot = tr.agg(count(lit(1)).as("ntr"))
+      val tt = te.select(col("doc_id"), explode(col("w")).as("t"))
+      val sc = tt.crossJoin(broadcast(cl)).crossJoin(broadcast(vs))
+        .join(broadcast(ct), Seq("label", "t"), "left")
+        .select(col("doc_id"), col("label"),
+          round(log((coalesce(col("c"), lit(0)) + lit(1.0)) / (col("n") + col("v")))
+            * lit(1e9)).cast("long").as("lp9"))
+      val wp = sc.groupBy("doc_id", "label").agg(sum(col("lp9")).as("s9"))
+        .join(broadcast(pri), "label").crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("label"),
+          (col("s9") + round(log(col("nd").cast("double") / col("ntr")) * lit(1e9))
+            .cast("long")).as("score9"))
+      val best = wp.groupBy("doc_id")
+        .agg(min(struct((-col("score9")).as("neg"), col("label").as("label"))).as("b"))
+        .select(col("doc_id"), col("b.label").as("pred"))
+      Qh.materializedWith(tok)(
+        te.select(col("doc_id"), col("label").as("actual"))
+          .join(best, "doc_id")
+          .select(col("doc_id"), col("actual"), col("pred"),
+            when(col("actual") === col("pred"), 1).otherwise(0).as("correct"))
+          .orderBy("doc_id"))
+    },
+
     // --- hard-negative mining for contrastive training ------------------
     Q("q_embed_hard_negatives",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
