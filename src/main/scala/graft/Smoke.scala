@@ -215,6 +215,16 @@ object Smoke {
     val (nLm, tLm) = time(SparkEntry.queries("q_text_lm_score")(spark, dir).count())
     println(f"SMOKE round8c text: bpe_encode=${tEnc}%.1fs ($nEnc docs priced) " +
       f"lm_score=${tLm}%.1fs ($nLm docs scored)")
+
+    // --- round-8d operators at scale -------------------------------------
+    // cdc: one row-local chunking pass, shuffle carries (hash, ids, len);
+    // the ×M exact copies make every chunk of copies 1..M-1 a duplicate,
+    // so dup accounting is exercised at full fan-in. nb_classify: the
+    // model stays vocabulary-bounded while train/score streams scale ×M.
+    val (nCdc, tCdc) = time(SparkEntry.queries("q_dedup_cdc")(spark, dir).count())
+    val (nNb, tNb) = time(SparkEntry.queries("q_text_nb_classify")(spark, dir).count())
+    println(f"SMOKE round8d: cdc=${tCdc}%.1fs ($nCdc docs chunk-audited) " +
+      f"nb_classify=${tNb}%.1fs ($nNb held-out docs classified)")
     spark.stop()
   }
 }
