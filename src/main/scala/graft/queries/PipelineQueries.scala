@@ -1575,6 +1575,89 @@ object PipelineQueries {
         .orderBy("doc_id", "rn")
     },
 
+    // --- BM25 ranked retrieval ------------------------------------------
+    Q("q_text_bm25",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pt AS (SELECT doc_id, len(w) AS dl,
+        |         len(list_filter(w, x -> x = 'vector')) AS tf0,
+        |         len(list_filter(w, x -> x = 'merge')) AS tf1,
+        |         len(list_filter(w, x -> x = 'scan')) AS tf2
+        |       FROM d),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS t,
+        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |       FROM pt),
+        |sc AS (SELECT doc_id, CAST(tf0 + tf1 + tf2 AS BIGINT) AS hits,
+        |         ROUND(
+        |           ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |             * (CAST(tf0 AS DOUBLE) * 2.2)
+        |             / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
+        |           + ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |             * (CAST(tf1 AS DOUBLE) * 2.2)
+        |             / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
+        |           + ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |             * (CAST(tf2 AS DOUBLE) * 2.2)
+        |             / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))), 9) AS score
+        |       FROM pt CROSS JOIN st)
+        |SELECT doc_id, hits, score, rn FROM (
+        |  SELECT doc_id, hits, score,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+        |  FROM sc WHERE hits > 0)
+        |WHERE rn <= 15 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Okapi BM25 (k1=1.2, b=0.75) ranked retrieval for a fixed query
+      // term set — the retrieval-side sibling of q_text_tfidf. Shape for
+      // 100 TB: per-doc term frequencies for the |q| query terms are
+      // computed ROW-LOCALLY (size(filter(w, ...)) — no explode, so no
+      // (doc, token) shuffle at all); pass 1 is one aggregate reducing
+      // the corpus to 2+|q| driver scalars (N, total length, per-term
+      // document frequencies — model state, like the IVF centroids);
+      // pass 2 scores each doc map-side against those literals and
+      // TakeOrdered'd top-15. The narrow (doc_id, dl, tf*) frame — five
+      // numerics, never text — is persisted across the two passes and
+      // dropped before returning (round-7 cache-hygiene ADVICE).
+      // Determinism: idf/norm chains are written with IDENTICAL
+      // association in both engines; scores round9 before ranking and
+      // ties break on doc_id (libm-ulp risk absorbed, the q_text_tfidf
+      // convention).
+      val terms = Seq("vector", "merge", "scan")
+      val docs = t(s, d, "documents")
+      val pt = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+          terms.indices.map(i =>
+            size(expr(s"filter(w, x -> x = '${terms(i)}')")).cast("long").as(s"tf$i")): _*)
+      pt.persist()
+      try {
+        val st = pt.agg(
+          count(lit(1)).as("n"), sum("dl").as("t"),
+          sum((col("tf0") > 0).cast("long")).as("df0"),
+          sum((col("tf1") > 0).cast("long")).as("df1"),
+          sum((col("tf2") > 0).cast("long")).as("df2")).head()
+        val n = st.getLong(0)
+        val tTok = st.getLong(1)
+        val idf = terms.indices.map { i =>
+          val df = st.getLong(2 + i)
+          math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+        }
+        val norm = lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") * lit(n.toDouble) / lit(tTok.toDouble)))
+        val scoreCol = terms.indices.map { i =>
+          val tfD = col(s"tf$i").cast("double")
+          lit(idf(i)) * (tfD * lit(2.2)) / (tfD + norm)
+        }.reduce(_ + _)
+        val top = pt
+          .withColumn("hits", col("tf0") + col("tf1") + col("tf2"))
+          .filter(col("hits") > 0)
+          .select(col("doc_id"), col("hits"), round(scoreCol, 9).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+        top.withColumn("rn",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+          .orderBy("rn")
+          .localCheckpoint(eager = true)
+      } finally pt.unpersist()
+    },
+
     // --- bigram frequencies (n-gram counting) ---------------------------
     Q("q_text_bigrams",
       """SELECT bigram, COUNT(*) AS freq FROM (
