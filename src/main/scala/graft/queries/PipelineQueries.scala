@@ -1899,6 +1899,90 @@ object PipelineQueries {
         .select(col("i"), col("j"), cosine(col("v"), col("qv")).as("cs"))
         .filter(col("cs") >= 0.4)
         .orderBy("i", "j")
+    // --- k-means clustering over embeddings (fixed-point Lloyd's) -------
+    Q("q_embed_kmeans",
+      """WITH e AS (SELECT vec_id,
+        |         [CAST(floor(x * 16777216.0) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS vq
+        |       FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, vq, cid, dist FROM (
+        |         SELECT e.vec_id, e.vq, c0.cid,
+        |           list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]) AS dist,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]), c0.cid) AS rn
+        |         FROM e CROSS JOIN c0) WHERE rn = 1),
+        |s1 AS (SELECT cid, pos, SUM(vq[pos + 1]) AS sp, COUNT(*) AS np
+        |       FROM a1, (SELECT unnest(range(64)) AS pos) GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(CAST(floor(CAST(sp AS DOUBLE) / np) AS BIGINT) ORDER BY pos) AS c
+        |       FROM s1 GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid, dist FROM (
+        |         SELECT e.vec_id, c1.cid,
+        |           list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]) AS dist,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]), c1.cid) AS rn
+        |         FROM e CROSS JOIN c1) WHERE rn = 1)
+        |SELECT cid, COUNT(*) AS n_vecs,
+        |  ROUND(CAST(SUM(dist) AS DOUBLE) / 281474976710656.0, 6) AS inertia
+        |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      // Distributed Lloyd's k-means (k=4, 2 unrolled iterations) — the
+      // clustering primitive curation/mixing pipelines need (cluster-
+      // then-sample, SemDeDup-style per-cluster dedup). Cross-engine
+      // exactness: components are quantized ONCE to a 2^-24 integer grid
+      // (float×2^24 is exact scaling, floor has no rounding ties — the
+      // q_embed_centroid trick), after which distances, argmins and
+      // centroid updates are INTEGER arithmetic — bit-stable at any
+      // parallelism and merge order, in both engines, with ties broken
+      // on the smaller centroid id. Shape for 100 TB: centroids are
+      // MODEL STATE (k×64 longs on the driver, like IVF's); each
+      // iteration scores rows map-side against broadcast literals (the
+      // k-way distance array is one codegen'd expression — no N×k join
+      // fan-out, no per-vector shuffle) and reduces to k×64 partial
+      // sums via posexplode + two-phase agg (the exchange carries
+      // k×64×partitions rows, nothing corpus-sized). Empty clusters
+      // drop (documented Lloyd's behavior); iteration count is fixed so
+      // the oracle can unroll — the open-ended form is PipelineRunner
+      // stages with a convergence check on the k×64 driver state.
+      val e = vecs(s, d).select(col("vec_id"),
+        expr("transform(v, x -> CAST(floor(x * 16777216.0D) AS BIGINT))").as("vq"))
+      e.persist()
+      try {
+        def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
+          val cands = cents.map { case (cid, c) =>
+            val cArr = array(c.map(lit): _*)
+            struct(
+              aggregate(
+                zip_with(col("vq"), cArr, (x, y) => (x - y) * (x - y)),
+                lit(0L), (acc, v) => acc + v).as("dist"),
+              lit(cid).as("cid"))
+          }
+          e.withColumn("best", array_min(array(cands: _*)))
+            .select(col("vec_id"), col("vq"),
+              col("best.cid").as("cid"), col("best.dist").as("dist"))
+        }
+        def update(asn: DataFrame): Seq[(Long, Array[Long])] = asn
+          .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos").agg(sum("x").as("sp"), count(lit(1)).as("np"))
+          .collect()
+          .groupBy(_.getLong(0)).toSeq
+          .map { case (cid, rows) =>
+            val c = new Array[Long](64)
+            rows.foreach(r => c(r.getInt(1)) =
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            cid -> c
+          }.sortBy(_._1)
+        val init = e.filter(col("vec_id") < 4).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+        val c1 = update(assign(init))
+        assign(c1)
+          .groupBy("cid").agg(
+            count(lit(1)).as("n_vecs"),
+            round(sum(col("dist").cast(DecimalType(38, 0))).cast("double") /
+              lit(281474976710656.0), 6).as("inertia"))
+          .orderBy("cid")
+          .localCheckpoint(eager = true)
+      } finally e.unpersist()
+    },
+
     },
 
     // --- similarity search: LSH-bucketed ANN (the 100-TB scale path) ----
