@@ -880,6 +880,82 @@ object PipelineQueries {
           .orderBy("doc_id"))
     },
 
+    // --- exact repeated-passage detection (ExactSubstr-style) -----------
+    Q("q_dedup_substring",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 10),
+        |wins AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, CAST(i AS BIGINT) AS pos,
+        |           list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             [CAST(ascii(wt[k]) AS BIGINT) for k in range(1, length(wt) + 1)]),
+        |             (h, c) -> (h * 31 + c) % 1000000007) AS wh
+        |         FROM (SELECT doc_id, w, i,
+        |                 array_to_string(w[CAST(i AS INT) + 1 : CAST(i AS INT) + 10], ' ') AS wt
+        |               FROM d, UNNEST(range(0, len(w) - 10 + 1)) AS t(i))),
+        |dh AS (SELECT wh FROM wins GROUP BY wh HAVING COUNT(*) > 1),
+        |dp AS (SELECT wins.doc_id, wins.dl, wins.pos FROM wins JOIN dh USING (wh)),
+        |m AS (SELECT doc_id, dl, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+        |             THEN 0 ELSE 1 END AS new_isl
+        |      FROM dp),
+        |i AS (SELECT doc_id, dl, pos,
+        |        SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |      FROM m),
+        |sp AS (SELECT doc_id, dl, isl, MAX(pos) - MIN(pos) + 10 AS span_tokens
+        |       FROM i GROUP BY doc_id, dl, isl)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+        |  ROUND(CAST(SUM(span_tokens) AS DOUBLE) / CAST(dl AS DOUBLE), 9) AS dup_frac
+        |FROM sp GROUP BY doc_id, dl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Exact repeated-passage detection — the window-anchor form of
+      // ExactSubstr dedup (Lee et al. 2022 build suffix arrays; a
+      // suffix array is not a distributed-friendly structure, so the
+      // scalable equivalent anchors every L=10-word window by its
+      // engine-independent RollingHash, keeps windows whose hash occurs
+      // more than once in the corpus, and coalesces overlapping or
+      // touching duplicated starts — gap ≤ L — into maximal spans with
+      // the lag/cumsum islands pattern). Complements q_dedup_cdc: CDC
+      // finds duplicated content-defined CHUNKS (cheap, boundary-
+      // dependent); this finds EVERY duplicated L-token passage
+      // regardless of alignment, the signal used to cut verbatim
+      // boilerplate out of training text. Per doc: span count,
+      // duplicated-token count, duplicated fraction.
+      //
+      // Scale: windows explode ~dl rows/doc but the shuffle carries
+      // ONLY (wh, doc_id, dl, pos) — four numerics, never window text
+      // (the hash is the codegen'd RollingHash over the reassembled
+      // window — row-local). Repeated-hash detection is a partial-
+      // aggregatable count; the join back is hash-keyed; islands are a
+      // per-doc window over DUPLICATED positions only. The wins frame
+      // feeds both the count and the probe: materializedWith computes
+      // the window pass once and drops the cache before returning.
+      val L = 10
+      val wins = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= L)
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          posexplode(expr(
+            s"transform(sequence(0, size(w) - $L), i -> concat_ws(' ', slice(w, i + 1, $L)))"))
+            .as(Seq("pos", "wt")))
+        .select(col("doc_id"), col("dl"), col("pos").cast("long").as("pos"),
+          graft.functions.RollingHash.rolling_hash(col("wt")).as("wh"))
+      val dupHashes = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select("wh")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      Qh.materializedWith(wins)(
+        wins.join(dupHashes, "wh")
+          .withColumn("new_isl",
+            when(col("pos") - lag("pos", 1).over(byDoc) <= L, 0L).otherwise(1L))
+          .withColumn("isl", sum("new_isl").over(byDoc))
+          .groupBy("doc_id", "dl", "isl")
+          .agg((max("pos") - min("pos") + lit(L.toLong)).as("span_tokens"))
+          .groupBy("doc_id", "dl")
+          .agg(count(lit(1)).as("n_spans"), sum("span_tokens").as("dup_tokens"))
+          .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+            round(col("dup_tokens").cast("double") / col("dl").cast("double"), 9)
+              .as("dup_frac"))
+          .orderBy("doc_id"))
+    },
+
     // --- text analysis: tokenization + counting -------------------------
     Q("q_text_stats",
       """SELECT doc_id,
@@ -1823,82 +1899,6 @@ object PipelineQueries {
         .orderBy("label")
     },
 
-    // --- grouped top-k via bounded-heap aggregate (same result as the
-    // window form, but map-side partials shuffle ≤k rows per partition
-    // per group instead of sorting the whole corpus) ---------------------
-    Q("q_ann_topk_agg",
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |scored AS (SELECT vec_id, label, ROUND(list_cosine_similarity(v, qv), 9) AS cs FROM e, q)
-        |SELECT label, vec_id, cs, rn FROM (
-        |  SELECT label, vec_id, cs,
-        |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cs DESC, vec_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin) { (s, d) =>
-      val topk = udaf(new graft.functions.TopKAggregator(3),
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
-      val e = vecs(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      e.crossJoin(broadcast(q))
-        .select(col("label"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
-        .groupBy("label")
-        .agg(topk(col("cs"), col("vec_id")).as("arr"))
-        .select(col("label"), posexplode(col("arr")).as(Seq("pos", "p")))
-        .select(col("label"), col("p._2").as("vec_id"), col("p._1").as("cs"),
-          (col("pos") + 1).cast("bigint").as("rn"))
-        .orderBy("label", "rn")
-    },
-
-    // --- similarity search: batched probe (one corpus pass, Q queries) --
-    Q("q_ann_batch",
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
-        |scored AS (SELECT q_id, vec_id, ROUND(list_cosine_similarity(v, qv), 9) AS cs
-        |           FROM e, q WHERE vec_id <> q_id)
-        |SELECT q_id, vec_id, cs, rn FROM (
-        |  SELECT q_id, vec_id, cs,
-        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
-      // Batched probe: ONE corpus scan scores every query in the batch
-      // (vs one scan per query) — the broadcast carries the Q query
-      // vectors, each corpus row scores against all of them map-side,
-      // and grouped top-k bounds the shuffle to Q×k rows. At 100 TB
-      // this is how an ANN serving job amortizes the scan: batch the
-      // queries, not the corpus.
-      val e = vecs(s, d)
-      val q = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
-        .withColumn("rn", row_number().over(w).cast("bigint"))
-        .filter(col("rn") <= 3)
-        .select("q_id", "vec_id", "cs", "rn")
-        .orderBy("q_id", "rn")
-    },
-
-    // --- embedding-cosine near-dup pairs (blocked exact) ----------------
-    Q("q_embed_neardup",
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS i, b.vec_id AS j,
-        |       ROUND(list_cosine_similarity(a.v, b.v), 9) AS cs
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.4
-        |ORDER BY i, j""".stripMargin) { (s, d) =>
-      // Embedding near-dup with IVF-style blocking: pairs are only formed
-      // WITHIN a label (≈ coarse quantizer cell) — the join shuffles on
-      // label, never all-pairs across the corpus. At 100 TB the cell id
-      // comes from k-means/IVF instead of a given label; the plan shape
-      // is identical.
-      val e = vecs(s, d)
-      val a = e.select(col("vec_id").as("i"), col("label"), col("v"))
-      val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("v").as("qv"))
-      a.join(b, col("label") === col("lb") && col("i") < col("j"))
-        .select(col("i"), col("j"), cosine(col("v"), col("qv")).as("cs"))
-        .filter(col("cs") >= 0.4)
-        .orderBy("i", "j")
     // --- k-means clustering over embeddings (fixed-point Lloyd's) -------
     Q("q_embed_kmeans",
       """WITH e AS (SELECT vec_id,
@@ -1983,6 +1983,82 @@ object PipelineQueries {
       } finally e.unpersist()
     },
 
+    // --- grouped top-k via bounded-heap aggregate (same result as the
+    // window form, but map-side partials shuffle ≤k rows per partition
+    // per group instead of sorting the whole corpus) ---------------------
+    Q("q_ann_topk_agg",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |scored AS (SELECT vec_id, label, ROUND(list_cosine_similarity(v, qv), 9) AS cs FROM e, q)
+        |SELECT label, vec_id, cs, rn FROM (
+        |  SELECT label, vec_id, cs,
+        |         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY label, rn""".stripMargin) { (s, d) =>
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("label"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
+        .groupBy("label")
+        .agg(topk(col("cs"), col("vec_id")).as("arr"))
+        .select(col("label"), posexplode(col("arr")).as(Seq("pos", "p")))
+        .select(col("label"), col("p._2").as("vec_id"), col("p._1").as("cs"),
+          (col("pos") + 1).cast("bigint").as("rn"))
+        .orderBy("label", "rn")
+    },
+
+    // --- similarity search: batched probe (one corpus pass, Q queries) --
+    Q("q_ann_batch",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q_id, vec_id, ROUND(list_cosine_similarity(v, qv), 9) AS cs
+        |           FROM e, q WHERE vec_id <> q_id)
+        |SELECT q_id, vec_id, cs, rn FROM (
+        |  SELECT q_id, vec_id, cs,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      // Batched probe: ONE corpus scan scores every query in the batch
+      // (vs one scan per query) — the broadcast carries the Q query
+      // vectors, each corpus row scores against all of them map-side,
+      // and grouped top-k bounds the shuffle to Q×k rows. At 100 TB
+      // this is how an ANN serving job amortizes the scan: batch the
+      // queries, not the corpus.
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cs"))
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 3)
+        .select("q_id", "vec_id", "cs", "rn")
+        .orderBy("q_id", "rn")
+    },
+
+    // --- embedding-cosine near-dup pairs (blocked exact) ----------------
+    Q("q_embed_neardup",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 9) AS cs
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.4
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // Embedding near-dup with IVF-style blocking: pairs are only formed
+      // WITHIN a label (≈ coarse quantizer cell) — the join shuffles on
+      // label, never all-pairs across the corpus. At 100 TB the cell id
+      // comes from k-means/IVF instead of a given label; the plan shape
+      // is identical.
+      val e = vecs(s, d)
+      val a = e.select(col("vec_id").as("i"), col("label"), col("v"))
+      val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("v").as("qv"))
+      a.join(b, col("label") === col("lb") && col("i") < col("j"))
+        .select(col("i"), col("j"), cosine(col("v"), col("qv")).as("cs"))
+        .filter(col("cs") >= 0.4)
+        .orderBy("i", "j")
     },
 
     // --- similarity search: LSH-bucketed ANN (the 100-TB scale path) ----
