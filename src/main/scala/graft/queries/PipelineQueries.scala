@@ -2605,6 +2605,33 @@ object PipelineQueries {
     },
 
     // --- event sessionization (gap > 30 min ⇒ new session) --------------
+    Q("q_events_retention",
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cw FROM e GROUP BY user_id)
+        |SELECT cw AS cohort_week, wk - cw AS week_offset, COUNT(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // Cohort retention matrix — the product-analytics staple: cohort =
+      // the week (integer weeks since epoch — pure i64 division, exact
+      // in both engines) of a user's FIRST event; each cell counts users
+      // from cohort week C still active at week C+k. Shape for 100 TB:
+      // distinct (user, week) partial-aggregates map-side (events
+      // collapse to at most users×weeks rows before the exchange); the
+      // cohort min is a two-phase agg on the SAME user_id partitioning,
+      // so the activity⋈cohort join is co-partitioned with no extra
+      // exchange; the final rollup is bounded by weeks² cells. Nothing
+      // event-sized ever crosses the network twice.
+      val ev = t(s, d, "events")
+        .selectExpr("user_id",
+          "unix_millis(CAST(ts AS TIMESTAMP)) div 604800000 AS wk")
+        .distinct()
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     Q("q_events_sessionize",
       """WITH x AS (
         |  SELECT user_id, event_id, ts, lag(ts) OVER w AS prev
