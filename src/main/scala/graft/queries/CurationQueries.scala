@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators — the selection/mixing/splitting layer of a
   * training-data pipeline, downstream of PipelineQueries' dedup/quality
@@ -232,6 +233,49 @@ object CurationQueries {
         .crossJoin(broadcast(target))
         .filter(col("rn") <= col("target"))
         .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    // --- temperature-scaled language mixture ------------------------------
+    Q("q_cur_mix_temperature",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, ROUND(sqrt(CAST(n AS DOUBLE)), 9) AS w9 FROM c),
+         |s AS (SELECT SUM(CAST(w9 AS DECIMAL(20,9))) AS sw FROM w),
+         |q AS (SELECT lang, CAST(floor(200.0 * w9 / CAST(sw AS DOUBLE)) AS BIGINT) AS quota
+         |      FROM w, s),
+         |x AS (SELECT doc_id, lang, $KnuthSql AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |      FROM x)
+         |SELECT doc_id, r.lang, CAST(rn AS INT) AS rn, quota
+         |FROM r JOIN q ON r.lang = q.lang WHERE rn <= quota
+         |ORDER BY r.lang, rn""".stripMargin) { (s, d) =>
+      // Temperature-scaled mixture (the XLM-R/mT5 multilingual sampling
+      // law, alpha = 0.5 ⇔ T = 2): per-language quota ∝ n_lang^alpha out
+      // of a 200-doc budget, boosting low-resource strata without the
+      // full flattening of q_cur_mix_langs' balanced mixture. Cross-
+      // engine exactness of the quota math: sqrt is IEEE-correctly-
+      // rounded in BOTH engines (unlike pow — that's why alpha is the
+      // square root), round9 pins it, the normalizer sums as
+      // DECIMAL(20,9) (order-independent), and the final scale/divide/
+      // floor is the same IEEE double op sequence on identical inputs.
+      // Selection is the same deterministic Knuth-hash rank as
+      // q_cur_mix_langs, so the mixture is reproducible and quota math
+      // is a |langs|-row broadcast — at 100 TB the corpus pays one count
+      // pass and one rank pass, nothing else.
+      val byH = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val cnt = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+      val w = cnt.withColumn("w9", round(sqrt(col("n").cast("double")), 9))
+      val sw = w.agg(sum(col("w9").cast(DecimalType(20, 9))).as("sw"))
+      val quota = w.crossJoin(broadcast(sw))
+        .select(col("lang"),
+          floor(lit(200.0) * col("w9") / col("sw").cast("double")).cast("long").as("quota"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), knuth(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(byH))
+        .join(broadcast(quota), "lang")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
         .orderBy("lang", "rn")
     },
 
