@@ -26,7 +26,10 @@ class InvarianceSpec extends GraftSuite {
                             //   order; the exact recount must erase that
     "q_zorder_scan",        // layout + row-group pruning must not leak into results
     "q_tpch_q2",            // derived partsupp + agg-then-join decorrelation
-    "q_cur_datasheet")      // integer-exact mean quality across merge orders
+    "q_cur_datasheet",      // integer-exact mean quality across merge orders
+    "q_embed_kmeans",       // fixed-point Lloyd's: integer distances/updates
+                            //   must be bit-stable across merge orders
+    "q_dedup_substring")    // islands windows over hash-joined positions
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
