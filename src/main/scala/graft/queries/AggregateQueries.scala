@@ -294,6 +294,57 @@ object AggregateQueries {
         .orderBy("gid", "rf", "ls")
     },
 
+    // --- robust location: trimmed + winsorized mean ---------------------
+    Q("q_agg_trimmed",
+      """WITH r AS (
+        |  SELECT l_returnflag AS rf, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+        |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+        |         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem),
+        |k AS (SELECT rf, v, rn, n, n // 20 AS k FROM r)
+        |SELECT rf, CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(k) AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN v END) AS DOUBLE)
+        |    / (MAX(n) - 2 * MAX(k)) AS trimmed_mean,
+        |  CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN v END)
+        |       + MAX(k) * MAX(CASE WHEN rn = k + 1 THEN v END)
+        |       + MAX(k) * MAX(CASE WHEN rn = n - k THEN v END) AS DOUBLE)
+        |    / MAX(n) AS winsor_mean
+        |FROM k GROUP BY rf ORDER BY rf""".stripMargin) { (s, d) =>
+      // Robust location statistics — the outlier-resistant mean a quality
+      // gate wants when scores have heavy tails: 5%-trimmed mean (drop
+      // the k = n DIV 20 smallest and largest per group) and winsorized
+      // mean (clamp them to the tail boundary values instead). All
+      // boundary math is INTEGER (k = n div 20, rank windows over exact
+      // decimal values), and rank TIES can only occur between equal
+      // values, so which duplicate gets trimmed cannot change the sum —
+      // deterministic in both engines with no tiebreak column at all.
+      // Sums are decimal-exact; the single double division comes last.
+      // Scale note: exact trimming needs a per-group sort (same
+      // low-cardinality-window caveat as q_agg_weighted_exact — the
+      // documented 100 TB path is approx_percentile bounds + row-local
+      // clamp/filter, trading exactness for a two-phase sketch; this
+      // query IS the exact pin that twin is measured against).
+      val byV = Window.partitionBy("rf").orderBy("v_raw")
+      val all = Window.partitionBy("rf")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v_raw"),
+          col("l_extendedprice").cast(D12).as("v"))
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("k", expr("n div 20"))
+        .groupBy("rf")
+        .agg(
+          max("n").cast("bigint").as("n"),
+          max("k").cast("bigint").as("k"),
+          (sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), col("v")))
+            .cast("double") / (max("n") - lit(2) * max("k"))).as("trimmed_mean"),
+          ((sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), col("v")))
+            + max("k") * max(when(col("rn") === col("k") + 1, col("v")))
+            + max("k") * max(when(col("rn") === col("n") - col("k"), col("v"))))
+            .cast("double") / max("n")).as("winsor_mean"))
+        .orderBy("rf")
+    },
+
     // --- incremental aggregate maintenance (partial-agg state merge) ----
     Q("q_agg_incremental",
       s"""SELECT l_suppkey, COUNT(*) AS n_items,
