@@ -157,6 +157,18 @@ object PipelineQueries {
     * consumer would re-run the corpus pass) and the recount joins the
     * exploded tokens against that broadcast candidate set. Exposed for
     * PlanShapeSpec: broadcast join, never a token-keyed shuffle. */
+  /** Retention rollup over a distinct (user_id, wk) activity frame —
+    * the lazy inner form of q_events_retention (its public plan is a
+    * checkpoint scan; PlanShapeSpec probes this frame to pin that both
+    * consumers of `ev` read the cache, not a second events scan). */
+  private[graft] def retentionMatrix(ev: DataFrame): DataFrame = {
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   private[graft] def heavyHittersRecount(toks: DataFrame, m: Int): DataFrame = {
     val sketch = udaf(new graft.functions.FreqSketch(m),
       org.apache.spark.sql.Encoders.STRING)
@@ -2619,17 +2631,16 @@ object PipelineQueries {
       // collapse to at most users×weeks rows before the exchange); the
       // cohort min is a two-phase agg on the SAME user_id partitioning,
       // so the activity⋈cohort join is co-partitioned with no extra
-      // exchange; the final rollup is bounded by weeks² cells. Nothing
-      // event-sized ever crosses the network twice.
+      // exchange; the final rollup is bounded by weeks² cells. The
+      // distinct (user, week) frame feeds BOTH join sides — without the
+      // persist the plan recomputes the events-scale distinct exchange
+      // twice (the dominant shuffle, verified in PLANS.md), so it is
+      // materialized once and dropped before returning.
       val ev = t(s, d, "events")
         .selectExpr("user_id",
           "unix_millis(CAST(ts AS TIMESTAMP)) div 604800000 AS wk")
         .distinct()
-      val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
-      ev.join(cohort, "user_id")
-        .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("cohort_week", "week_offset")
+      Qh.materializedWith(ev)(retentionMatrix(ev))
     },
 
     Q("q_events_sessionize",

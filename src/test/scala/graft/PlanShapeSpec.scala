@@ -492,4 +492,24 @@ class PlanShapeSpec extends GraftSuite {
     assert("HashAggregate".r.findAllIn(p).size + "ObjectHashAggregate".r.findAllIn(p).size
       + "SortAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("q_events_retention reads the distinct activity frame from cache on both join sides") {
+    // the catalog query checkpoints its result, so the assertion lives on
+    // the lazy inner frame: with the (user, week) distinct frame
+    // persisted (as materializedWith does), BOTH the activity side and
+    // the cohort-min side must read InMemoryTableScan — the events-scale
+    // distinct exchange happens once, never per consumer
+    val ev = Tables.df(spark, sf, "events")
+      .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 604800000 AS wk")
+      .distinct()
+    ev.persist()
+    try {
+      val p = graft.queries.PipelineQueries.retentionMatrix(ev)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // both consumers read the cache (the InMemoryRelation's own build
+      // plan legitimately mentions the parquet scan — once, as the
+      // cache's provenance, not as an executed node)
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+    } finally ev.unpersist()
+  }
 }
