@@ -225,6 +225,20 @@ object Smoke {
     val (nNb, tNb) = time(SparkEntry.queries("q_text_nb_classify")(spark, dir).count())
     println(f"SMOKE round8d: cdc=${tCdc}%.1fs ($nCdc docs chunk-audited) " +
       f"nb_classify=${tNb}%.1fs ($nNb held-out docs classified)")
+
+    // --- round-8e operators at scale -------------------------------------
+    // substring: the ×M exact copies put EVERY L-gram window in a
+    // duplicated group (adversarial full-duplication regime, like cdc);
+    // bm25: two linear passes, model-state scalars only; kmeans: three
+    // linear passes over ×V vectors, k×64 driver state; retention:
+    // distinct (user, week) collapse at ×M distinct users.
+    val (nSub, tSub) = time(SparkEntry.queries("q_dedup_substring")(spark, dir).count())
+    val (nBm, tBm) = time(SparkEntry.queries("q_text_bm25")(spark, dir).count())
+    val (nKm, tKm) = time(SparkEntry.queries("q_embed_kmeans")(spark, dir).count())
+    val (nRet, tRet) = time(SparkEntry.queries("q_events_retention")(spark, dir).count())
+    println(f"SMOKE round8e: substring=${tSub}%.1fs ($nSub docs span-audited) " +
+      f"bm25=${tBm}%.1fs ($nBm ranked) kmeans=${tKm}%.1fs ($nKm clusters) " +
+      f"retention=${tRet}%.1fs ($nRet cohort cells)")
     spark.stop()
   }
 }
