@@ -69,8 +69,11 @@ object Bench {
     // ~2.5 KB and its head can be cut off (BENCH_r04 recorded
     // `parsed: null` for exactly this reason). Persist the full line to
     // a file in the working directory so the numbers always survive.
+    // Subset runs (local iteration) must not clobber the committed
+    // full-catalog record — route them to a scratch file instead.
+    val outFile = if (only.isDefined) "bench_scratch.json" else "bench_last.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_last.json"),
+      java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     spark.stop()
