@@ -161,6 +161,47 @@ object PipelineQueries {
     * the lazy inner form of q_events_retention (its public plan is a
     * checkpoint scan; PlanShapeSpec probes this frame to pin that both
     * consumers of `ev` read the cache, not a second events scan). */
+  /** Winnowing fingerprint selection over a (doc_id, text) frame —
+    * the lazy inner form of q_text_winnow, exposed so PipelineSpec can
+    * drive adversarial frames (known shared passages) through it. */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 6)
+      .withColumn("gs", transform(sequence(lit(0), size(col("w")) - 3),
+        i => graft.functions.RollingHash.rolling_hash(concat_ws(" ",
+          element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+          element_at(col("w"), i + 3)))))
+      .select(col("doc_id"),
+        array_sort(array_distinct(transform(sequence(lit(1), size(col("gs")) - 3),
+          j => array_min(slice(col("gs"), j, lit(4)))))).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"), col("fps"))
+
+  /** Fixed-point PageRank over a (src, dst) edge frame — the iteration
+    * core of q_graph_pagerank, exposed so PipelineSpec can drive known
+    * graphs (path/clique) through it and check the exact recurrence.
+    * Precondition: every vertex has out-degree >= 1 (symmetric edge
+    * sets satisfy it). Returns (v, od, r) with r scaled by 1e15. */
+  private[graft] def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    edges.persist(); deg.persist()
+    try {
+      val n = deg.count()
+      val Scale = 1000000000000000L
+      val base = 15L * Scale / (100L * n)
+      var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
+      for (_ <- 1 to iters) {
+        r = edges.join(deg, "src").join(r, col("src") === col("v"))
+          .select(col("dst"), expr("(r * 85) div (100 * od)").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("rc"))
+          .select(col("dst").as("v"), (lit(base) + col("rc")).as("r"))
+      }
+      r.join(deg, col("v") === col("src"))
+        .select(col("v"), col("od"), col("r"))
+        .localCheckpoint(eager = true)
+    } finally { edges.unpersist(); deg.unpersist() }
+  }
+
   private[graft] def retentionMatrix(ev: DataFrame): DataFrame = {
     val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
     ev.join(cohort, "user_id")
@@ -715,6 +756,77 @@ object PipelineQueries {
       // propagation loop survives, and each round is one shuffle of
       // (vertex, label).
       nearDupClusters(s, d).orderBy("doc_id")
+    },
+
+    // --- PageRank centrality over the near-dup graph --------------------
+    Q("q_graph_pagerank",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS MATERIALIZED (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w) - 1)]) AS sh
+        |      FROM w),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
+        |edges AS MATERIALIZED (SELECT i AS src, j AS dst FROM pairs
+        |          UNION ALL SELECT j, i FROM pairs),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT src AS v, 1000000000000000 // n AS r FROM deg, nn),
+        |r1 AS (SELECT e.dst AS v,
+        |         (15 * 1000000000000000) // (100 * nn.n)
+        |           + SUM((p.r * 85) // (100 * d.od)) AS r
+        |       FROM edges e JOIN r0 p ON e.src = p.v
+        |         JOIN deg d ON e.src = d.src, nn
+        |       GROUP BY e.dst, nn.n),
+        |r2 AS (SELECT e.dst AS v,
+        |         (15 * 1000000000000000) // (100 * nn.n)
+        |           + SUM((p.r * 85) // (100 * d.od)) AS r
+        |       FROM edges e JOIN r1 p ON e.src = p.v
+        |         JOIN deg d ON e.src = d.src, nn
+        |       GROUP BY e.dst, nn.n),
+        |r3 AS (SELECT e.dst AS v,
+        |         (15 * 1000000000000000) // (100 * nn.n)
+        |           + SUM((p.r * 85) // (100 * d.od)) AS r
+        |       FROM edges e JOIN r2 p ON e.src = p.v
+        |         JOIN deg d ON e.src = d.src, nn
+        |       GROUP BY e.dst, nn.n)
+        |SELECT r3.v AS doc_id, d.od,
+        |       ROUND(CAST(r3.r AS DOUBLE) / 1e15, 9) AS pr
+        |FROM r3 JOIN deg d ON r3.v = d.src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // PageRank over the verified near-dup graph (symmetric edges from
+      // minhashPairs) — graph centrality as a data-selection signal: a
+      // document central to a large near-dup neighborhood is the
+      // boilerplate hub worth one representative, the same edge set
+      // q_dedup_clusters components. Three power iterations, d=0.85.
+      // Determinism at any parallelism: ranks are FIXED-POINT BIGINTs
+      // scaled by 1e15 — each contribution is (r*85) div (100*od)
+      // (truncating integer division, identical both engines; r<=1e15 so
+      // r*85 < 2^63), partial sums are exact integer adds, and the
+      // teleport base (15*SCALE) div (100*N) is one integer. The single
+      // double division happens at output (round9 by convention).
+      // Shape for 100 TB: edges come from the SAME banded-LSH candidate
+      // generation as the dedup family (bounded buckets, never
+      // all-pairs); per iteration ONE shuffle keyed by dst carries
+      // (dst, contribution) longs; out-degrees and ranks are
+      // vertex-scale frames co-keyed with the edge join. Edges + degrees
+      // are persisted across the three unrolled iterations and dropped
+      // on return (at production scale each iteration is a
+      // PipelineRunner checkpoint instead, like nearDupClusters's
+      // per-round cache retirement). N (graph order) is a driver
+      // model-state scalar, the BM25 convention. The symmetric graph has
+      // no dangling vertices (every vertex has out-degree >= 1), so no
+      // redistribution term is needed.
+      val pairs = minhashPairs(s, d, LshBucketCap).select("i", "j")
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      pageRankScaled(edges, 3)
+        .select(col("v").as("doc_id"), col("od"),
+          round(col("r").cast("double") / lit(1e15), 9).as("pr"))
+        .orderBy("doc_id")
     },
 
     // --- SimHash fingerprints (near-dup signature) ----------------------
@@ -1764,6 +1876,88 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // --- RAKE keyword extraction (stopword-islands + degree/freq) -------
+    Q("q_text_rake",
+      """WITH x AS (SELECT doc_id, i, w[i] AS wd
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+        |z AS (SELECT doc_id, i, wd,
+        |        CASE WHEN wd IN ('a', 'the', 'value', 'table') THEN 1 ELSE 0 END AS st
+        |      FROM x),
+        |zz AS (SELECT doc_id, i, wd, st,
+        |        SUM(st) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS UNBOUNDED PRECEDING) AS grp
+        |      FROM z),
+        |m AS (SELECT doc_id, grp, i, wd,
+        |        COUNT(*) OVER (PARTITION BY doc_id, grp) AS plen
+        |      FROM zz WHERE st = 0),
+        |ws AS (SELECT wd, CAST((SUM(plen) * 1000000000) // COUNT(*) AS BIGINT) AS sn
+        |       FROM m GROUP BY wd),
+        |ph AS (SELECT doc_id, grp, string_agg(wd, ' ' ORDER BY i) AS phrase,
+        |         CAST(SUM(sn) AS BIGINT) AS pn, COUNT(*) AS n_words
+        |       FROM m JOIN ws USING (wd) GROUP BY doc_id, grp),
+        |ag AS (SELECT phrase, MAX(n_words) AS n_words, COUNT(*) AS n_occ,
+        |         MAX(pn) AS pn FROM ph GROUP BY phrase)
+        |SELECT phrase, n_words, n_occ, ROUND(CAST(pn AS DOUBLE) / 1e9, 9) AS score, rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pn DESC, phrase) AS rn FROM ag)
+        |WHERE rn <= 15 ORDER BY rn""".stripMargin) { (s, d) =>
+      // RAKE (Rapid Automatic Keyword Extraction): candidate phrases are
+      // maximal stopword-free runs (islands: cumulative stopword count
+      // per doc is the phrase group id — the lag/cumsum pattern shared
+      // with q_dedup_substring/q_events_sessionize); a word's score is
+      // degree/frequency where degree sums the lengths of every phrase
+      // occurrence containing it, and a phrase scores the sum of its
+      // member word scores. Stopword set: the corpus's two function words
+      // (a, the) plus its two highest-df tokens, so islands are real
+      // multi-word runs. Shape for 100 TB: one doc-keyed shuffle for the
+      // position window, a VOCABULARY-bounded word-score aggregate that
+      // broadcasts back onto member rows (model state, like the BPE merge
+      // table), a (doc, grp)-keyed phrase rollup whose shuffle carries
+      // words + two numerics, and a TakeOrdered top-15. Determinism: the
+      // word score is fixed-point — (degree*1e9) div freq in BIGINT
+      // (truncating division, identical both engines; all values
+      // positive) — so phrase scores are exact integer sums,
+      // merge-order-independent at any parallelism; the single double
+      // division happens once at output. Overflow bound: degree*1e9 needs
+      // sum-of-phrase-lengths < 9.2e9 per word; at larger corpora scale
+      // the fixed point down (documented, not silent — the CAST would
+      // throw on overflow under ANSI mode).
+      val stops = Seq("a", "the", "value", "table")
+      val docs = t(s, d, "documents")
+      val x = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i0", "wd")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("wd"))
+      val z = x
+        .withColumn("st", when(col("wd").isInCollection(stops), 1).otherwise(0))
+        .withColumn("grp", sum(col("st")).over(
+          Window.partitionBy("doc_id").orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val m = z.filter(col("st") === 0)
+        .withColumn("plen", count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+      // m feeds two consumers (word scores + the phrase rollup's join
+      // side): persist for the one materializing job, drop on return.
+      Qh.materializedWith(m) {
+        val ws = m.groupBy("wd")
+          .agg(expr("CAST(sum(plen) * 1000000000 div count(1) AS BIGINT)").as("sn"))
+        val ph = m.join(broadcast(ws), "wd")
+          .groupBy("doc_id", "grp")
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(struct(col("i"), col("wd")))),
+              p => p.getField("wd")), " ").as("phrase"),
+            sum("sn").as("pn"), count(lit(1)).as("n_words"))
+        val ag = ph.groupBy("phrase")
+          .agg(max("n_words").as("n_words"), count(lit(1)).as("n_occ"),
+            max("pn").as("pn"))
+        ag.orderBy(col("pn").desc, col("phrase")).limit(15)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("pn").desc, col("phrase"))).cast("bigint"))
+          .select(col("phrase"), col("n_words"), col("n_occ"),
+            round(col("pn").cast("double") / lit(1e9), 9).as("score"), col("rn"))
+          .orderBy("rn")
+      }
+    },
+
     // --- repetition filter: Gopher-style per-doc repetition signals -----
     Q("q_text_repetition",
       RepetitionSql) { (s, d) =>
@@ -1795,6 +1989,44 @@ object PipelineQueries {
         col("doc_id"),
         graft.functions.RollingHash.rolling_hash(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // --- winnowing fingerprints (MOSS-style w-window minima) ------------
+    Q("q_text_winnow",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 6),
+        |g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t)),
+        |h AS (SELECT doc_id, i,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(ascii(s[c]) AS BIGINT) for c in range(1, length(s) + 1)]),
+        |          (a, b) -> (a * 31 + b) % 1000000007) AS gh
+        |      FROM g),
+        |a AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h GROUP BY doc_id),
+        |f AS (SELECT doc_id, list_sort(list_distinct(
+        |        [list_min(gs[j:j+3]) for j in range(1, len(gs) - 2)])) AS fps
+        |      FROM a)
+        |SELECT doc_id, len(fps) AS n_fp, fps FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprint): hash
+      // every word-3-gram, slide a w=4 window over the hash sequence,
+      // keep each window's MINIMUM — the selected set is the document
+      // fingerprint. The guarantee that makes it the standard overlap
+      // detector: any shared passage of >= w+k-1 = 6 words between two
+      // documents yields at least one IDENTICAL selected fingerprint in
+      // both (a shared window selects the same minimum), while only
+      // ~2/(w+1) of positions are kept — a 100 TB corpus indexes ~40% of
+      // its gram hashes instead of all of them. Complements
+      // q_dedup_substring (which finds every repeated passage corpus-wide
+      // via a shuffle): winnowing is the ROW-LOCAL, index-building half —
+      // one HOF pass per doc, no shuffle at all, fingerprints ready for a
+      // posting-list join. Selection set semantics: the distinct minima
+      // (robust winnowing's dedup of adjacent equal picks falls out of
+      // array_distinct). Hash is the engine-independent RollingHash
+      // (h*31+c mod 1e9+7) — same ASCII precondition as q_dedup_simhash,
+      // asserted in PipelineSpec "documents corpus is ASCII". The
+      // selection core is winnowFps; PipelineSpec drives the shared-
+      // passage guarantee and the density bound through it directly.
+      winnowFps(t(s, d, "documents")).orderBy("doc_id")
     },
 
     // --- similarity search: brute-force cosine top-k --------------------

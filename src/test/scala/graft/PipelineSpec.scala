@@ -654,4 +654,93 @@ class PipelineSpec extends GraftSuite {
     }
     assert(got.keySet == expect.keySet)
   }
+
+  test("winnowing guarantee: a shared >= w+k-1 word passage yields a shared fingerprint") {
+    // Two docs with disjoint vocabulary except one exact 6-word passage
+    // (= w+k-1 for w=4, k=3): winnowing MUST select at least one
+    // identical fingerprint in both (the shared window picks the same
+    // minimum), while keeping far fewer fingerprints than gram count.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docA = s"one two three four five $shared six seven eight nine ten"
+    val docB = s"red blue green yellow purple $shared orange pink brown maroon teal"
+    val fps = graft.queries.PipelineQueries
+      .winnowFps(spark.createDataFrame(Seq((0L, docA), (1L, docB))).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert(fps(0L).intersect(fps(1L)).nonEmpty,
+      "shared 6-word passage must produce a common fingerprint")
+    // density: selections are a strict subset of the gram hashes
+    val nGramsA = docA.split(" ").length - 2
+    assert(fps(0L).nonEmpty && fps(0L).size < nGramsA,
+      s"${fps(0L).size} fingerprints should be < $nGramsA grams")
+    // control: two docs with NO shared 6-word run share nothing
+    val docC = s"one two three four five six seven eight nine ten eleven"
+    val fps2 = graft.queries.PipelineQueries
+      .winnowFps(spark.createDataFrame(Seq((0L, docC), (1L, docB))).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toSet).toMap
+    assert(fps2(0L).intersect(fps2(1L)).isEmpty)
+  }
+
+  test("q_text_rake equals a from-scratch RAKE scorer") {
+    val stops = Set("a", "the", "value", "table")
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // candidate phrases: maximal stopword-free runs per doc
+    val occurrences = docs.flatMap { case (_, text) =>
+      val runs = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.newBuilder[String]
+      text.split(" ").foreach { w =>
+        if (stops(w)) { val r = cur.result(); if (r.nonEmpty) runs += r; cur = List.newBuilder[String] }
+        else cur += w
+      }
+      val last = cur.result(); if (last.nonEmpty) runs += last
+      runs.toSeq
+    }
+    val deg = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val freq = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    occurrences.foreach { ph =>
+      ph.foreach { w => deg(w) += ph.length.toLong; freq(w) += 1L }
+    }
+    val sn = deg.keys.map(w => w -> (deg(w) * 1000000000L) / freq(w)).toMap
+    val byPhrase = occurrences.groupBy(_.mkString(" ")).map { case (p, occ) =>
+      (p, occ.head.length.toLong, occ.length.toLong, occ.head.map(sn).sum)
+    }.toSeq
+    val expect = byPhrase.sortBy { case (p, _, _, pn) => (-pn, p) }.take(15)
+    val got = SparkEntry.queries("q_text_rake")(spark, sf).collect()
+    assert(got.length == expect.length)
+    got.zip(expect).zipWithIndex.foreach { case ((g, (p, nw, nocc, pn)), i) =>
+      assert(g.getString(0) == p, s"rank ${i + 1}: ${g.getString(0)} vs $p")
+      assert(g.getLong(1) == nw && g.getLong(2) == nocc)
+      assert(math.abs(g.getDouble(3) - pn.toDouble / 1e9) < 1e-9)
+      assert(g.getLong(4) == i + 1L)
+    }
+  }
+
+  test("fixed-point PageRank matches the exact recurrence on a path; clique is uniform") {
+    import graft.queries.PipelineQueries.pageRankScaled
+    val Scale = 1000000000000000L
+    // path 1-2-3 (symmetric): replicate the integer recurrence exactly
+    val pathEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val got = pageRankScaled(
+      spark.createDataFrame(pathEdges).toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val od = Map(1L -> 1L, 2L -> 2L, 3L -> 1L)
+    val base = 15L * Scale / (100L * 3)
+    var r = Map(1L -> Scale / 3, 2L -> Scale / 3, 3L -> Scale / 3)
+    for (_ <- 1 to 3) {
+      def c(u: Long) = (r(u) * 85L) / (100L * od(u))
+      r = Map(1L -> (base + c(2L)), 2L -> (base + c(1L) + c(3L)), 3L -> (base + c(2L)))
+    }
+    r.foreach { case (v, expR) =>
+      assert(got(v) == ((od(v), expR)), s"vertex $v: ${got(v)} vs (${od(v)}, $expR)")
+    }
+    // total mass stays within (teleport-truncation, 1]: conserved up to div truncation
+    assert(r.values.sum <= Scale && r.values.sum > Scale * 9 / 10)
+    // clique K4: symmetry forces identical ranks
+    val k4 = for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j)
+    val gotK4 = pageRankScaled(
+      spark.createDataFrame(k4).toDF("src", "dst"), 3)
+      .collect().map(_.getLong(2)).toSet
+    assert(gotK4.size == 1, s"clique ranks must be uniform, got $gotK4")
+  }
 }
