@@ -279,6 +279,90 @@ object CurationQueries {
         .orderBy("lang", "rn")
     },
 
+    // --- UniMax language mixture (epoch-capped water-filling) -------------
+    Q("q_cur_mix_unimax",
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |o AS (SELECT lang, n,
+         |        ROW_NUMBER() OVER (ORDER BY n, lang) AS k,
+         |        COUNT(*) OVER () AS ll,
+         |        SUM(n) OVER (ORDER BY n, lang ROWS UNBOUNDED PRECEDING) AS pk,
+         |        SUM(n) OVER () AS btot
+         |      FROM c),
+         |sat AS (SELECT *, 72 * btot // 100 AS b,
+         |          CASE WHEN n * (ll - k + 1) + (pk - n) <= 72 * btot // 100
+         |               THEN 1 ELSE 0 END AS is_sat
+         |        FROM o),
+         |ks AS (SELECT COALESCE(MAX(CASE WHEN is_sat = 1 THEN k END), 0) AS kk,
+         |         COALESCE(MAX(CASE WHEN is_sat = 1 THEN pk END), 0) AS pkk,
+         |         MAX(ll) AS ll, MAX(b) AS b FROM sat),
+         |q AS (SELECT sat.lang,
+         |        CASE WHEN sat.k <= ks.kk THEN sat.n
+         |             ELSE (ks.b - ks.pkk) // (ks.ll - ks.kk)
+         |               + CASE WHEN sat.k - ks.kk <= (ks.b - ks.pkk) % (ks.ll - ks.kk)
+         |                      THEN 1 ELSE 0 END
+         |        END AS quota
+         |      FROM sat, ks),
+         |x AS (SELECT doc_id, lang, $KnuthSql AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |      FROM x)
+         |SELECT doc_id, r.lang, CAST(rn AS INT) AS rn,
+         |       CAST(quota AS BIGINT) AS quota
+         |FROM r JOIN q ON r.lang = q.lang WHERE rn <= quota
+         |ORDER BY r.lang, rn""".stripMargin) { (s, d) =>
+      // UniMax mixture (the ICML'23 successor to temperature sampling):
+      // allocate a fixed budget (72% of the corpus) as UNIFORMLY as
+      // possible subject to a per-language epoch cap (here 1 epoch =
+      // n_lang docs) — low-resource languages contribute their whole
+      // stratum, the rest split the remainder evenly. The closed-form
+      // water-filling replaces the iterative loop: sort languages by
+      // capacity ascending; language k saturates iff serving every
+      // remaining language at level c_k still fits the remaining budget
+      // (c_k·(L−k+1) + P_{k−1} <= B — monotone in k, so the saturated
+      // set is a prefix); unsaturated languages split B − P_K evenly
+      // with the mod distributed to the smallest-capacity ones. ALL of
+      // it is integer arithmetic on a |langs|-row frame — bit-identical
+      // in both engines (no libm, unlike temperature's sqrt — this
+      // query and q_cur_mix_temperature bracket the two published
+      // mixture laws). The skewed lang marginal (en ≈ 3× the rest)
+      // exercises the mixed saturated/unsaturated branch at every gate
+      // SF. Scale: quota math is a |langs|-row window + one broadcast;
+      // the corpus pays the same count pass + hash-rank pass as every
+      // mixture here — the low-cardinality-window caveat and its
+      // quota + hash-threshold 100 TB path apply verbatim.
+      val byH = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val wOrd = Window.orderBy(col("n"), col("lang"))
+      val everything = Window.partitionBy()
+      val o = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("k", row_number().over(wOrd))
+        .withColumn("ll", count(lit(1)).over(everything))
+        .withColumn("pk", sum("n").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("btot", sum("n").over(everything))
+      val sat = o
+        .withColumn("b", expr("72 * btot div 100"))
+        .withColumn("is_sat",
+          when(col("n") * (col("ll") - col("k") + 1) + (col("pk") - col("n"))
+            <= col("b"), 1).otherwise(0))
+      val ks = sat.agg(
+        coalesce(max(when(col("is_sat") === 1, col("k"))), lit(0)).as("kk"),
+        coalesce(max(when(col("is_sat") === 1, col("pk"))), lit(0L)).as("pkk"),
+        max("ll").as("ll2"), max("b").as("b2"))
+      val quota = sat.crossJoin(broadcast(ks))
+        .select(col("lang"),
+          when(col("k") <= col("kk"), col("n"))
+            .otherwise(expr("""(b2 - pkk) div (ll2 - kk)
+              + IF(k - kk <= (b2 - pkk) % (ll2 - kk), 1, 0)"""))
+            .as("quota"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), knuth(col("doc_id")).as("h"))
+        .withColumn("rn", row_number().over(byH))
+        .join(broadcast(quota), "lang")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"), col("rn"), col("quota"))
+        .orderBy("lang", "rn")
+    },
+
     // --- content-keyed train/val/test split -------------------------------
     Q("q_cur_split",
       s"""WITH $SplitCte

@@ -349,4 +349,28 @@ class CurationSpec extends GraftSuite {
       else assert(version == 1 && nChars == base(id).length)
     }
   }
+
+  test("q_cur_mix_unimax: budget exhausted exactly, caps respected, max-uniform") {
+    val n = Tables.df(spark, sf, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = 72L * n.values.sum / 100L
+    val got = SparkEntry.queries("q_cur_mix_unimax")(spark, sf).collect()
+    // selected rows == sum of quotas == the budget, to the document
+    assert(got.length.toLong == budget, s"${got.length} rows vs budget $budget")
+    val quotas = got.map(r => r.getString(1) -> r.getLong(3)).distinct.toMap
+    assert(quotas.keySet == n.keySet, "every language participates")
+    quotas.foreach { case (l, q) =>
+      assert(q <= n(l), s"$l: quota $q exceeds 1-epoch cap ${n(l)}")
+    }
+    // water-filling uniformity: unsaturated quotas differ by at most 1,
+    // and every saturated stratum is smaller than the unsaturated level
+    val (satd, unsat) = quotas.partition { case (l, q) => q == n(l) }
+    if (unsat.nonEmpty) {
+      assert(unsat.values.max - unsat.values.min <= 1)
+      satd.values.foreach(c => assert(c <= unsat.values.min))
+    }
+    // the skewed corpus must actually exercise the mixed branch
+    assert(satd.nonEmpty && unsat.nonEmpty,
+      s"gate corpus should saturate some strata: $quotas vs caps $n")
+  }
 }
