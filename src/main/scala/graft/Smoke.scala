@@ -239,6 +239,22 @@ object Smoke {
     println(f"SMOKE round8e: substring=${tSub}%.1fs ($nSub docs span-audited) " +
       f"bm25=${tBm}%.1fs ($nBm ranked) kmeans=${tKm}%.1fs ($nKm clusters) " +
       f"retention=${tRet}%.1fs ($nRet cohort cells)")
+
+    // --- round-8f operators at scale -------------------------------------
+    // pagerank: the ×M exact copies turn every original doc into an
+    // M-clique in the near-dup graph (plus its real near-dup edges), so
+    // edge count grows ~M² per component — the adversarial regime for
+    // the 3 dst-keyed iteration shuffles (which carry only longs);
+    // winnow: row-local HOF pass, no shuffle; rake: linear islands pass
+    // + vocab-bounded score broadcast; unimax: corpus count/rank passes
+    // + |langs|-row quota math.
+    val (nPr, tPr) = time(SparkEntry.queries("q_graph_pagerank")(spark, dir).count())
+    val (nWn, tWn) = time(SparkEntry.queries("q_text_winnow")(spark, dir).count())
+    val (nRk, tRk) = time(SparkEntry.queries("q_text_rake")(spark, dir).count())
+    val (nUx, tUx) = time(SparkEntry.queries("q_cur_mix_unimax")(spark, dir).count())
+    println(f"SMOKE round8f: pagerank=${tPr}%.1fs ($nPr ranked vertices) " +
+      f"winnow=${tWn}%.1fs ($nWn docs fingerprinted) rake=${tRk}%.1fs ($nRk keywords) " +
+      f"unimax=${tUx}%.1fs ($nUx selected docs)")
     spark.stop()
   }
 }
