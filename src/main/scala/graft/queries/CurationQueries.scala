@@ -510,6 +510,69 @@ object CurationQueries {
         .orderBy("cluster_id")
     },
 
+    // --- duplication-aware sampling weights (soft dedup) ------------------
+    Q("q_cur_soft_dedup",
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w) - 1)]) AS sh
+        |      FROM w),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+        |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
+        |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a),
+        |cs AS (SELECT cluster_id, COUNT(*) AS csize FROM cl GROUP BY cluster_id),
+        |dt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tok
+        |       FROM documents)
+        |SELECT dt.doc_id,
+        |  COALESCE(cl.cluster_id, dt.doc_id) AS cluster_id,
+        |  CAST(COALESCE(cs.csize, 1) AS BIGINT) AS csize,
+        |  ROUND(1.0 / COALESCE(cs.csize, 1), 9) AS weight,
+        |  ROUND(dt.n_tok::DOUBLE / COALESCE(cs.csize, 1), 9) AS eff_tok
+        |FROM dt LEFT JOIN cl ON dt.doc_id = cl.doc_id
+        |LEFT JOIN cs ON cl.cluster_id = cs.cluster_id
+        |ORDER BY dt.doc_id""".stripMargin) { (s, d) =>
+      // Soft dedup: instead of DROPPING near-duplicates (q_cur_keep_best)
+      // or keeping them at full weight, keep every document with a
+      // sampling weight 1/|cluster| — each near-dup GROUP contributes
+      // exactly one document's worth of probability mass to the training
+      // mixture, so duplicated content isn't over-represented but its
+      // per-copy variation (the reason near-dups aren't exact dups) is
+      // still reachable. Every doc also reports its effective token
+      // contribution n_tok/|cluster| — summing eff_tok gives the
+      // DEDUPLICATED corpus size without deleting a row. weight is
+      // round9 of an integer reciprocal, identical in both engines.
+      // Shape for 100 TB: the cluster pass IS q_dedup_clusters (banded
+      // LSH candidates, bounded buckets, one (vertex,label) shuffle per
+      // propagation round); csize is one count over the vertex-scale
+      // cluster frame, joined back on cluster_id (vertex-scale, never
+      // corpus-scale); the docs side pays one row-local token-count
+      // pass and two keyed joins. Singletons (docs with no near-dup,
+      // including <3-word docs that cannot shingle) never enter the
+      // graph — the left joins default them to csize 1, weight 1.
+      val cl = PipelineQueries.nearDupClusters(s, d)
+      val cs = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("int").as("n_tok"))
+        .join(cl, Seq("doc_id"), "left")
+        .join(cs, Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("csize"),
+          round(lit(1.0) / coalesce(col("csize"), lit(1L)), 9).as("weight"),
+          round(col("n_tok").cast("double") / coalesce(col("csize"), lit(1L)), 9)
+            .as("eff_tok"))
+        .orderBy("doc_id")
+    },
+
     // --- benchmark decontamination audit -------------------------------------
     Q("q_cur_decontaminate",
       s"""WITH $ContaminationCtes
@@ -553,6 +616,46 @@ object CurationQueries {
       sc.crossJoin(broadcast(thr))
         .filter(col("quality") >= col("thr"))
         .select(col("doc_id"), col("quality"), col("n_tokens"), col("thr"))
+        .orderBy("doc_id")
+    },
+
+    // --- per-language quality calibration (percentile ranks) --------------
+    Q("q_cur_quality_calibrate",
+      """WITH x AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        ROUND(0.5 * LEAST(n_chars / 400.0, 1.0)
+        |              + 0.5 * LEAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
+        |                            / len(w) * 10, 1.0), 9) AS quality
+        |      FROM x)
+        |SELECT doc_id, lang, quality,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality, doc_id), 9) AS pct,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality, doc_id), 9) >= 0.7 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Cross-lingual threshold calibration: raw quality scores are NOT
+      // comparable across languages (stopword lists, length norms and
+      // scorer quality all differ by language), so one global cut like
+      // q_cur_quality_gate's P90 would over-prune whichever language the
+      // scorer dislikes. The standard fix: replace each score by its
+      // PERCENTILE RANK WITHIN ITS LANGUAGE, making "keep the top 30%"
+      // mean the same thing in every stratum. Determinism: percent_rank
+      // = (rank-1)/(n-1) over a total order — ties on the round9'd
+      // quality are broken by doc_id, so ranks are exact integers in
+      // both engines and the single division is round9'd; `keep`
+      // compares that rounded value, never the raw double. Shape for
+      // 100 TB: this window partitions by `lang` — few huge partitions,
+      // the documented low-cardinality-window caveat (same as the
+      // mixture family); the scale path is the distributed two-pass
+      // rank of q_cur_token_budget (range-repartition by (lang,
+      // quality) + per-partition offsets + one broadcast of per-lang
+      // totals), which computes identical ranks with no hot partition.
+      val q = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"),
+          qualityOf(col("n_chars"), col("w")).as("quality"))
+      val byQ = Window.partitionBy("lang").orderBy(col("quality"), col("doc_id"))
+      q.withColumn("pct", round(percent_rank().over(byQ), 9))
+        .withColumn("keep", col("pct") >= 0.7)
         .orderBy("doc_id")
     },
 

@@ -373,4 +373,49 @@ class CurationSpec extends GraftSuite {
     assert(satd.nonEmpty && unsat.nonEmpty,
       s"gate corpus should saturate some strata: $quotas vs caps $n")
   }
+
+  test("q_cur_soft_dedup: probability mass conserved, weights uniform per cluster") {
+    val got = SparkEntry.queries("q_cur_soft_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Tables.df(spark, sf, "documents").count()
+    // every document appears exactly once — soft dedup DROPS nothing
+    assert(got.length.toLong == nDocs)
+    assert(got.map(_._1).distinct.length == got.length)
+    // each cluster contributes exactly 1.0 of sampling mass, so the
+    // weight sum equals the cluster count (the deduplicated corpus size)
+    val nClusters = got.map(_._2).distinct.length
+    val wSum = got.map(_._4).sum
+    assert(math.abs(wSum - nClusters) < 1e-5, s"mass $wSum vs $nClusters clusters")
+    // csize is the true member count and members share one weight
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).distinct.length == 1 && rows.map(_._4).distinct.length == 1)
+      assert(rows.head._3 == rows.length.toLong,
+        s"cluster $cid: csize ${rows.head._3} vs ${rows.length} members")
+    }
+    // the gate corpus exercises both singleton and near-dup-group branches
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 > 1L))
+  }
+
+  test("q_cur_quality_calibrate equals a from-scratch per-language percentile rank") {
+    val got = SparkEntry.queries("q_cur_quality_calibrate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.length
+      // replicate percent_rank over (quality, doc_id): (rank-1)/(n-1),
+      // rounded exactly as Spark's round(_, 9) rounds (HALF_UP)
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.foreach {
+        case ((id, _, _, pct, keep), i) =>
+          val exp =
+            if (n == 1) 0.0
+            else BigDecimal(i.toDouble / (n - 1))
+              .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          assert(pct == exp, s"$lang/$id: pct $pct vs $exp")
+          assert(keep == (pct >= 0.7))
+      }
+      // calibration promise: every language keeps ~its top 30%,
+      // regardless of how its raw score distribution sits globally
+      val kept = rows.count(_._5)
+      assert(math.abs(kept.toDouble / n - 0.3) < 0.05, s"$lang kept $kept/$n")
+    }
+  }
 }
