@@ -2070,6 +2070,99 @@ object PipelineQueries {
         .orderBy("label", "rn")
     },
 
+    // --- diversified retrieval (maximal marginal relevance) -------------
+    Q("q_ann_mmr",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sl AS (SELECT vec_id, v, ROUND(list_cosine_similarity(v, qv), 9) AS cs
+        |       FROM e, q WHERE vec_id <> 0
+        |       ORDER BY cs DESC, vec_id LIMIT 20),
+        |ps AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |              ROUND(list_cosine_similarity(a.v, b.v), 9) AS s
+        |       FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, cs, ROUND(0.7 * cs, 9) AS mmr FROM sl
+        |       ORDER BY mmr DESC, vec_id LIMIT 1),
+        |p1 AS (SELECT vec_id FROM s1),
+        |s2 AS (SELECT sl.vec_id, sl.cs,
+        |         ROUND(0.7 * sl.cs - 0.3 * (SELECT MAX(s) FROM ps
+        |             WHERE ps.i = sl.vec_id AND ps.j IN (SELECT * FROM p1)), 9) AS mmr
+        |       FROM sl WHERE sl.vec_id NOT IN (SELECT * FROM p1)
+        |       ORDER BY mmr DESC, sl.vec_id LIMIT 1),
+        |p2 AS (SELECT * FROM p1 UNION ALL SELECT vec_id FROM s2),
+        |s3 AS (SELECT sl.vec_id, sl.cs,
+        |         ROUND(0.7 * sl.cs - 0.3 * (SELECT MAX(s) FROM ps
+        |             WHERE ps.i = sl.vec_id AND ps.j IN (SELECT * FROM p2)), 9) AS mmr
+        |       FROM sl WHERE sl.vec_id NOT IN (SELECT * FROM p2)
+        |       ORDER BY mmr DESC, sl.vec_id LIMIT 1),
+        |p3 AS (SELECT * FROM p2 UNION ALL SELECT vec_id FROM s3),
+        |s4 AS (SELECT sl.vec_id, sl.cs,
+        |         ROUND(0.7 * sl.cs - 0.3 * (SELECT MAX(s) FROM ps
+        |             WHERE ps.i = sl.vec_id AND ps.j IN (SELECT * FROM p3)), 9) AS mmr
+        |       FROM sl WHERE sl.vec_id NOT IN (SELECT * FROM p3)
+        |       ORDER BY mmr DESC, sl.vec_id LIMIT 1),
+        |p4 AS (SELECT * FROM p3 UNION ALL SELECT vec_id FROM s4),
+        |s5 AS (SELECT sl.vec_id, sl.cs,
+        |         ROUND(0.7 * sl.cs - 0.3 * (SELECT MAX(s) FROM ps
+        |             WHERE ps.i = sl.vec_id AND ps.j IN (SELECT * FROM p4)), 9) AS mmr
+        |       FROM sl WHERE sl.vec_id NOT IN (SELECT * FROM p4)
+        |       ORDER BY mmr DESC, sl.vec_id LIMIT 1)
+        |SELECT CAST(rnk AS INT) AS rnk, vec_id, cs, mmr FROM (
+        |  SELECT 1 AS rnk, * FROM s1
+        |  UNION ALL SELECT 2, * FROM s2
+        |  UNION ALL SELECT 3, * FROM s3
+        |  UNION ALL SELECT 4, * FROM s4
+        |  UNION ALL SELECT 5, * FROM s5)
+        |ORDER BY rnk""".stripMargin) { (s, d) =>
+      // Diversified retrieval — MMR (maximal marginal relevance), the
+      // RAG-reranking staple: greedily pick k=5 results maximizing
+      // 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s), so near-duplicate hits
+      // don't crowd out coverage. Architecture (the published one): the
+      // DISTRIBUTED stages are the shortlist — one broadcast-query map
+      // pass + TakeOrdered top-20 (at 100 TB the shortlist comes from
+      // the persisted IVF/PQ indexes instead, same contract) — and the
+      // 20×20 pairwise-sim pass, computed by the SAME codegen'd cosine
+      // as every gate-proven ANN query; the greedy selection then runs
+      // on the driver over 20 rows of MODEL-STATE (the same bounded-
+      // collect contract as IVF centroids / PQ codebooks — the greedy
+      // is inherently sequential in k and touches only the shortlist,
+      // never the corpus). Determinism: cosines are round9'd by the
+      // shared expression, the MMR score round9's one double
+      // multiply-subtract (identical IEEE ops both engines), ties break
+      // on vec_id — the oracle replays the same greedy as 5 unrolled
+      // CTE selections.
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val sl = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(20)
+        .persist()
+      try {
+        val sims = sl.as("a").join(sl.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+            cosine(col("a.v"), col("b.v")).as("ss"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+        val cands = sl.select("vec_id", "cs").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1))
+        def r9(x: Double): Double =
+          BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val sel = Seq.newBuilder[(Int, Long, Double, Double)]
+        var chosen = List.empty[Long]
+        for (rnk <- 1 to 5) {
+          val (id, cs, mmr) = cands.iterator
+            .filterNot(c => chosen.contains(c._1))
+            .map { case (id, cs) =>
+              val div = if (chosen.isEmpty) 0.0 else chosen.map(s2 => sims((id, s2))).max
+              (id, cs, r9(0.7 * cs - 0.3 * div))
+            }
+            .minBy { case (id, _, m) => (-m, id) }
+          sel += ((rnk, id, cs, mmr))
+          chosen ::= id
+        }
+        s.createDataFrame(sel.result()).toDF("rnk", "vec_id", "cs", "mmr")
+          .orderBy("rnk")
+      } finally sl.unpersist()
+    },
+
     // --- per-label centroids (element-wise mean of vectors) -------------
     Q("q_embed_centroid",
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -2873,6 +2966,54 @@ object PipelineQueries {
           "unix_millis(CAST(ts AS TIMESTAMP)) div 604800000 AS wk")
         .distinct()
       Qh.materializedWith(ev)(retentionMatrix(ev))
+    },
+
+    // --- metric anomaly detection (rolling z-score, integer-exact) -------
+    Q("q_events_anomaly",
+      """WITH dc AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d, COUNT(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, c,
+        |        COUNT(*) OVER win AS nw,
+        |        SUM(c) OVER win AS s,
+        |        SUM(c * c) OVER win AS q
+        |      FROM dc
+        |      WINDOW win AS (PARTITION BY event_type ORDER BY d
+        |                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS cnt,
+        |  ROUND(s / 7.0, 9) AS base_mean,
+        |  (7 * c - s) * (7 * c - s) > 4 * (7 * q - s * s) AS is_anomaly
+        |FROM w WHERE nw = 7 ORDER BY event_type, d""".stripMargin) { (s, d) =>
+      // Pipeline health monitoring: flag a day whose event count departs
+      // from its trailing-week behavior by more than 2 sigma — the
+      // ingest-volume alarm every production data pipeline runs. The
+      // z-score test is evaluated ENTIRELY in integers: with trailing
+      // sums S = sum(c) and Q = sum(c²) over the n=7 prior days,
+      // (c - S/n)² > 4·((Q - S²/n)/n) multiplies through by n² to
+      // (nc - S)² > 4·(nQ - S²) — exact BIGINT comparison, no libm, no
+      // float variance merge, identical in both engines (the round9'd
+      // trailing mean is reported for humans, never compared). Days
+      // with fewer than 7 observed predecessors are excluded rather
+      // than scored against a short window. Shape for 100 TB: the corpus
+      // collapses map-side to types×days cells before the one exchange
+      // (partial count agg), so the window pass runs on a model-sized
+      // frame; partitioning by event_type is the documented
+      // low-cardinality-window caveat, and at real scale the key
+      // widens to (metric, dimension) — e.g. per (event_type, source)
+      // — which is exactly how monitoring shards anyway.
+      val dc = t(s, d, "events")
+        .selectExpr("event_type", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val win = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+      dc.withColumn("nw", count(lit(1)).over(win))
+        .withColumn("s", sum("cnt").over(win))
+        .withColumn("qq", sum(col("cnt") * col("cnt")).over(win))
+        .filter(col("nw") === 7)
+        .select(col("event_type"), col("d"), col("cnt"),
+          round(col("s") / 7.0, 9).as("base_mean"),
+          ((lit(7L) * col("cnt") - col("s")) * (lit(7L) * col("cnt") - col("s"))
+            > lit(4L) * (lit(7L) * col("qq") - col("s") * col("s")))
+            .as("is_anomaly"))
+        .orderBy("event_type", "d")
     },
 
     Q("q_events_sessionize",

@@ -743,4 +743,67 @@ class PipelineSpec extends GraftSuite {
       .collect().map(_.getLong(2)).toSet
     assert(gotK4.size == 1, s"clique ranks must be uniform, got $gotK4")
   }
+
+  test("q_events_anomaly equals a from-scratch integer z-score monitor") {
+    val daily = Tables.df(spark, sf, "events")
+      .selectExpr("event_type", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+      .groupBy("event_type", "d").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = daily.groupBy(_._1).flatMap { case (et, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.indices.drop(7).map { i =>
+        val win = sorted.slice(i - 7, i).map(_._3)
+        val s = win.sum
+        val q = win.map(x => x * x).sum
+        val c = sorted(i)._3
+        (et, sorted(i)._2) -> ((c, (7 * c - s) * (7 * c - s) > 4 * (7 * q - s * s)))
+      }
+    }
+    val got = SparkEntry.queries("q_events_anomaly")(spark, sf).collect()
+    assert(got.length == expect.size, s"${got.length} rows vs ${expect.size}")
+    got.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (c, flag) = expect(k)
+      assert(r.getLong(2) == c && r.getBoolean(4) == flag, s"cell $k")
+    }
+    // the fixture must exercise both branches or the test proves nothing
+    assert(got.exists(_.getBoolean(4)) && got.exists(!_.getBoolean(4)))
+  }
+
+  test("q_ann_mmr equals a from-scratch greedy over raw embeddings") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // independent cosine: sequential double sums, like the codegen expr
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      r9(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val vs = Tables.df(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val qv = vs(0L)
+    val shortlist = (vs - 0L).toSeq
+      .map { case (id, v) => (id, cos(v, qv)) }
+      .sortBy { case (id, cs) => (-cs, id) }.take(20)
+    var chosen = List.empty[(Long, Double)]
+    val expect = (1 to 5).map { rnk =>
+      val (id, cs, mmr) = shortlist
+        .filterNot(c => chosen.exists(_._1 == c._1))
+        .map { case (id, cs) =>
+          val div = if (chosen.isEmpty) 0.0
+                    else chosen.map(s => cos(vs(id), vs(s._1))).max
+          (id, cs, r9(0.7 * cs - 0.3 * div))
+        }
+        .minBy { case (id, _, m) => (-m, id) }
+      chosen ::= (id, cs)
+      (rnk, id, cs, mmr)
+    }
+    val got = SparkEntry.queries("q_ann_mmr")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == expect.toSeq, s"\ngot    $got\nexpect $expect")
+    // the diversification must actually bite on this corpus: the MMR set
+    // differs from the plain top-5 (which near-dup hits would dominate)
+    assert(got.map(_._2).toSet != shortlist.take(5).map(_._1).toSet)
+  }
 }
