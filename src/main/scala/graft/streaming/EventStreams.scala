@@ -212,6 +212,56 @@ object EventStreams {
     * grow unboundedly — the streaming face of the corpus-prep exact-dedup
     * operator (q_dedup_exact). Batch: plain dropDuplicates (the
     * within-watermark variant is streaming-only and would throw). */
+  /** Per-type frozen baseline for the streaming anomaly monitor: the
+    * trailing-week integer stats (S = sum of daily counts, Q = sum of
+    * squares) over each type's LAST 7 fully-observed days in a BATCH
+    * events frame. Types with fewer than 7 observed days are dropped —
+    * the monitor never scores against a short window (same rule as the
+    * batch q_events_anomaly). */
+  def anomalyBaseline(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("day").desc)
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 day").getField("start").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nw"), sum("cnt").as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+      .filter(col("nw") === 7)
+      .select("event_type", "s", "q")
+  }
+
+  /** Streaming twin of the batch `q_events_anomaly` monitor, in the
+    * lambda shape production monitoring actually runs: the BATCH side
+    * maintains the per-type baseline ([[anomalyBaseline]], refreshed on
+    * whatever cadence the team trusts) and the STREAM scores each
+    * finalized day against that frozen baseline with the same
+    * all-integer test (7c − S)² > 4(7Q − S²) — no libm, no float state.
+    * The static baseline joins BEFORE the aggregation (stream-static
+    * enrich, broadcast), so the only streaming state is the watermarked
+    * daily-count windows — bounded by open days × types, closed as the
+    * watermark passes; no per-key history ever lives in the state
+    * store. Identical code runs in batch for the replay-equality test. */
+  def anomalies(
+      events: DataFrame,
+      baseline: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .join(broadcast(baseline), "event_type")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"), col("s"), col("q"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("day"), col("event_type"), col("cnt"),
+        round(col("s") / 7.0, 9).as("base_mean"),
+        ((lit(7L) * col("cnt") - col("s")) * (lit(7L) * col("cnt") - col("s"))
+          > lit(4L) * (lit(7L) * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+
   def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
     val ts = events.withColumn("ts", col("ts").cast("timestamp"))
     if (events.isStreaming)

@@ -285,6 +285,46 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly monitor: frozen-baseline replay equals batch; flags fire") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val ev = Tables.df(spark, sf, "events")
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value")
+    // lambda shape: freeze the baseline from the first 20 days (its last
+    // 7 fully-observed days), then score the live tail against it
+    val cutoff = ts("2024-01-21 00:00:00")
+    val baseline = EventStreams.anomalyBaseline(ev.filter($"ts" < cutoff))
+    assert(baseline.count() == 5, "every event type has 7 observed days")
+    val live = ev.filter($"ts" >= cutoff).collect().map(r =>
+      Event(r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val in = MemoryStream[Event]
+    in.addData(live.sortBy(_.ts.getTime): _*)
+    val q = EventStreams.anomalies(in.toDF(), baseline, "1 hour")
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM anom ORDER BY day, event_type")
+        .collect()
+      // identical code in batch, restricted to watermark-finalized days
+      // (a day finalizes once the watermark passes its end)
+      val maxTs = live.map(_.ts.getTime).max
+      val wmMs = maxTs - 3600L * 1000
+      val batch = EventStreams.anomalies(live.toSeq.toDF(), baseline, "1 hour")
+        .filter($"day".cast("long") * 1000L + 86400000L <= wmMs)
+        .orderBy("day", "event_type").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty,
+        s"${streamed.length} streamed vs ${batch.length} batch")
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      // the corpus must exercise both branches of the alarm
+      val flags = streamed.map(_.getAs[Boolean]("is_anomaly"))
+      assert(flags.contains(true) && flags.contains(false))
+    } finally q.stop()
+  }
+
   test("file-source streaming: new files in a directory flow through the pipeline") {
     val s = spark
     import s.implicits._
