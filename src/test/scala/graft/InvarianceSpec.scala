@@ -29,7 +29,12 @@ class InvarianceSpec extends GraftSuite {
     "q_cur_datasheet",      // integer-exact mean quality across merge orders
     "q_embed_kmeans",       // fixed-point Lloyd's: integer distances/updates
                             //   must be bit-stable across merge orders
-    "q_dedup_substring")    // islands windows over hash-joined positions
+    "q_dedup_substring",    // islands windows over hash-joined positions
+    "q_graph_pagerank",     // fixed-point iteration sums must be
+                            //   merge-order-independent at any parallelism
+    "q_events_anomaly",     // integer z-score over map-side-collapsed cells
+    "q_ann_mmr")            // driver greedy over round9 sims: shortlist +
+                            //   pairwise passes must not depend on layout
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
