@@ -377,21 +377,10 @@ object CurationQueries {
 
     // --- near-dup leakage audit across splits ------------------------------
     Q("q_cur_leakage_audit",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |           WHERE len(string_split(text, ' ')) >= 3),
-         |s AS (SELECT doc_id,
-         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                       for i in range(1, len(w) - 1)]) AS sh
-         |      FROM w),
-         |$SplitCte,
-         |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
-         |        ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac
-         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |      WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |                  / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8)
+      s"""WITH ${PipelineQueries.ShingleOverlapCtes},
+         |$SplitCte
          |SELECT p.i, p.j, p.jac, si.split AS split_i, sj.split AS split_j
-         |FROM p JOIN sp si ON p.i = si.doc_id JOIN sp sj ON p.j = sj.doc_id
+         |FROM jpairs p JOIN sp si ON p.i = si.doc_id JOIN sp sj ON p.j = sj.doc_id
          |WHERE si.split <> sj.split ORDER BY i, j""".stripMargin) { (s, d) =>
       // The content-keyed split kills exact-duplicate leakage by
       // construction, but NEAR-duplicates hash to different buckets —
@@ -464,18 +453,8 @@ object CurationQueries {
 
     // --- keep-best canonical dedup over near-dup clusters -------------------
     Q("q_cur_keep_best",
-      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |           WHERE len(string_split(text, ' ')) >= 3),
-         |s AS (SELECT doc_id,
-         |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                       for i in range(1, len(w) - 1)]) AS sh
-         |      FROM w),
-         |pairs AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
-         |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+      s"""WITH RECURSIVE ${PipelineQueries.ShingleOverlapCtes},
+         |edges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
          |  UNION
@@ -512,18 +491,8 @@ object CurationQueries {
 
     // --- duplication-aware sampling weights (soft dedup) ------------------
     Q("q_cur_soft_dedup",
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w) - 1)]) AS sh
-        |      FROM w),
-        |pairs AS (
-        |  SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
-        |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+      s"""WITH RECURSIVE ${PipelineQueries.ShingleOverlapCtes},
+        |edges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
         |  UNION

@@ -118,6 +118,36 @@ object PipelineQueries {
     * the recall argument and drop accounting). */
   private[graft] val NgramDfCap = 50
 
+  /** DuckDB CTE chain ending in `jpairs` = the exact near-dup pairs
+    * (i < j, jaccard >= 0.8 over distinct word 3-gram shingles, with
+    * `inter` the shared-shingle count) — the shared ground truth of the
+    * whole dedup family's oracles. Computed via an INVERTED INDEX
+    * (explode shingles, equi-join on the gram, group-count the
+    * intersection) rather than the earlier all-pairs
+    * `list_intersect(a.sh, b.sh)` scan: identical pair semantics (a
+    * pair absent from `ov` shares nothing, jaccard 0; the union size is
+    * n_a + n_b − inter over the same distinct sets) but ~3000× cheaper
+    * for DuckDB at sf0.1 — the all-pairs spelling evaluated 12.5M
+    * ~200-element list intersections (50+ min per oracle), this groups
+    * ~1.3M integer rows (~1 s). MATERIALIZED hints stop DuckDB from
+    * inlining the chain once per consumer. */
+  private[queries] val ShingleOverlapCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |s AS MATERIALIZED (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                       for i in range(1, len(w) - 1)]) AS sh
+      |      FROM w),
+      |sz AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+      |ex AS MATERIALIZED (SELECT doc_id, unnest(sh) AS g FROM s),
+      |ov AS MATERIALIZED (SELECT x.doc_id AS i, y.doc_id AS j, COUNT(*) AS inter
+      |      FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+      |      GROUP BY 1, 2),
+      |jpairs AS MATERIALIZED (
+      |  SELECT i, j, inter, ROUND(inter::DOUBLE / (a.n + b.n - inter), 9) AS jac
+      |  FROM ov JOIN sz a ON ov.i = a.doc_id JOIN sz b ON ov.j = b.doc_id
+      |  WHERE ROUND(inter::DOUBLE / (a.n + b.n - inter), 9) >= 0.8)""".stripMargin
+
   /** Verified near-dup pairs (i < j, exact jaccard ≥ 0.8) via banded
     * MinHash-LSH candidate generation — the shared core of
     * q_dedup_minhash, q_dedup_clusters, q_cur_keep_best and
@@ -338,10 +368,18 @@ object PipelineQueries {
     // broadcast(dfg): 27k aggregated rows — without the hint Spark's
     // size guess broadcasts the 10x-bigger exploded posts side instead
     // (and collecting THAT re-executes the shingle pipeline serially).
+    // Prefix length MUST be computed in exact integer arithmetic:
+    // n − ⌈t·n⌉ + 1 with t = 4/5, i.e. n − (4n+4) div 5 + 1. The float
+    // spelling floor((1−t)·n)+1 evaluates (1−0.8)·n as 1.999…96 for
+    // n = 10 (binary 0.2 is inexact), undersizing the prefix by one for
+    // every n ≡ 0 (mod 5) — which dropped a true boundary pair
+    // (sizes 8/10, jaccard exactly 0.8) from the sf0.1 candidates; the
+    // exact-oracle gate caught it. PipelineSpec pins the adversarial
+    // subset-pair shape.
     val prefix = posts.join(broadcast(dfg), "g")
       .withColumn("r", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(wholeDoc))
-      .filter(col("r") <= floor(lit(1 - t) * col("n")).cast("int") + 1)
+      .filter(col("r") <= col("n") - expr("(4 * n + 4) div 5") + 1)
       .select("doc_id", "g")
     val postings = prefix.groupBy("g")
       .agg(graft.functions.BoundedMinSet.bounded_min_set(col("doc_id"), cap).as("bs"))
@@ -595,19 +633,8 @@ object PipelineQueries {
 
     // --- MinHash + LSH near-duplicate pairs -----------------------------
     Q("q_dedup_minhash",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w) - 1)]) AS sh
-        |      FROM w)
-        |SELECT a.doc_id AS i, b.doc_id AS j,
-        |  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |        / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |            / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8
-        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      s"""WITH $ShingleOverlapCtes
+         |SELECT i, j, jac FROM jpairs ORDER BY i, j""".stripMargin) { (s, d) =>
       // Banded MinHash-LSH: 32 hashes = 16 bands × 2 rows. Candidates come
       // from a self-join on (band, h1, h2) — only docs agreeing on a whole
       // band ever meet, never all-pairs. P[miss] at jaccard 0.8 is
@@ -627,19 +654,17 @@ object PipelineQueries {
 
     // --- incremental dedup: delta batch vs a PERSISTED corpus index -----
     Q("q_dedup_incremental",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w) - 1)]) AS sh
-        |      FROM w),
-        |delta AS (SELECT doc_id + 1000000 AS delta_id, sh FROM s WHERE doc_id % 10 = 0),
-        |p AS (SELECT d.delta_id, c.doc_id AS corpus_id,
-        |        ROUND(len(list_intersect(d.sh, c.sh))::DOUBLE
-        |              / len(list_distinct(list_concat(d.sh, c.sh))), 9) AS jac
-        |      FROM delta d, s c)
-        |SELECT delta_id, corpus_id, jac FROM p WHERE jac >= 0.8
-        |ORDER BY delta_id, corpus_id""".stripMargin) { (s, d) =>
+      s"""WITH $ShingleOverlapCtes,
+         |dex AS MATERIALIZED (SELECT doc_id + 1000000 AS delta_id, g FROM ex
+         |       WHERE doc_id % 10 = 0),
+         |dsz AS (SELECT doc_id + 1000000 AS delta_id, n FROM sz WHERE doc_id % 10 = 0),
+         |ovd AS MATERIALIZED (SELECT d.delta_id, x.doc_id AS corpus_id, COUNT(*) AS di
+         |      FROM dex d JOIN ex x ON d.g = x.g GROUP BY 1, 2)
+         |SELECT delta_id, corpus_id,
+         |  ROUND(di::DOUBLE / (dn.n + cn.n - di), 9) AS jac
+         |FROM ovd JOIN dsz dn USING (delta_id) JOIN sz cn ON ovd.corpus_id = cn.doc_id
+         |WHERE ROUND(di::DOUBLE / (dn.n + cn.n - di), 9) >= 0.8
+         |ORDER BY delta_id, corpus_id""".stripMargin) { (s, d) =>
       // The production ingest shape: dedup each NEW batch against the
       // existing corpus without rescanning or re-signing the corpus. The
       // corpus's LSH band keys are computed ONCE and persisted (the
@@ -711,44 +736,23 @@ object PipelineQueries {
 
     // --- exact n-gram Jaccard via rare-shingle inverted-index blocking --
     Q("q_dedup_ngram_jaccard",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w) - 1)]) AS sh
-        |      FROM w)
-        |SELECT a.doc_id AS i, b.doc_id AS j,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS INT) AS n_common,
-        |  ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |        / len(list_distinct(list_concat(a.sh, b.sh))), 9) AS jac
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |            / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8
-        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      s"""WITH $ShingleOverlapCtes
+         |SELECT i, j, CAST(inter AS INT) AS n_common, jac FROM jpairs
+         |ORDER BY i, j""".stripMargin) { (s, d) =>
       // See ngramPairsFrom for the plan + scale commentary.
       ngramPairsShared(s, d)
     },
 
     // --- near-dup clustering: connected components over the pair graph --
     Q("q_dedup_clusters",
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w) - 1)]) AS sh
-        |      FROM w),
-        |pairs AS (
-        |  SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
-        |edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH RECURSIVE $ShingleOverlapCtes,
+         |edges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Cluster id = min doc_id reachable in the near-dup graph — see
       // nearDupClusters for the propagation loop and its scale story.
       // The oracle computes the same components with a recursive CTE —
@@ -760,19 +764,9 @@ object PipelineQueries {
 
     // --- PageRank centrality over the near-dup graph --------------------
     Q("q_graph_pagerank",
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
-        |s AS MATERIALIZED (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w) - 1)]) AS sh
-        |      FROM w),
-        |pairs AS MATERIALIZED (
-        |  SELECT a.doc_id AS i, b.doc_id AS j
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-        |              / len(list_distinct(list_concat(a.sh, b.sh))), 9) >= 0.8),
-        |edges AS MATERIALIZED (SELECT i AS src, j AS dst FROM pairs
-        |          UNION ALL SELECT j, i FROM pairs),
+      s"""WITH $ShingleOverlapCtes,
+         |edges AS MATERIALIZED (SELECT i AS src, j AS dst FROM jpairs
+         |          UNION ALL SELECT j, i FROM jpairs),
         |deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
         |nn AS (SELECT COUNT(*) AS n FROM deg),
         |r0 AS (SELECT src AS v, 1000000000000000 // n AS r FROM deg, nn),

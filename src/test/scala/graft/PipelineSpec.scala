@@ -350,6 +350,28 @@ class PipelineSpec extends GraftSuite {
     assert(metrics.getLong(1) > 0, s"no dropped ids observed: $metrics")
   }
 
+  test("ngram-jaccard prefix filter finds the exact-boundary subset pair (n % 5 == 0)") {
+    // Adversarial shape from the sf0.1 gate: A's 8 shingles are a subset
+    // of B's 10, jaccard = 8/(8+10-8) = exactly 0.8, and B's two
+    // exclusive shingles are globally rarest (df=1 vs df=2), so they
+    // occupy B's prefix slots first. The theorem prefix for n=10 is
+    // n - ceil(0.8*n) + 1 = 3 (reaching B's rarest SHARED gram); the
+    // former float spelling floor(0.2*n)+1 evaluated 0.2*10 as 1.99..96
+    // and indexed only 2 — silently dropping the true pair.
+    val dir = "/tmp/graft_test_prefix_boundary"
+    val words = (1 to 12).map(i => s"pw$i")
+    val docB = words.mkString(" ")                 // 12 words -> 10 shingles
+    val docA = words.drop(2).mkString(" ")         // 10 words -> 8 shingles, all in B
+    spark.createDataFrame(Seq((1L, docA), (2L, docB))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.PipelineQueries
+      .ngramJaccardPairs(spark, dir, graft.queries.PipelineQueries.NgramDfCap)
+      .collect()
+    assert(got.length == 1, s"boundary pair must be found: ${got.mkString(";")}")
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getDouble(3) == 0.8)
+  }
+
   test("LSH bucket cap bounds an adversarial mega-bucket and reports drops") {
     // 300 boilerplate variants that SURVIVE exact dedup (each text ends
     // with a unique token) but share ~96% of shingles — uncapped, they
