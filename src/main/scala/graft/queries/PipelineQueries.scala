@@ -823,6 +823,64 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- triangle counting / clustering coefficient ---------------------
+    Q("q_graph_triangles",
+      s"""WITH $ShingleOverlapCtes,
+         |tri AS MATERIALIZED (
+         |  SELECT a.i AS x, a.j AS y, b.j AS z
+         |  FROM jpairs a JOIN jpairs b ON a.j = b.i
+         |    JOIN jpairs c ON c.i = a.i AND c.j = b.j),
+         |deg AS (SELECT v, COUNT(*) AS deg FROM (
+         |          SELECT i AS v FROM jpairs UNION ALL SELECT j FROM jpairs)
+         |        GROUP BY v),
+         |tv AS (SELECT v, COUNT(*) AS n_tri FROM (
+         |         SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri)
+         |       GROUP BY v)
+         |SELECT deg.v AS doc_id, CAST(deg.deg AS BIGINT) AS deg,
+         |  CAST(COALESCE(tv.n_tri, 0) AS BIGINT) AS n_tri,
+         |  CASE WHEN deg.deg >= 2
+         |       THEN ROUND(2.0 * COALESCE(tv.n_tri, 0) / (deg.deg * (deg.deg - 1)), 9)
+         |       ELSE 0.0 END AS cc
+         |FROM deg LEFT JOIN tv ON deg.v = tv.v ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Triangle counting + local clustering coefficient over the
+      // near-dup graph — the graph-quality signal that separates a
+      // PROPAGATED near-dup component (chained pairs, few triangles,
+      // e.g. A~B~C where A and C differ) from a genuine boilerplate
+      // clique (every pair similar, cc → 1): components with low
+      // clustering deserve human eyes before bulk dedup, cliques don't.
+      // Shape: with edges ordered i < j, each triangle x<y<z is emitted
+      // exactly once by joining (x,y)⋈(y,z) wedges against the (x,z)
+      // edge set — two joins keyed on vertices, no enumeration of
+      // non-edges. Wedge fan-out is Σ deg² over the PAIR graph, which
+      // the LSH bucket cap already bounds per component; at general
+      // scale the standard skew guard is degree-orientation (emit each
+      // wedge at its lowest-degree endpoint — the O(m^1.5) arboricity
+      // bound), which composes here by re-keying the first join. The
+      // pair frame is the SAME materialized artifact the dedup family
+      // shares — the three self-join consumers read the checkpoint, not
+      // three pair recomputations. cc's single double division is
+      // round9'd; everything else is exact integer counts.
+      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val tri = p.as("a")
+        .join(p.as("b"), col("a.j") === col("b.i"))
+        .join(p.as("c"), col("c.i") === col("a.i") && col("c.j") === col("b.j"))
+        .select(col("a.i").as("x"), col("a.j").as("y"), col("b.j").as("z"))
+      val deg = p.select(col("i").as("v")).union(p.select(col("j")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val tv = tri.select(col("x").as("v"))
+        .union(tri.select(col("y"))).union(tri.select(col("z")))
+        .groupBy("v").agg(count(lit(1)).as("n_tri"))
+      deg.join(tv, Seq("v"), "left")
+        .select(col("v").as("doc_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          when(col("deg") >= 2,
+            round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+              / (col("deg") * (col("deg") - 1)), 9))
+            .otherwise(lit(0.0)).as("cc"))
+        .orderBy("doc_id")
+    },
+
     // --- SimHash fingerprints (near-dup signature) ----------------------
     Q("q_dedup_simhash", {
       // The 32 per-bit majority votes and the fingerprint assembly are

@@ -792,6 +792,29 @@ class PipelineSpec extends GraftSuite {
     assert(got.exists(_.getBoolean(4)) && got.exists(!_.getBoolean(4)))
   }
 
+  test("q_graph_triangles equals a from-scratch per-vertex recount") {
+    import graft.queries.PipelineQueries
+    val p = PipelineQueries.minhashPairs(spark, sf, PipelineQueries.LshBucketCap)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = p.toSet
+    val adj = p.flatMap { case (i, j) => Seq(i -> j, j -> i) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    val got = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == adj.keySet, "one row per pair-graph vertex")
+    got.foreach { r =>
+      val (v, deg, tri, cc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(adj(v).size.toLong == deg, s"degree of $v")
+      val expTri = adj(v).toSeq.combinations(2).count { case Seq(a, b) =>
+        edgeSet.contains((math.min(a, b), math.max(a, b)))
+      }
+      assert(expTri.toLong == tri, s"triangles at $v")
+      if (deg >= 2) assert(math.abs(cc - 2.0 * tri / (deg * (deg - 1))) < 1e-9)
+      else assert(cc == 0.0)
+    }
+    // the gate corpus must contain a closed triangle or this proves little
+    assert(got.exists(_.getLong(2) > 0))
+  }
+
   test("q_ann_mmr equals a from-scratch greedy over raw embeddings") {
     def r9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
