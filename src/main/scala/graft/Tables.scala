@@ -23,18 +23,24 @@ object Tables {
     * directory of many files — `spark.read.parquet` handles both, splitting
     * by `spark.sql.files.maxPartitionBytes`, so no code change at scale.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as raw nanos and convert to a micros
-    * TIMESTAMP_NTZ (the same truncation DuckDB applies), so downstream
-    * queries see a normal timestamp column. */
+    * `events.ts` has shipped as both parquet TIMESTAMP(NANOS) — which
+    * Spark's vectorized reader rejects, so we read it as raw nanos via
+    * `nanosAsLong` and truncate to micros ourselves — and as plain
+    * TIMESTAMP(MICROS), which reads natively. Branch on the footer schema
+    * so either fixture vintage lands on the same TIMESTAMP_NTZ column
+    * (naive micros — exactly what DuckDB's oracle sees). */
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000"))
-            .cast("timestamp_ntz"))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view (idempotent), so both the
