@@ -849,25 +849,40 @@ object PipelineQueries {
       // e.g. A~B~C where A and C differ) from a genuine boilerplate
       // clique (every pair similar, cc → 1): components with low
       // clustering deserve human eyes before bulk dedup, cliques don't.
-      // Shape: with edges ordered i < j, each triangle x<y<z is emitted
-      // exactly once by joining (x,y)⋈(y,z) wedges against the (x,z)
-      // edge set — two joins keyed on vertices, no enumeration of
-      // non-edges. Wedge fan-out is Σ deg² over the PAIR graph, which
-      // the LSH bucket cap already bounds per component; at general
-      // scale the standard skew guard is degree-orientation (emit each
-      // wedge at its lowest-degree endpoint — the O(m^1.5) arboricity
-      // bound), which composes here by re-keying the first join. The
-      // pair frame is the SAME materialized artifact the dedup family
-      // shares — the three self-join consumers read the checkpoint, not
-      // three pair recomputations. cc's single double division is
-      // round9'd; everything else is exact integer counts.
+      // Shape: DEGREE-ORDERED orientation — every undirected edge {u,v}
+      // points from the lower (deg, id) endpoint to the higher, so each
+      // triangle is a wedge at its lowest-RANK vertex closed by one
+      // oriented edge. Wedge fan-out is then Σ out-deg² where out-deg is
+      // bounded by O(√m) (the arboricity bound): a hub vertex with a
+      // million neighbors emits NO wedges — its edges all point INTO it
+      // from the low-degree side — which is the skew guard that keeps
+      // the join alive at general 100 TB graph scale, independent of the
+      // LSH bucket cap that happens to bound THIS graph's degrees. The
+      // oriented-edge frame feeds three join sides, so it is
+      // materializedWith'd (one build job, lineage truncated) off the
+      // SAME shared pair checkpoint the dedup family reads. The triangle
+      // set is orientation-invariant — the oracle keeps its i<j form.
+      // cc's single double division is round9'd; everything else is
+      // exact integer counts.
       val p = minhashPairsShared(s, d).select(col("i"), col("j"))
-      val tri = p.as("a")
-        .join(p.as("b"), col("a.j") === col("b.i"))
-        .join(p.as("c"), col("c.i") === col("a.i") && col("c.j") === col("b.j"))
-        .select(col("a.i").as("x"), col("a.j").as("y"), col("b.j").as("z"))
       val deg = p.select(col("i").as("v")).union(p.select(col("j")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
+      val di = deg.select(col("v").as("i"), col("deg").as("di"))
+      val dj = deg.select(col("v").as("j"), col("deg").as("dj"))
+      val fwd = col("di") < col("dj") ||
+        (col("di") === col("dj") && col("i") < col("j"))
+      val oe = Qh.materializedWith(deg)(
+        p.join(di, "i").join(dj, "j").select(
+          when(fwd, col("i")).otherwise(col("j")).as("src"),
+          when(fwd, col("j")).otherwise(col("i")).as("dst"),
+          when(fwd, col("dj")).otherwise(col("di")).as("dd")))
+      val rankLt = col("a.dd") < col("b.dd") ||
+        (col("a.dd") === col("b.dd") && col("a.dst") < col("b.dst"))
+      val tri = oe.as("a")
+        .join(oe.as("b"), col("a.src") === col("b.src") && rankLt)
+        .join(oe.as("c"),
+          col("c.src") === col("a.dst") && col("c.dst") === col("b.dst"))
+        .select(col("a.src").as("x"), col("a.dst").as("y"), col("b.dst").as("z"))
       val tv = tri.select(col("x").as("v"))
         .union(tri.select(col("y"))).union(tri.select(col("z")))
         .groupBy("v").agg(count(lit(1)).as("n_tri"))
@@ -2058,7 +2073,8 @@ object PipelineQueries {
         |f AS (SELECT doc_id, list_sort(list_distinct(
         |        [list_min(gs[j:j+3]) for j in range(1, len(gs) - 2)])) AS fps
         |      FROM a)
-        |SELECT doc_id, len(fps) AS n_fp, fps FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+        |SELECT doc_id, len(fps) AS n_fp, to_json(fps)::VARCHAR AS fps
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprint): hash
       // every word-3-gram, slide a w=4 window over the hash sequence,
       // keep each window's MINIMUM — the selected set is the document
@@ -2078,7 +2094,11 @@ object PipelineQueries {
       // asserted in PipelineSpec "documents corpus is ASCII". The
       // selection core is winnowFps; PipelineSpec drives the shared-
       // passage guarantee and the density bound through it directly.
-      winnowFps(t(s, d, "documents")).orderBy("doc_id")
+      // fps ships as to_json text (nested-output rule, q_mm_features
+      // precedent): the gate's comparator can't sort/hash an array cell.
+      winnowFps(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_fp"), to_json(col("fps")).as("fps"))
+        .orderBy("doc_id")
     },
 
     // --- similarity search: brute-force cosine top-k --------------------
