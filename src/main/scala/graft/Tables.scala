@@ -38,8 +38,20 @@ object Tables {
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts",
             timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-        case _ =>
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw
+        case org.apache.spark.sql.types.TimestampType =>
+          // Instant -> naive is only value-preserving when the session
+          // renders instants in UTC; every entry point pins it, but the
+          // cast must not silently depend on that.
+          require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+            "events.ts is TIMESTAMP(isAdjustedToUTC): reading it as naive " +
+              "micros requires spark.sql.session.timeZone=UTC, found " +
+              spark.conf.get("spark.sql.session.timeZone"))
           raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: expected INT64 nanos or a parquet timestamp, got $other")
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
