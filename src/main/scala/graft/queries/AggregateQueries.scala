@@ -164,15 +164,35 @@ object AggregateQueries {
         .orderBy("o_orderpriority")
     },
 
-    // approx_count_distinct (HLL++) / approx_percentile: sketch contents
-    // are engine-specific (reference uses DataFusion's HLL; Spark uses
-    // HLL++) — rows-only check here, accuracy asserted in ScalaTest
-    // against exact counts.
-    Q.noOracle("q_agg_approx") { (s, d) =>
+    // approx_count_distinct (HLL++) / approx_percentile: sketch ESTIMATES
+    // are engine-specific (reference uses DataFusion's HLL; Spark HLL++,
+    // DuckDB its own HLL — measured 0.1-1.8% apart at gate SFs), so the
+    // raw estimates can never hash-match. Instead of a rows-only check,
+    // the row CERTIFIES the approximation contract in-engine: each engine
+    // computes its own approx AND exact, and emits booleans pinning
+    // |approx - exact| within tolerance (10% for HLL — the ScalaTest
+    // twin's bar; 1% for the median sketch, whose rank error at
+    // accuracy=10000 is ~n/10000 positions). Both engines emit TRUE +
+    // identical exact counts → full rows+schema+hash oracle over the
+    // certified contract. Production callers run the approx alone (one
+    // sketch, no exact twin) — mergeable register-max / quantile-sketch
+    // state is the reason it scales; the exact here is the certificate.
+    Q("q_agg_approx",
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+        |    <= COUNT(DISTINCT l_orderkey) * 0.1 AS acd_ok,
+        |  ABS(approx_quantile(l_extendedprice, 0.5) - MEDIAN(l_extendedprice))
+        |    <= ABS(MEDIAN(l_extendedprice)) * 0.01 AS amed_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_med"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("acd"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
+          median(col("l_extendedprice")).as("emed"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("acd") - col("exact_orders")) <= col("exact_orders") * 0.1).as("acd_ok"),
+          (abs(col("amed") - col("emed")) <= abs(col("emed")) * 0.01).as("amed_ok"))
         .orderBy("l_returnflag")
     },
 
