@@ -164,6 +164,62 @@ object PipelineQueries {
     Qh.materializedWith(sh)(minhashPairsFrom(sh, LshBucketCap))
   }
 
+  /** Build-once-then-probe against the persisted LSH index: ensure the
+    * two index artifacts exist under one commit marker (banded bucket
+    * table = probe keys; corpus shingle sets = verify payload), shingle
+    * the standard delta batch (every 10th doc re-ingested under
+    * +1000000 ids) with the SAME hash family, probe by (band, h1, h2)
+    * equi join, and exact-jaccard-verify only the candidates. Returns
+    * verified (delta_id, corpus_id, jac ≥ 0.8). Per-batch cost is
+    * O(delta) + bucket-key lookups, NOT O(corpus) — the index-probe
+    * core shared by q_dedup_incremental (the pairs themselves) and
+    * q_graph_incremental (centrality maintenance over the grown graph). */
+  private[queries] def lshDeltaProbe(s: SparkSession, d: String): DataFrame = {
+    val base = s"${SourceQueries.cacheDir(d)}/lsh_idx"
+    SourceQueries.materialize(s"$base/commit") {
+      val sh = shingled(s, d).persist()
+      try {
+        bandKeys(sh)
+          .groupBy("band", "h1", "h2")
+          .agg(graft.functions.BoundedMinSet
+            .bounded_min_set(col("doc_id"), LshBucketCap).as("bs"))
+          .observe("graft_lsh_index_cap",
+            sum(when(col("bs.n") > LshBucketCap, lit(1)).otherwise(lit(0)))
+              .as("oversized_buckets"),
+            sum(when(col("bs.n") > LshBucketCap, col("bs.n") - LshBucketCap)
+              .otherwise(lit(0))).as("dropped_ids"))
+          .select(col("band"), col("h1"), col("h2"),
+            explode(col("bs.ids")).as("doc_id"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/bands")
+        sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/shingles")
+        s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/commit")
+      } finally sh.unpersist()
+    }
+    val delta = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val deltaSh = shingleDf(delta)
+    val cand = bandKeys(deltaSh).withColumnRenamed("doc_id", "delta_id")
+      .join(s.read.parquet(s"$base/bands"), Seq("band", "h1", "h2"))
+      .select(col("delta_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    // the delta batch is shingled once for both its consumers (band
+    // keys + the verify-join side) — at scale that is the whole
+    // per-batch cost, so don't pay it twice; dropped on return
+    Qh.materializedWith(deltaSh)(
+      cand
+        .join(deltaSh.select(col("doc_id").as("delta_id"), col("sh").as("sha")), "delta_id")
+        .join(s.read.parquet(s"$base/shingles")
+            .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
+          "corpus_id")
+        .select(col("delta_id"), col("corpus_id"),
+          round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))), 9).as("jac"))
+        .filter(col("jac") >= 0.8))
+  }
+
   /** Lazy, self-contained form — PipelineSpec's cap-equivalence and
     * drop-counter tests need `observe()` metrics on the RETURNED frame's
     * own QueryExecution, which an eager checkpoint would hide. */
@@ -688,50 +744,7 @@ object PipelineQueries {
       // measured warm probes at ~12 s ≈ cold build because of exactly
       // that), with them a probe only READS the rows the candidate join
       // needs.
-      val base = s"${SourceQueries.cacheDir(d)}/lsh_idx"
-      SourceQueries.materialize(s"$base/commit") {
-        val sh = shingled(s, d).persist()
-        try {
-          bandKeys(sh)
-            .groupBy("band", "h1", "h2")
-            .agg(graft.functions.BoundedMinSet
-              .bounded_min_set(col("doc_id"), LshBucketCap).as("bs"))
-            .observe("graft_lsh_index_cap",
-              sum(when(col("bs.n") > LshBucketCap, lit(1)).otherwise(lit(0)))
-                .as("oversized_buckets"),
-              sum(when(col("bs.n") > LshBucketCap, col("bs.n") - LshBucketCap)
-                .otherwise(lit(0))).as("dropped_ids"))
-            .select(col("band"), col("h1"), col("h2"),
-              explode(col("bs.ids")).as("doc_id"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$base/bands")
-          sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$base/shingles")
-          s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$base/commit")
-        } finally sh.unpersist()
-      }
-      val delta = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
-      val deltaSh = shingleDf(delta)
-      val cand = bandKeys(deltaSh).withColumnRenamed("doc_id", "delta_id")
-        .join(s.read.parquet(s"$base/bands"), Seq("band", "h1", "h2"))
-        .select(col("delta_id"), col("doc_id").as("corpus_id"))
-        .distinct()
-      // the delta batch is shingled once for both its consumers (band
-      // keys + the verify-join side) — at scale that is the whole
-      // per-batch cost, so don't pay it twice; dropped on return
-      Qh.materializedWith(deltaSh)(
-        cand
-          .join(deltaSh.select(col("doc_id").as("delta_id"), col("sh").as("sha")), "delta_id")
-          .join(s.read.parquet(s"$base/shingles")
-              .select(col("doc_id").as("corpus_id"), col("sh").as("shb")),
-            "corpus_id")
-          .select(col("delta_id"), col("corpus_id"),
-            round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
-              size(array_union(col("sha"), col("shb"))), 9).as("jac"))
-          .filter(col("jac") >= 0.8)
-          .orderBy("delta_id", "corpus_id"))
+      lshDeltaProbe(s, d).orderBy("delta_id", "corpus_id")
     },
 
     // --- exact n-gram Jaccard via rare-shingle inverted-index blocking --
@@ -894,6 +907,123 @@ object PipelineQueries {
               / (col("deg") * (col("deg") - 1)), 9))
             .otherwise(lit(0.0)).as("cc"))
         .orderBy("doc_id")
+    },
+
+    // --- incremental graph maintenance over the persisted LSH index -----
+    Q("q_graph_incremental",
+      s"""WITH $ShingleOverlapCtes,
+         |dex AS MATERIALIZED (SELECT doc_id + 1000000 AS delta_id, g FROM ex
+         |       WHERE doc_id % 10 = 0),
+         |dsz AS (SELECT doc_id + 1000000 AS delta_id, n FROM sz WHERE doc_id % 10 = 0),
+         |ovd AS MATERIALIZED (SELECT d.delta_id, x.doc_id AS corpus_id, COUNT(*) AS di
+         |      FROM dex d JOIN ex x ON d.g = x.g GROUP BY 1, 2),
+         |dpairs AS MATERIALIZED (SELECT delta_id, corpus_id
+         |  FROM ovd JOIN dsz dn USING (delta_id) JOIN sz cn ON ovd.corpus_id = cn.doc_id
+         |  WHERE ROUND(di::DOUBLE / (dn.n + cn.n - di), 9) >= 0.8),
+         |edges AS MATERIALIZED (
+         |  SELECT i AS src, j AS dst FROM jpairs UNION ALL SELECT j, i FROM jpairs
+         |  UNION ALL SELECT delta_id, corpus_id FROM dpairs
+         |  UNION ALL SELECT corpus_id, delta_id FROM dpairs),
+        |deg AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS n FROM deg),
+        |r0 AS (SELECT src AS v, 1000000000000000 // n AS r FROM deg, nn),
+        |r1 AS (SELECT e.dst AS v,
+        |         (15 * 1000000000000000) // (100 * nn.n)
+        |           + SUM((p.r * 85) // (100 * d.od)) AS r
+        |       FROM edges e JOIN r0 p ON e.src = p.v
+        |         JOIN deg d ON e.src = d.src, nn
+        |       GROUP BY e.dst, nn.n),
+        |r2 AS (SELECT e.dst AS v,
+        |         (15 * 1000000000000000) // (100 * nn.n)
+        |           + SUM((p.r * 85) // (100 * d.od)) AS r
+        |       FROM edges e JOIN r1 p ON e.src = p.v
+        |         JOIN deg d ON e.src = d.src, nn
+        |       GROUP BY e.dst, nn.n),
+        |r3 AS (SELECT e.dst AS v,
+        |         (15 * 1000000000000000) // (100 * nn.n)
+        |           + SUM((p.r * 85) // (100 * d.od)) AS r
+        |       FROM edges e JOIN r2 p ON e.src = p.v
+        |         JOIN deg d ON e.src = d.src, nn
+        |       GROUP BY e.dst, nn.n)
+        |SELECT r3.v AS doc_id, d.od,
+        |       ROUND(CAST(r3.r AS DOUBLE) / 1e15, 9) AS pr
+        |FROM r3 JOIN deg d ON r3.v = d.src ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Incremental GRAPH maintenance — the centrality twin of
+      // q_dedup_incremental: an ingest batch grows the near-dup graph
+      // WITHOUT regenerating the corpus's pairs. New edges come from the
+      // persisted-LSH-index probe (lshDeltaProbe: O(delta) shingling +
+      // bucket-key lookups, exact-verified candidates only), the
+      // existing edges from the shared pair checkpoint — at no point is
+      // the corpus re-shingled or re-banded. PageRank then re-runs on
+      // the merged graph: per-iteration cost is GRAPH-scale (one
+      // dst-keyed shuffle of longs), which at 100 TB is orders of
+      // magnitude below the corpus-scale pair generation this shape
+      // avoids — re-iterating centrality is the cheap half, maintaining
+      // the edge set is the expensive half, and the index makes the
+      // expensive half O(delta). Delta vertices enter under new ids
+      // (+1000000); delta↔delta edges are out of scope by construction
+      // (same contract as q_dedup_incremental — a batch dedups against
+      // the CORPUS; intra-batch dedup is q_dedup_minhash on the batch).
+      // Same fixed-point arithmetic as q_graph_pagerank → exact hash
+      // match at any parallelism.
+      val probes = lshDeltaProbe(s, d).select(col("delta_id"), col("corpus_id"))
+      val pairs = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .union(probes.select(col("delta_id").as("src"), col("corpus_id").as("dst")))
+        .union(probes.select(col("corpus_id").as("src"), col("delta_id").as("dst")))
+      pageRankScaled(edges, 3)
+        .select(col("v").as("doc_id"), col("od"),
+          round(col("r").cast("double") / lit(1e15), 9).as("pr"))
+        .orderBy("doc_id")
+    },
+
+    // --- incremental triangle maintenance (delta-closed wedges) ---------
+    Q("q_graph_tri_incremental",
+      s"""WITH $ShingleOverlapCtes,
+         |dex AS MATERIALIZED (SELECT doc_id + 1000000 AS delta_id, g FROM ex
+         |       WHERE doc_id % 10 = 0),
+         |dsz AS (SELECT doc_id + 1000000 AS delta_id, n FROM sz WHERE doc_id % 10 = 0),
+         |ovd AS MATERIALIZED (SELECT d.delta_id, x.doc_id AS corpus_id, COUNT(*) AS di
+         |      FROM dex d JOIN ex x ON d.g = x.g GROUP BY 1, 2),
+         |dpairs AS MATERIALIZED (SELECT delta_id, corpus_id
+         |  FROM ovd JOIN dsz dn USING (delta_id) JOIN sz cn ON ovd.corpus_id = cn.doc_id
+         |  WHERE ROUND(di::DOUBLE / (dn.n + cn.n - di), 9) >= 0.8),
+         |nt AS (SELECT p1.delta_id, COUNT(*) AS new_tri
+         |  FROM dpairs p1 JOIN dpairs p2
+         |    ON p1.delta_id = p2.delta_id AND p1.corpus_id < p2.corpus_id
+         |  JOIN jpairs e ON e.i = p1.corpus_id AND e.j = p2.corpus_id
+         |  GROUP BY 1)
+         |SELECT d.delta_id, CAST(COALESCE(nt.new_tri, 0) AS BIGINT) AS new_tri
+         |FROM (SELECT DISTINCT delta_id FROM dpairs) d
+         |  LEFT JOIN nt USING (delta_id)
+         |ORDER BY delta_id""".stripMargin) { (s, d) =>
+      // Triangle-count MAINTENANCE for an ingest batch: with no
+      // delta↔delta edges (the q_graph_incremental contract), every
+      // triangle the batch creates is a wedge u—δ—v over two of δ's
+      // index-probe edges closed by an EXISTING corpus edge (u, v) — so
+      // the update is one self-join of the O(delta) probe result plus
+      // one lookup join into the corpus pair frame, never a corpus-scale
+      // triangle recount. Fan-out per delta vertex is C(probe-deg, 2),
+      // and probe degree is bounded by the LSH bucket cap at candidate
+      // generation — the delta analog of the full recount's
+      // degree-orientation guard. The probe frame is a checkpoint
+      // (lshDeltaProbe), so its three consumers here read blocks, not
+      // three probe recomputations. Exact integer counts; delta
+      // vertices that acquired edges but close no triangles report 0.
+      val probes = lshDeltaProbe(s, d).select(col("delta_id"), col("corpus_id"))
+      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val nt = probes.as("a")
+        .join(probes.as("b"),
+          col("a.delta_id") === col("b.delta_id") &&
+            col("a.corpus_id") < col("b.corpus_id"))
+        .join(p, col("i") === col("a.corpus_id") && col("j") === col("b.corpus_id"))
+        .groupBy(col("a.delta_id").as("delta_id"))
+        .agg(count(lit(1)).as("new_tri"))
+      probes.select("delta_id").distinct()
+        .join(nt, Seq("delta_id"), "left")
+        .select(col("delta_id"), coalesce(col("new_tri"), lit(0L)).as("new_tri"))
+        .orderBy("delta_id")
     },
 
     // --- SimHash fingerprints (near-dup signature) ----------------------

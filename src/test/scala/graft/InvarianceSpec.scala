@@ -33,8 +33,12 @@ class InvarianceSpec extends GraftSuite {
     "q_graph_pagerank",     // fixed-point iteration sums must be
                             //   merge-order-independent at any parallelism
     "q_events_anomaly",     // integer z-score over map-side-collapsed cells
-    "q_ann_mmr")            // driver greedy over round9 sims: shortlist +
+    "q_ann_mmr",            // driver greedy over round9 sims: shortlist +
                             //   pairwise passes must not depend on layout
+    "q_graph_incremental",  // index-probe edges + fixed-point PR on the
+                            //   merged graph, across layouts
+    "q_graph_triangles")    // degree-ordered wedge orientation must not
+                            //   change the triangle set
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
