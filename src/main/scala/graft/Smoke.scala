@@ -22,14 +22,10 @@ object Smoke {
   private def topIds(spark: SparkSession, dir: String, q: String): Set[Long] =
     SparkEntry.queries(q)(spark, dir).select("vec_id").collect().map(_.getLong(0)).toSet
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val docMult = if (args.length > 1) args(1).toInt else 10
-    val vecMult = if (args.length > 2) args(2).toInt else 25
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Engine.session(master = s"local[$cpus]", appName = "graft-smoke")
-    val dir = s"/tmp/graft_smoke/${new java.io.File(sfDir).getName}_d${docMult}_v$vecMult"
-
+  /** Build (or reuse) the derived ×M corpus under /tmp — shared with
+    * [[GraphSmoke]] so every smoke main measures the same artifacts. */
+  private[graft] def ensureCorpus(spark: SparkSession, sfDir: String, dir: String,
+      docMult: Int, vecMult: Int): Unit = {
     if (!new java.io.File(s"$dir/documents.parquet", "_SUCCESS").exists()) {
       val docs = Tables.df(spark, sfDir, "documents")
       val n = docs.count()
@@ -66,6 +62,16 @@ object Smoke {
         .withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
         .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val docMult = if (args.length > 1) args(1).toInt else 10
+    val vecMult = if (args.length > 2) args(2).toInt else 25
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Engine.session(master = s"local[$cpus]", appName = "graft-smoke")
+    val dir = s"/tmp/graft_smoke/${new java.io.File(sfDir).getName}_d${docMult}_v$vecMult"
+    ensureCorpus(spark, sfDir, dir, docMult, vecMult)
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val nEvents = spark.read.parquet(s"$dir/events.parquet").count()

@@ -66,6 +66,12 @@ object TpchSmoke {
     }
     val total = results.map(_._2).sum
     println(f"TPCH-SMOKE total ${total}%.1fs over ${results.size} queries")
+    // per-group rank trim over the ×mult lineitem — the known
+    // low-cardinality caveat (3 groups → 3-way parallel sort) measured,
+    // not asserted
+    val (_, tTrim) = time(SparkEntry.queries("q_agg_trimmed")(spark, dir)
+      .write.format("noop").mode(SaveMode.Overwrite).save())
+    println(f"TPCH-SMOKE q_agg_trimmed      ${tTrim}%6.2fs")
     spark.stop()
   }
 }

@@ -174,8 +174,15 @@ object PipelineQueries {
     * O(delta) + bucket-key lookups, NOT O(corpus) — the index-probe
     * core shared by q_dedup_incremental (the pairs themselves) and
     * q_graph_incremental (centrality maintenance over the grown graph). */
-  private[queries] def lshDeltaProbe(s: SparkSession, d: String): DataFrame = {
-    val base = s"${SourceQueries.cacheDir(d)}/lsh_idx"
+  /** Ensure the persisted LSH index exists for `d`'s corpus and return
+    * its base path. THREE artifacts under one commit marker: the banded
+    * bucket table (probe keys), the corpus shingle sets (verify
+    * payload), and the verified corpus PAIR SET (the near-dup graph's
+    * edge list — the artifact graph maintenance reads instead of
+    * regenerating pairs). Version-suffixed dir: a cache built before the
+    * pairs artifact existed must rebuild, not half-read. */
+  private[queries] def ensureLshIndex(s: SparkSession, d: String): String = {
+    val base = s"${SourceQueries.cacheDir(d)}/lsh_idx2"
     SourceQueries.materialize(s"$base/commit") {
       val sh = shingled(s, d).persist()
       try {
@@ -194,10 +201,18 @@ object PipelineQueries {
           .parquet(s"$base/bands")
         sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$base/shingles")
+        minhashPairsFrom(sh, LshBucketCap)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$base/pairs")
         s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$base/commit")
       } finally sh.unpersist()
     }
+    base
+  }
+
+  private[queries] def lshDeltaProbe(s: SparkSession, d: String): DataFrame = {
+    val base = ensureLshIndex(s, d)
     val delta = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
     val deltaSh = shingleDf(delta)
@@ -953,8 +968,9 @@ object PipelineQueries {
       // WITHOUT regenerating the corpus's pairs. New edges come from the
       // persisted-LSH-index probe (lshDeltaProbe: O(delta) shingling +
       // bucket-key lookups, exact-verified candidates only), the
-      // existing edges from the shared pair checkpoint — at no point is
-      // the corpus re-shingled or re-banded. PageRank then re-runs on
+      // existing edges from the index's persisted PAIR artifact (a
+      // columnar read) — at no point is the corpus re-shingled,
+      // re-banded, or re-pair-verified. PageRank then re-runs on
       // the merged graph: per-iteration cost is GRAPH-scale (one
       // dst-keyed shuffle of longs), which at 100 TB is orders of
       // magnitude below the corpus-scale pair generation this shape
@@ -967,7 +983,10 @@ object PipelineQueries {
       // Same fixed-point arithmetic as q_graph_pagerank → exact hash
       // match at any parallelism.
       val probes = lshDeltaProbe(s, d).select(col("delta_id"), col("corpus_id"))
-      val pairs = minhashPairsShared(s, d).select(col("i"), col("j"))
+      // existing edges come from the index's persisted PAIR artifact —
+      // a columnar read, not a corpus re-shingle/re-band/re-verify
+      val pairs = s.read.parquet(s"${ensureLshIndex(s, d)}/pairs")
+        .select(col("i"), col("j"))
       val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
         .union(pairs.select(col("j").as("src"), col("i").as("dst")))
         .union(probes.select(col("delta_id").as("src"), col("corpus_id").as("dst")))
@@ -1012,7 +1031,8 @@ object PipelineQueries {
       // three probe recomputations. Exact integer counts; delta
       // vertices that acquired edges but close no triangles report 0.
       val probes = lshDeltaProbe(s, d).select(col("delta_id"), col("corpus_id"))
-      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val p = s.read.parquet(s"${ensureLshIndex(s, d)}/pairs")
+        .select(col("i"), col("j"))
       val nt = probes.as("a")
         .join(probes.as("b"),
           col("a.delta_id") === col("b.delta_id") &&
