@@ -35,6 +35,16 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
+      } finally {
+        // Checkpoint hygiene: materializedWith/localCheckpoint blocks are
+        // otherwise freed only when the ContextCleaner GCs the dead RDD —
+        // across a 180+-query run the dead blocks crowd storage memory
+        // and force recomputes in exactly the checkpoint-heavy
+        // dedup/graph family (round-8 verdict hypothesis). Every query's
+        // result is fully in the noop sink by now, so nothing live
+        // references these blocks; drop them deterministically.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 

@@ -247,12 +247,45 @@ object AggregateQueries {
     // UDAF slot, datafusion.proto:558-562). Sketch contents are engine-
     // specific → rows-only gate; accuracy vs the exact weighted
     // percentile is asserted in ScalaTest.
-    Q.noOracle("q_agg_weighted_percentile") { (s, d) =>
+    // Weighted-percentile sketch, certified like q_agg_approx: DuckDB has
+    // no weighted-percentile sketch to cross-run, so the oracle pins the
+    // EXACT weighted median (the same RANGE-framed definition as
+    // q_agg_weighted_exact, deterministic in both engines) plus a literal
+    // TRUE for the certification column — while the Spark side computes
+    // the real thing: |sketch − exact| ≤ 1%·exact. The gate therefore
+    // hash-verifies the exact semantics AND forces the sketch through its
+    // accuracy contract on every run (previously a ScalaTest-only bar).
+    Q("q_agg_weighted_percentile",
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER
+        |           (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS cum,
+        |         SUM(CAST(l_quantity AS BIGINT)) OVER
+        |           (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem),
+        |e AS (SELECT l_returnflag, MIN(l_extendedprice) AS w_median_price
+        |      FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag),
+        |n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, w_median_price, n, TRUE AS wp_ok
+        |FROM e JOIN n USING (l_returnflag) ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val wmedian = udaf(new graft.functions.WeightedPercentile(0.5),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double)]())
-      t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(wmedian(col("l_extendedprice"), col("l_quantity")).as("w_median_price"),
+      val sk = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(wmedian(col("l_extendedprice"), col("l_quantity")).as("wm"),
           count(lit(1)).as("n"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val cumw = byFlag.orderBy("l_extendedprice")
+      val exact = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          sum(col("l_quantity").cast("long")).over(cumw).as("cum"),
+          sum(col("l_quantity").cast("long")).over(byFlag).as("tot"))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("w_median_price"))
+      sk.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("w_median_price"), col("n"),
+          (abs(col("wm") - col("w_median_price")) <=
+            abs(col("w_median_price")) * 0.01).as("wp_ok"))
         .orderBy("l_returnflag")
     },
 

