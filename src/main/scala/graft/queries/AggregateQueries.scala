@@ -184,12 +184,18 @@ object AggregateQueries {
         |  ABS(approx_quantile(l_extendedprice, 0.5) - MEDIAN(l_extendedprice))
         |    <= ABS(MEDIAN(l_extendedprice)) * 0.01 AS amed_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey")).as("acd"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
+      // Two scans, not one: countDistinct plans an expand (×2 rows) and
+      // the percentile pair is object-based — fused in a single agg the
+      // expand feeds every row twice through the value-buffering
+      // aggregates (measured 12.6 s; split, 1.3 s). 3-row join output.
+      val li = t(s, d, "lineitem")
+      val cd = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey")).as("acd"))
+      val md = li.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("amed"),
           median(col("l_extendedprice")).as("emed"))
+      cd.join(md, "l_returnflag")
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("acd") - col("exact_orders")) <= col("exact_orders") * 0.1).as("acd_ok"),
           (abs(col("amed") - col("emed")) <= abs(col("emed")) * 0.01).as("amed_ok"))
