@@ -32,6 +32,26 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("incremental triangle maintenance is consistent with the full recount") {
+    // The standard delta batch re-ingests EXACT copies: a copy δ of
+    // original c has identical shingles, so its probe neighborhood is
+    // {c} ∪ N(c) (jac(δ,c)=1 and jac(δ,x)=jac(c,x), discovered through
+    // the same band family the corpus pairs used). The triangles δ
+    // creates are therefore the edges within {c} ∪ N(c): the deg(c)
+    // edges c—x plus the n_tri(c) closed wedges among N(c). Pinning
+    // new_tri(δ) == deg(c) + n_tri(c) ties BOTH round-9 operators to
+    // the oracle-verified full recount with no new oracle.
+    val tri = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val inc = SparkEntry.queries("q_graph_tri_incremental")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc.nonEmpty)
+    inc.foreach { case (delta, nt) =>
+      val (deg, t) = tri.getOrElse(delta - 1000000, (0L, 0L))
+      assert(nt == deg + t, s"delta $delta: new_tri=$nt, expected ${deg + t}")
+    }
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
