@@ -919,6 +919,65 @@ object CurationQueries {
             .cast("long").as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
+    },
+
+    Q("q_cur_dsir",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
+        |hb AS (SELECT doc_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          [CAST(ascii(g[i]) AS BIGINT) for i in range(1, length(g) + 1)]),
+        |          (h, c) -> (h * 31 + c) % 1000000007) % 1024 AS b
+        |      FROM w),
+        |rc AS (SELECT b, COUNT(*) AS nr FROM hb GROUP BY b),
+        |tc AS (SELECT b, COUNT(*) AS nt FROM hb WHERE doc_id % 20 = 1 GROUP BY b),
+        |tot AS (SELECT COUNT(*) AS nrt,
+        |               COUNT(*) FILTER (WHERE doc_id % 20 = 1) AS ntt FROM hb),
+        |lr AS (SELECT rc.b,
+        |        CAST(ROUND((ln((COALESCE(tc.nt, 0) + 1.0) / (tot.ntt + 1024.0))
+        |                  - ln((rc.nr + 1.0) / (tot.nrt + 1024.0))) * 1000000) AS BIGINT) AS lrf
+        |      FROM rc LEFT JOIN tc ON rc.b = tc.b, tot),
+        |s AS (SELECT hb.doc_id, CAST(SUM(lr.lrf) AS BIGINT) AS wfp
+        |      FROM hb JOIN lr ON hb.b = lr.b GROUP BY hb.doc_id)
+        |SELECT doc_id, ROUND(wfp / 1e6, 6) AS dsir_w FROM s
+        |ORDER BY wfp DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+      // Language Models via Importance Resampling"): score every raw
+      // document by how much its hashed-feature distribution looks like
+      // a curated TARGET set vs the raw corpus. Features are word
+      // unigrams hashed to B=1024 buckets with the engine-independent
+      // rolling hash; the target here is the deterministic doc_id%20==1
+      // seed (in production: the curated high-quality corpus). Per
+      // bucket, the log importance ratio ln(p_target/p_raw) (Laplace
+      // +1/+B smoothed) is fixed-pointed to micro-units ONCE in the
+      // B-row model — so the per-doc score Σ count_b · lrf_b is an exact
+      // integer sum, merge-order-independent at any parallelism; the
+      // cross-engine ln() agrees far inside the 1e-6 rounding grain.
+      // Shape at 100 TB: two linear count passes over the hashed-token
+      // frame (materialized once), a 1024-row broadcast model, one
+      // row-local scoring join, TakeOrdered top-k — the corpus never
+      // shuffles by content; only (bucket, count) longs move. Top-100 is
+      // the catalog's retrieval-style pin; production thresholds the
+      // broadcast score instead of ranking.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+        .select(col("doc_id"),
+          (graft.functions.RollingHash.rolling_hash(col("g")) % 1024).as("b"))
+      val rc = toks.groupBy("b").agg(count(lit(1)).as("nr"))
+      val tc = toks.filter(col("doc_id") % 20 === 1)
+        .groupBy("b").agg(count(lit(1)).as("nt"))
+      val tot = toks.agg(count(lit(1)).as("nrt"),
+        count(when(col("doc_id") % 20 === 1, 1)).as("ntt"))
+      val lr = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
+        .select(col("b"),
+          round((log((coalesce(col("nt"), lit(0L)) + 1.0) / (col("ntt") + 1024.0))
+            - log((col("nr") + 1.0) / (col("nrt") + 1024.0))) * 1e6)
+            .cast("long").as("lrf"))
+      Qh.materializedWith(toks)(
+        toks.join(broadcast(lr), "b")
+          .groupBy("doc_id").agg(sum("lrf").as("wfp"))
+          .orderBy(col("wfp").desc, col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), round(col("wfp") / 1e6, 6).as("dsir_w")))
     }
   )
 }
