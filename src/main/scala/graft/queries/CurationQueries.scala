@@ -50,6 +50,30 @@ object CurationQueries {
       lit(0.5) * least(
         expr(s"size(filter(w, t -> $Stop))").cast("double") / size(w) * 10,
         lit(1.0)), 9)
+  /** (doc_id, b): word unigrams hashed to B=1024 buckets with the
+    * engine-independent rolling hash — the DSIR feature frame. */
+  private[graft] def dsirHashedTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
+      .select(col("doc_id"),
+        (graft.functions.RollingHash.rolling_hash(col("g")) % 1024).as("b"))
+
+  /** The DSIR model: per bucket, the Laplace-smoothed log importance
+    * ratio ln(p_target/p_raw) fixed-pointed to micro-unit longs (target
+    * = the deterministic doc_id%20==1 seed). B rows — broadcast/driver
+    * sized; shared by q_cur_dsir and the streaming ingest scorer. */
+  private[graft] def dsirLogRatios(toks: DataFrame): DataFrame = {
+    val rc = toks.groupBy("b").agg(count(lit(1)).as("nr"))
+    val tc = toks.filter(col("doc_id") % 20 === 1)
+      .groupBy("b").agg(count(lit(1)).as("nt"))
+    val tot = toks.agg(count(lit(1)).as("nrt"),
+      count(when(col("doc_id") % 20 === 1, 1)).as("ntt"))
+    rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log((coalesce(col("nt"), lit(0L)) + 1.0) / (col("ntt") + 1024.0))
+          - log((col("nr") + 1.0) / (col("nrt") + 1024.0))) * 1e6)
+          .cast("long").as("lrf"))
+  }
+
   /** doc_id, quality, n_tokens — shared scoring projection. */
   private def scored(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -940,6 +964,8 @@ object CurationQueries {
         |      FROM hb JOIN lr ON hb.b = lr.b GROUP BY hb.doc_id)
         |SELECT doc_id, ROUND(wfp / 1e6, 6) AS dsir_w FROM s
         |ORDER BY wfp DESC, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+      // See dsirHashedTokens/dsirLogRatios for the model construction —
+      // shared with the streaming ingest scorer (DocStreams.dsirScore).
       // DSIR-style data selection (Xie et al. 2023, "Data Selection for
       // Language Models via Importance Resampling"): score every raw
       // document by how much its hashed-feature distribution looks like
@@ -958,20 +984,8 @@ object CurationQueries {
       // shuffles by content; only (bucket, count) longs move. Top-100 is
       // the catalog's retrieval-style pin; production thresholds the
       // broadcast score instead of ranking.
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("g"))
-        .select(col("doc_id"),
-          (graft.functions.RollingHash.rolling_hash(col("g")) % 1024).as("b"))
-      val rc = toks.groupBy("b").agg(count(lit(1)).as("nr"))
-      val tc = toks.filter(col("doc_id") % 20 === 1)
-        .groupBy("b").agg(count(lit(1)).as("nt"))
-      val tot = toks.agg(count(lit(1)).as("nrt"),
-        count(when(col("doc_id") % 20 === 1, 1)).as("ntt"))
-      val lr = rc.join(tc, Seq("b"), "left").crossJoin(broadcast(tot))
-        .select(col("b"),
-          round((log((coalesce(col("nt"), lit(0L)) + 1.0) / (col("ntt") + 1024.0))
-            - log((col("nr") + 1.0) / (col("nrt") + 1024.0))) * 1e6)
-            .cast("long").as("lrf"))
+      val toks = dsirHashedTokens(t(s, d, "documents"))
+      val lr = dsirLogRatios(toks)
       Qh.materializedWith(toks)(
         toks.join(broadcast(lr), "b")
           .groupBy("doc_id").agg(sum("lrf").as("wfp"))

@@ -142,6 +142,36 @@ object DocStreams {
       .select(col("doc_id"), col("lang"), col("n_overlap_eval"), col("contaminated"))
   }
 
+  /** The frozen DSIR model for ingest-time scoring: (bucket → micro-unit
+    * log importance ratio), trained ONCE in batch over the existing
+    * corpus (same construction as `q_cur_dsir`'s oracle-verified model).
+    * 1024 entries — rides into the stream as a literal map, the same
+    * way the decontamination shingle set does. */
+  def dsirModel(corpus: DataFrame): Map[Long, Long] =
+    graft.queries.CurationQueries
+      .dsirLogRatios(graft.queries.CurationQueries.dsirHashedTokens(corpus))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Ingest-time DSIR scoring against a frozen model: hash each word to
+    * its bucket INSIDE a transform lambda, sum the looked-up micro-unit
+    * ratios with one row-local aggregate fold — no shuffle, no state,
+    * append mode. Buckets unseen at training time score 0 (a new-corpus
+    * token carries no importance evidence). The batch catalog computes
+    * the identical score with a (doc, bucket) join against the same
+    * model — StreamingSpec pins stream ≡ batch on the full corpus. */
+  def dsirScore(docs: DataFrame, model: Map[Long, Long]): DataFrame = {
+    val m = map(model.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    docs.select(col("doc_id"), col("lang"),
+      aggregate(
+        transform(split(col("text"), " "),
+          g => coalesce(
+            element_at(m, graft.functions.RollingHash.rolling_hash(g) % 1024),
+            lit(0L))),
+        lit(0L), (acc, x) => acc + x).as("wfp"))
+      .withColumn("dsir_w", round(col("wfp") / 1e6, 6))
+  }
+
   /** The eval suite's distinct shingle union, computed once in batch
     * from the eval partition of the corpus (source = 'src0'). */
   def evalShingleSet(evalDocs: DataFrame): Seq[String] = {

@@ -713,4 +713,33 @@ class StreamingSpec extends GraftSuite {
       assert(streamed.nonEmpty && streamed.size < docs.size)
     } finally q.stop()
   }
+
+  test("streaming DSIR scoring with the frozen model matches the batch selection") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val corpus = Tables.df(spark, sf, "documents")
+    val model = DocStreams.dsirModel(corpus)
+    assert(model.nonEmpty && model.size <= 1024)
+    val docs = corpus.select("doc_id", "text", "lang", "source", "n_chars")
+      .as[Doc].collect().toSeq
+    val in = MemoryStream[Doc]
+    val q = DocStreams.dsirScore(in.toDF(), model)
+      .writeStream.format("memory").queryName("dsir_scored")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+      // top-100 of the streamed scores must equal the catalog query's
+      // oracle-verified selection (same fixed-point model, so equality
+      // is exact, not approximate)
+      val streamedTop = spark.sql("SELECT doc_id, wfp, dsir_w FROM dsir_scored")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy { case (id, w, _) => (-w, id) }.take(100)
+        .map { case (id, _, dw) => id -> dw }
+      val batchTop = SparkEntry.queries("q_cur_dsir")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      assert(streamedTop.toSeq == batchTop.toSeq)
+    } finally q.stop()
+  }
 }
