@@ -74,6 +74,17 @@ object CurationQueries {
           .cast("long").as("lrf"))
   }
 
+  /** Formatted plan of the DSIR scoring join over the lazy token frame —
+    * for PlanShapeSpec (the catalog query checkpoints, so its public
+    * plan is a block scan). */
+  private[graft] def dsirScoringPlan(s: SparkSession, d: String): String = {
+    val toks = dsirHashedTokens(t(s, d, "documents"))
+    toks.join(broadcast(dsirLogRatios(toks)), "b")
+      .groupBy("doc_id").agg(sum(col("lrf")).as("wfp"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
   /** doc_id, quality, n_tokens — shared scoring projection. */
   private def scored(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -943,6 +954,68 @@ object CurationQueries {
             .cast("long").as("dot"))
         .orderBy(col("dot").desc, col("vec_id"))
         .limit(10)
+    },
+
+    Q("q_cur_mix_topics",
+      """WITH e AS (SELECT vec_id,
+        |         [CAST(floor(x * 16777216.0) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS vq
+        |       FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < 4),
+        |a1 AS (SELECT vec_id, vq, cid, dist FROM (
+        |         SELECT e.vec_id, e.vq, c0.cid,
+        |           list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]) AS dist,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]), c0.cid) AS rn
+        |         FROM e CROSS JOIN c0) WHERE rn = 1),
+        |s1 AS (SELECT cid, pos, SUM(vq[pos + 1]) AS sp, COUNT(*) AS np
+        |       FROM a1, (SELECT unnest(range(64)) AS pos) GROUP BY cid, pos),
+        |c1 AS (SELECT cid, list(CAST(floor(CAST(sp AS DOUBLE) / np) AS BIGINT) ORDER BY pos) AS c
+        |       FROM s1 GROUP BY cid),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |         SELECT e.vec_id, c1.cid,
+        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        |             list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]), c1.cid) AS rn
+        |         FROM e CROSS JOIN c1) WHERE rn = 1),
+        |cnt AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid),
+        |w2 AS (SELECT cid, ROUND(sqrt(CAST(n AS DOUBLE)), 9) AS w9 FROM cnt),
+        |sw AS (SELECT SUM(CAST(w9 AS DECIMAL(20,9))) AS sw FROM w2),
+        |qt AS (SELECT cid, CAST(floor(100.0 * w9 / CAST(sw AS DOUBLE)) AS BIGINT) AS quota
+        |       FROM w2, sw),
+        |x AS (SELECT vec_id, cid, (vec_id * 2654435761) % 4294967296 AS h FROM a2),
+        |r AS (SELECT vec_id, cid,
+        |        ROW_NUMBER() OVER (PARTITION BY cid ORDER BY h, vec_id) AS rn
+        |      FROM x)
+        |SELECT vec_id, r.cid, CAST(rn AS INT) AS rn, quota
+        |FROM r JOIN qt ON r.cid = qt.cid WHERE rn <= quota
+        |ORDER BY r.cid, rn""".stripMargin) { (s, d) =>
+      // TOPIC-balanced mixing: the temperature mixture law
+      // (q_cur_mix_temperature, alpha = 0.5) applied over LEARNED
+      // clusters instead of metadata strata — per-cluster quota ∝
+      // √n_cluster out of a 100-vector budget, so over-represented
+      // topics are damped and tail topics up-weighted even when no
+      // lang/source column captures them (the unlabeled-corpus case a
+      // 100 TB web crawl actually is). Clusters come from the
+      // oracle-verified fixed-point k-means (kmeansAssignments — integer
+      // distances, bit-stable across engines and merge orders);
+      // selection is the deterministic Knuth-hash rank within cluster.
+      // Shape: assignment is the k-means map-side pass; quota math is a
+      // k-row broadcast; one cid-keyed rank window over (vec_id, cid, h)
+      // longs — the corpus's vectors never shuffle.
+      val asn = PipelineQueries.kmeansAssignments(s, d).select("vec_id", "cid")
+      val cnt = asn.groupBy("cid").agg(count(lit(1)).as("n"))
+      val w = cnt.withColumn("w9", round(sqrt(col("n").cast("double")), 9))
+      val sw = w.agg(sum(col("w9").cast(DecimalType(20, 9))).as("sw"))
+      val quota = w.crossJoin(broadcast(sw))
+        .select(col("cid"),
+          floor(lit(100.0) * col("w9") / col("sw").cast("double")).cast("long").as("quota"))
+      val byH = Window.partitionBy("cid").orderBy(col("h"), col("vec_id"))
+      asn.select(col("vec_id"), col("cid"),
+          ((col("vec_id") * lit(2654435761L)) % lit(4294967296L)).as("h"))
+        .withColumn("rn", row_number().over(byH))
+        .join(broadcast(quota), "cid")
+        .filter(col("rn") <= col("quota"))
+        .select(col("vec_id"), col("cid"), col("rn").cast("int").as("rn"), col("quota"))
+        .orderBy("cid", "rn")
     },
 
     Q("q_cur_dsir",

@@ -283,6 +283,47 @@ object PipelineQueries {
     * graphs (path/clique) through it and check the exact recurrence.
     * Precondition: every vertex has out-degree >= 1 (symmetric edge
     * sets satisfy it). Returns (v, od, r) with r scaled by 1e15. */
+  /** Final (vec_id, vq, cid, dist) assignment of the fixed-point Lloyd's
+    * run (k=4, 2 unrolled iterations) — the frame q_embed_kmeans rolls
+    * up and q_cur_mix_topics samples from. Eager checkpoint: the
+    * quantized corpus is persisted for the assignment/update passes and
+    * dropped before returning (the Qh.materializedWith discipline). */
+  private[graft] def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"),
+      expr("transform(v, x -> CAST(floor(x * 16777216.0D) AS BIGINT))").as("vq"))
+    e.persist()
+    try {
+      def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
+        val cands = cents.map { case (cid, c) =>
+          val cArr = array(c.map(lit): _*)
+          struct(
+            aggregate(
+              zip_with(col("vq"), cArr, (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v).as("dist"),
+            lit(cid).as("cid"))
+        }
+        e.withColumn("best", array_min(array(cands: _*)))
+          .select(col("vec_id"), col("vq"),
+            col("best.cid").as("cid"), col("best.dist").as("dist"))
+      }
+      def update(asn: DataFrame): Seq[(Long, Array[Long])] = asn
+        .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("sp"), count(lit(1)).as("np"))
+        .collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          val c = new Array[Long](64)
+          rows.foreach(r => c(r.getInt(1)) =
+            math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+          cid -> c
+        }.sortBy(_._1)
+      val init = e.filter(col("vec_id") < 4).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
+      val c1 = update(assign(init))
+      assign(c1).localCheckpoint(eager = true)
+    } finally e.unpersist()
+  }
+
   private[graft] def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
     edges.persist(); deg.persist()
@@ -2501,45 +2542,12 @@ object PipelineQueries {
       // drop (documented Lloyd's behavior); iteration count is fixed so
       // the oracle can unroll — the open-ended form is PipelineRunner
       // stages with a convergence check on the k×64 driver state.
-      val e = vecs(s, d).select(col("vec_id"),
-        expr("transform(v, x -> CAST(floor(x * 16777216.0D) AS BIGINT))").as("vq"))
-      e.persist()
-      try {
-        def assign(cents: Seq[(Long, Array[Long])]): DataFrame = {
-          val cands = cents.map { case (cid, c) =>
-            val cArr = array(c.map(lit): _*)
-            struct(
-              aggregate(
-                zip_with(col("vq"), cArr, (x, y) => (x - y) * (x - y)),
-                lit(0L), (acc, v) => acc + v).as("dist"),
-              lit(cid).as("cid"))
-          }
-          e.withColumn("best", array_min(array(cands: _*)))
-            .select(col("vec_id"), col("vq"),
-              col("best.cid").as("cid"), col("best.dist").as("dist"))
-        }
-        def update(asn: DataFrame): Seq[(Long, Array[Long])] = asn
-          .select(col("cid"), posexplode(col("vq")).as(Seq("pos", "x")))
-          .groupBy("cid", "pos").agg(sum("x").as("sp"), count(lit(1)).as("np"))
-          .collect()
-          .groupBy(_.getLong(0)).toSeq
-          .map { case (cid, rows) =>
-            val c = new Array[Long](64)
-            rows.foreach(r => c(r.getInt(1)) =
-              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
-            cid -> c
-          }.sortBy(_._1)
-        val init = e.filter(col("vec_id") < 4).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq.sortBy(_._1)
-        val c1 = update(assign(init))
-        assign(c1)
-          .groupBy("cid").agg(
-            count(lit(1)).as("n_vecs"),
-            round(sum(col("dist").cast(DecimalType(38, 0))).cast("double") /
-              lit(281474976710656.0), 6).as("inertia"))
-          .orderBy("cid")
-          .localCheckpoint(eager = true)
-      } finally e.unpersist()
+      kmeansAssignments(s, d)
+        .groupBy("cid").agg(
+          count(lit(1)).as("n_vecs"),
+          round(sum(col("dist").cast(DecimalType(38, 0))).cast("double") /
+            lit(281474976710656.0), 6).as("inertia"))
+        .orderBy("cid")
     },
 
     // --- grouped top-k via bounded-heap aggregate (same result as the

@@ -439,6 +439,12 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_cur_dsir scoring broadcasts the B-row model; tokens never shuffle by content") {
+    val p = graft.queries.CurationQueries.dsirScoringPlan(spark, sf)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q_cur_end2end: the composite curation plan stays equi-join-only") {
     val p = plan("q_cur_end2end")
     // five stage operators composed into one tree must not degrade to a
