@@ -1018,6 +1018,47 @@ object CurationQueries {
         .orderBy("cid", "rn")
     },
 
+    Q("q_cur_semantic_decontam",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 50 = 0),
+        |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 50 <> 0),
+        |sc AS (SELECT tr.vec_id, ev.eval_id,
+        |         ROUND(list_cosine_similarity(tr.v, ev.evv), 9) AS cs
+        |       FROM tr CROSS JOIN ev)
+        |SELECT vec_id, eval_id, cs FROM sc
+        |WHERE cs >= 0.4 ORDER BY vec_id, eval_id""".stripMargin) { (s, d) =>
+      // SEMANTIC decontamination — the embedding-space complement of the
+      // n-gram audit (q_cur_decontaminate): a training item whose
+      // embedding sits within cosine 0.95 of an eval item is a
+      // paraphrase-level leak no shingle overlap catches. (Threshold
+      // is the operator's knob: production embeddings flag at ~0.9+;
+      // this fixture's random vectors top out at cosine 0.45 across the
+      // split, so the catalog pins the tail band >= 0.4 — the flag
+      // semantics are threshold-independent.) Eval set =
+      // the deterministic vec_id%50==0 slice (in production: the
+      // benchmark suite's embeddings — thousands of rows, benchmark-
+      // sized). Shape: the eval vectors BROADCAST and the corpus is
+      // scanned once, |eval|·N codegen'd dot products, emitting only
+      // the flagged pairs — at 100 TB the same audit runs IVF-pruned
+      // (probe each eval vector's cells, the q_ann_ivf_index path) to
+      // cut the scan to candidate cells; the brute pass here is the
+      // exact oracle-able baseline that certifies that index path's
+      // recall. round9 on the one double division (the ANN convention).
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val ev = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("evv"))
+      val tr = e.filter(col("vec_id") % 50 =!= 0)
+      import graft.functions.DotProduct.dot_product
+      tr.crossJoin(broadcast(ev))
+        .select(col("vec_id"), col("eval_id"),
+          round(dot_product(col("v"), col("evv")) /
+            (sqrt(dot_product(col("v"), col("v"))) *
+              sqrt(dot_product(col("evv"), col("evv")))), 9).as("cs"))
+        .filter(col("cs") >= 0.4)
+        .orderBy("vec_id", "eval_id")
+    },
+
     Q("q_cur_dsir",
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g FROM documents),
         |hb AS (SELECT doc_id,
