@@ -410,6 +410,47 @@ object CurationQueries {
       splitAssign(s, d).orderBy("doc_id")
     },
 
+    // --- leakage-FREE split: key the split on the near-dup cluster ---------
+    Q("q_cur_split_leakfree",
+      s"""WITH RECURSIVE ${PipelineQueries.ShingleOverlapCtes},
+         |edges AS (SELECT i AS a, j AS b FROM jpairs UNION ALL SELECT j, i FROM jpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |cl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |$SplitCte,
+         |al AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT al.doc_id, al.cluster_id, sp.split
+         |FROM al JOIN sp ON al.cluster_id = sp.doc_id
+         |ORDER BY al.doc_id""".stripMargin) { (s, d) =>
+      // The content-keyed split (q_cur_split) makes exact-duplicate
+      // leakage impossible but lets NEAR-duplicates straddle splits —
+      // q_cur_leakage_audit exists to measure exactly that residue.
+      // This variant eliminates it BY CONSTRUCTION: every member of a
+      // near-dup cluster inherits the split of the cluster's canonical
+      // member (min doc_id), whose CONTENT hash picks the bucket — so
+      // the assignment is still stable under re-ingest (bytes decide,
+      // not ids, not rand()) and whole paraphrase families move to one
+      // side of the train/eval wall. Singletons keep their own content
+      // bucket, i.e. degrade exactly to q_cur_split. Shape: clusters
+      // come from the shared verified-pair checkpoint + label
+      // propagation (vertex-scale); the corpus pays one row-local
+      // bucket pass and one cluster_id-keyed join — CurationSpec pins
+      // the audit result: zero cross-split near-dup pairs remain.
+      val sp = splitAssign(s, d).select(col("doc_id"), col("split"))
+      val cl = PipelineQueries.nearDupClusters(s, d)
+      val al = t(s, d, "documents").select(col("doc_id"))
+        .join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      al.join(sp.select(col("doc_id").as("cluster_id"), col("split")), "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     // --- near-dup leakage audit across splits ------------------------------
     Q("q_cur_leakage_audit",
       s"""WITH ${PipelineQueries.ShingleOverlapCtes},

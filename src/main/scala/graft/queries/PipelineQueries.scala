@@ -2249,6 +2249,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // --- sliding-window document chunking (RAG/embedding prep) ----------
+    Q("q_text_chunk",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 80)) AS st FROM t),
+        |c AS (SELECT doc_id, CAST((st - 1) // 80 AS INT) AS chunk_id,
+        |        CAST(len(w[st : st + 99]) AS INT) AS n_words,
+        |        array_to_string(w[st : st + 99], ' ') AS chunk_text
+        |      FROM s)
+        |SELECT doc_id, chunk_id, n_words, chunk_text FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      // Sliding-window chunking — the document→passage reshape every
+      // RAG/embedding pipeline runs before encoding: 100-word windows
+      // at stride 80 (20-word overlap), so no sentence straddling a
+      // boundary is lost to both chunks. Row-local: one HOF builds all
+      // of a document's windows, posexplode assigns ordinal chunk ids —
+      // no shuffle, no state; at 100 TB this is a map-only stage feeding
+      // the (chunk → embed → index) pipeline, and chunk ids are
+      // (doc_id, ordinal) so downstream joins recover provenance for
+      // free. The tail window is allowed short (standard; a min-length
+      // filter is a caller policy, not the operator's).
+      t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(w), 80), st -> slice(w, st, 100))"))
+          .as(Seq("chunk_id", "cw")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          size(col("cw")).cast("int").as("n_words"),
+          concat_ws(" ", col("cw")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // --- winnowing fingerprints (MOSS-style w-window minima) ------------
     Q("q_text_winnow",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

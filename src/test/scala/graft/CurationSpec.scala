@@ -88,6 +88,23 @@ class CurationSpec extends GraftSuite {
     assert(got == expected)
   }
 
+  test("q_cur_split_leakfree: zero near-dup pairs straddle splits; clusters are split-uniform") {
+    val sp = SparkEntry.queries("q_cur_split_leakfree")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val splitOf = sp.map { case (id, _, s) => id -> s }.toMap
+    // every verified near-dup pair lands on one side of the wall
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (i, j) =>
+      assert(splitOf(i) == splitOf(j), s"pair ($i, $j) straddles splits")
+    }
+    // the whole corpus is assigned, and every cluster is split-uniform
+    assert(sp.length == SparkEntry.queries("q_cur_split")(spark, sf).count())
+    sp.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"cluster $cid mixed")
+    }
+  }
+
   test("q_cur_token_budget is the maximal greedy quality-ordered prefix under budget") {
     val scored = docs().map { case (id, _, text, nChars) =>
       (id, quality(nChars, text), text.split(" ", -1).length)
