@@ -27,10 +27,18 @@ object GraphSmoke {
     val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
     println(s"GRAPH-SMOKE corpus: $nDocs docs, $nVecs vectors at $dir")
 
-    def run(q: String): (Long, Double) = time {
-      val df = SparkEntry.queries(q)(spark, dir)
-      df.write.format("noop").mode(SaveMode.Overwrite).save()
-      df.count()
+    // time construction + the noop-sink execution as one region (the
+    // Bench convention: construction is where eager-checkpoint queries
+    // do their materializing work, and count() alone would let Catalyst
+    // prune the query body); the row count for the report is a second,
+    // UNtimed execution of the returned frame
+    def run(q: String): (Long, Double) = {
+      val (df, t) = time {
+        val frame = SparkEntry.queries(q)(spark, dir)
+        frame.write.format("noop").mode(SaveMode.Overwrite).save()
+        frame
+      }
+      (df.count(), t)
     }
 
     // triangles: the ×M clique corpus maximizes closed wedges per
