@@ -37,8 +37,12 @@ class InvarianceSpec extends GraftSuite {
                             //   pairwise passes must not depend on layout
     "q_graph_incremental",  // index-probe edges + fixed-point PR on the
                             //   merged graph, across layouts
-    "q_graph_triangles")    // degree-ordered wedge orientation must not
+    "q_graph_triangles",    // degree-ordered wedge orientation must not
                             //   change the triangle set
+    "q_cur_dsir",           // fixed-point model + integer score sums must
+                            //   pick the same top-100 at any parallelism
+    "q_cur_split_leakfree") // label propagation + canonical-bucket join
+                            //   across AQE/partition layouts
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
