@@ -1546,6 +1546,65 @@ object PipelineQueries {
     },
 
     // --- embedding QA (feature-store validation) -------------------------
+    // --- per-label centroid-distance outlier queue -----------------------
+    Q("q_embed_outliers",
+      """WITH e AS (SELECT vec_id, label,
+        |         [CAST(floor(x * 16777216.0) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS vq
+        |       FROM embeddings),
+        |s AS (SELECT label, pos, SUM(vq[pos + 1]) AS sp, COUNT(*) AS np
+        |      FROM e, (SELECT unnest(range(64)) AS pos) GROUP BY label, pos),
+        |c AS (SELECT label, list(CAST(floor(CAST(sp AS DOUBLE) / np) AS BIGINT) ORDER BY pos) AS c
+        |      FROM s GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |        CAST(list_sum([(e.vq[i] - c.c[i]) * (e.vq[i] - c.c[i]) for i in range(1, 65)]) AS BIGINT) AS dq
+        |      FROM e JOIN c ON e.label = c.label),
+        |r AS (SELECT label, vec_id, dq,
+        |        ROW_NUMBER() OVER (PARTITION BY label ORDER BY dq DESC, vec_id) AS rn
+        |      FROM d)
+        |SELECT label, vec_id, CAST(rn AS INT) AS rn, dq FROM r
+        |WHERE rn <= 5 ORDER BY label, rn""".stripMargin) { (s, d) =>
+      // Embedding-quality review queue: per label, the 5 vectors farthest
+      // from their label centroid — the mislabeled/corrupted-item
+      // shortlist a dataset audit hands to human review (complements
+      // q_embed_qa's envelope checks, which catch malformed vectors but
+      // not semantically-misplaced ones). Same exactness discipline as
+      // k-means: components quantized once to the 2^-24 integer grid,
+      // centroid = floor-mean per dimension, distances are exact integer
+      // sums — bit-stable at any parallelism, so the top-5 and its
+      // tie-break (vec_id) are engine-independent. Shape for 100 TB:
+      // centroids are MODEL STATE (labels×64 longs on the driver, the
+      // kmeans convention); scoring is one map-side pass against
+      // broadcast literals; the per-label top-5 is a bounded window.
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(CAST(embedding AS array<double>), x -> CAST(floor(x * 16777216.0D) AS BIGINT))").as("vq"))
+      e.persist()
+      try {
+        val cents = e.select(col("label"), posexplode(col("vq")).as(Seq("pos", "x")))
+          .groupBy("label", "pos").agg(sum("x").as("sp"), count(lit(1)).as("np"))
+          .collect()
+          .groupBy(_.getAs[Number]("label").longValue).toSeq
+          .map { case (lbl, rows) =>
+            val c = new Array[Long](64)
+            rows.foreach(r => c(r.getInt(1)) =
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+            lbl -> c
+          }.sortBy(_._1)
+        val dq = cents.map { case (lbl, c) =>
+          when(col("label") === lbl,
+            aggregate(
+              zip_with(col("vq"), array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+              lit(0L), (acc, v) => acc + v))
+        }.reduce((a, b) => coalesce(a, b))
+        val w = Window.partitionBy("label").orderBy(col("dq").desc, col("vec_id"))
+        e.select(col("label"), col("vec_id"), dq.as("dq"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 5)
+          .select(col("label"), col("vec_id"), col("rn"), col("dq"))
+          .orderBy("label", "rn")
+          .localCheckpoint(eager = true)
+      } finally e.unpersist()
+    },
+
     Q("q_embed_qa",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, label,
