@@ -1059,6 +1059,53 @@ object CurationQueries {
         .orderBy("cid", "rn")
     },
 
+    Q("q_cur_snapshot_diff",
+      s"""WITH a AS (SELECT doc_id, $RollSql AS h FROM documents),
+         |b0 AS (SELECT doc_id,
+         |         CASE WHEN doc_id % 31 = 0 THEN text || ' edited' ELSE text END AS text
+         |       FROM documents WHERE doc_id % 97 <> 0),
+         |b AS (SELECT doc_id,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          [CAST(ascii(text[i]) AS BIGINT) for i in range(1, length(text) + 1)]),
+         |          (h, c) -> (h * 31 + c) % 1000000007) AS h
+         |      FROM b0)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       ELSE 'modified' END AS change
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.h <> b.h
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Snapshot diff — the corpus-version regression audit run between
+      // ingests: which documents were added, removed, or content-
+      // modified since the last snapshot? Rows compare by CONTENT hash
+      // (the engine-independent rolling hash), not bytes-shipped — so
+      // the diff costs one hash pass per side plus a doc_id-keyed full
+      // outer join carrying (id, hash) longs, never the text. At 100 TB
+      // both sides are parquet snapshots and the join is the only
+      // shuffle; unchanged documents (the overwhelming majority) are
+      // filtered map-side-cheaply after the join by hash equality. The
+      // "new" snapshot here is DERIVED deterministically from the
+      // fixture (drop doc_id%97==0, edit doc_id%31==0) so the oracle
+      // can reproduce it — in production it's yesterday's table.
+      val roll = graft.functions.RollingHash.rolling_hash(col("text"))
+      val a = t(s, d, "documents").select(col("doc_id"), roll.as("ha"))
+      val b = t(s, d, "documents").filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 31 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .select(col("doc_id"), roll.as("hb"))
+      a.withColumnRenamed("doc_id", "ida")
+        .join(b.withColumnRenamed("doc_id", "idb"),
+          col("ida") === col("idb"), "full_outer")
+        .filter(col("ida").isNull || col("idb").isNull || col("ha") =!= col("hb"))
+        .select(coalesce(col("ida"), col("idb")).as("doc_id"),
+          when(col("ida").isNull, lit("added"))
+            .when(col("idb").isNull, lit("removed"))
+            .otherwise(lit("modified")).as("change"))
+        .orderBy("doc_id")
+    },
+
     Q("q_cur_semantic_decontam",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 50 = 0),
