@@ -2339,6 +2339,73 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // --- per-source boilerplate segment removal (CCNet-style) -----------
+    Q("q_text_boilerplate",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, source, i,
+        |          array_to_string(w[i*8+1 : i*8+8], ' ') AS s,
+        |          len(w[i*8+1 : i*8+8]) AS sn
+        |        FROM (SELECT doc_id, source, w,
+        |                unnest(range(0, (len(w) + 7) // 8)) AS i FROM w)),
+        |df AS (SELECT source, s, COUNT(DISTINCT doc_id) AS df
+        |       FROM seg GROUP BY 1, 2),
+        |boiler AS (SELECT source, s FROM df WHERE df >= 2)
+        |SELECT seg.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_seg,
+        |  CAST(SUM(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  CAST(SUM(sn) AS BIGINT) AS n_tok,
+        |  CAST(SUM(CASE WHEN b.s IS NOT NULL THEN sn ELSE 0 END) AS BIGINT) AS n_tok_removed,
+        |  ROUND(CAST(SUM(CASE WHEN b.s IS NOT NULL THEN sn ELSE 0 END) AS DOUBLE)
+        |        / SUM(sn), 9) AS boiler_share
+        |FROM seg LEFT JOIN boiler b ON seg.source = b.source AND seg.s = b.s
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin) { (s, d) =>
+      // CCNet/RefinedWeb-style boilerplate stripping: a text segment that
+      // repeats across DISTINCT documents of the same source is template
+      // chrome (nav bars, footers, cookie banners), not content — drop it
+      // everywhere and account per-doc for what was removed. The corpus
+      // has no newline structure, so the segmentation unit is the
+      // non-overlapping 8-word window (the paragraph-hash analog; real
+      // deployments swap in the line splitter, the plan is identical).
+      // Rule: a (source, segment) seen in >= 2 distinct docs is
+      // boilerplate — the sharded-dedup spelling; the production knob
+      // (df * 100 >= pct * n_source_docs) is the same integer-only
+      // comparison with a per-source doc-count join added.
+      // Shape for 100 TB: segments are built ROW-LOCALLY by one HOF; the
+      // df count shuffles (source, xxhash64(segment)) longs — never
+      // segment text (the oracle groups the text itself; hash collisions
+      // at 2^-64 are the standard trade). The boilerplate set (df >= 2)
+      // is a tiny fraction of distinct segments and BROADCASTs back onto
+      // the exploded frame — the corpus-sized side never reshuffles for
+      // the marking join. Per-doc accounting is then a doc_id-keyed
+      // two-phase aggregate. The segment frame feeds two consumers (df
+      // count + marking), so it is persisted for one job and dropped
+      // (Qh.materializedWith).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      val seg = docs.select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(0, (size(w) + 7) div 8 - 1),
+            |  i -> struct(concat_ws(' ', slice(w, i * 8 + 1, 8)) AS s,
+            |              size(slice(w, i * 8 + 1, 8)) AS sn))""".stripMargin))
+          .as("g"))
+        .select(col("doc_id"), col("source"),
+          xxhash64(col("g.s")).as("hs"), col("g.sn").cast("long").as("sn"))
+      val boiler = seg.select("doc_id", "source", "hs").distinct()
+        .groupBy("source", "hs").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("source"), col("hs"), lit(1L).as("b"))
+      Qh.materializedWith(seg)(
+        seg.join(broadcast(boiler), Seq("source", "hs"), "left")
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_seg"),
+            sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+            sum(col("sn")).as("n_tok"),
+            sum(when(col("b").isNotNull, col("sn")).otherwise(0L)).as("n_tok_removed"))
+          .withColumn("boiler_share",
+            round(col("n_tok_removed").cast("double") / col("n_tok"), 9))
+          .orderBy("doc_id"))
+    },
+
     // --- winnowing fingerprints (MOSS-style w-window minima) ------------
     Q("q_text_winnow",
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -52,6 +52,34 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("q_text_boilerplate equals a from-scratch per-source segment recount") {
+    // independent of the DuckDB oracle: rebuild the whole operator in
+    // plain Scala — non-overlapping 8-word segments, per-(source,
+    // segment) distinct-doc frequency, df >= 2 ⇒ boilerplate — and
+    // require identical per-doc accounting. Also pins that the corpus
+    // actually EXERCISES the removal path (>= 1 doc with n_boiler > 0),
+    // so a threshold typo can't green-wash as all-zeros.
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val segs = docs.flatMap { case (id, src, w) =>
+      w.grouped(8).map(g => (id, src, g.mkString(" "), g.length.toLong)).toSeq
+    }
+    val boiler = segs.map { case (id, src, s2, _) => (src, s2) -> id }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2).keySet
+    val expected = segs.groupBy(_._1).map { case (id, ss) =>
+      val rm = ss.filter { case (_, src, s2, _) => boiler((src, s2)) }
+      id -> (ss.length.toLong, rm.length.toLong,
+        ss.map(_._4).sum, rm.map(_._4).sum)
+    }
+    val got = SparkEntry.queries("q_text_boilerplate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) => assert(v == expected(id), s"doc $id: $v vs ${expected(id)}") }
+    assert(got.values.exists(_._2 > 0), "fixture must exercise boilerplate removal")
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
