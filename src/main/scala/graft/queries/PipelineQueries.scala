@@ -532,6 +532,71 @@ object PipelineQueries {
       .orderBy("i", "j")
   }
 
+  /** Asymmetric containment pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 over the
+    * same distinct word-3-gram shingles as the jaccard family — the
+    * measure that catches a SHORT document embedded inside a LONG one
+    * (quote farms, wrapper pages, chunk-of-another-doc), where jaccard
+    * dilutes below any usable threshold because the union is dominated
+    * by the long side. Blocking is the containment-correct variant of
+    * the prefix filter: only the SMALLER side of a qualifying pair is
+    * guaranteed to collide inside its own rarity prefix (pigeonhole on
+    * o = ⌈0.9·n_small⌉ required shared grams), and the shared gram can
+    * sit ANYWHERE in the larger doc — so the index joins each doc's
+    * prefix (n − ⌈0.9n⌉ + 1 rarest grams, exact integer spelling) against
+    * FULL df-capped postings, not prefix×prefix. Same hash-once /
+    * bounded-posting / observe()-counted-drops discipline as
+    * [[ngramPairsFrom]]; verification is one IntersectCount pass per
+    * candidate. */
+  private[queries] def containmentPairsShared(s: SparkSession, d: String): DataFrame = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp)
+    Qh.materializedWith(shStr)(containmentPairsFrom(shStr, sp, NgramDfCap))
+  }
+
+  /** Lazy, self-contained form for PipelineSpec fixture tests. */
+  private[graft] def containmentPairs(df: DataFrame, sp: Int, cap: Int): DataFrame =
+    containmentPairsFrom(shingleDf(df), sp, cap)
+
+  private def containmentPairsFrom(shStr: DataFrame, sp: Int, cap: Int): DataFrame = {
+    val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    val posts = shStr.select(col("doc_id"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+    val dfg = posts.groupBy("g").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val wholeDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // prefix length n − ⌈0.9n⌉ + 1 = n − (9n+9) div 10 + 1 — integer-exact
+    // (the float spelling undersizes at n ≡ 0 (mod 10); see the jaccard
+    // boundary-pair incident at ngramPairsFrom)
+    val prefix = posts.join(broadcast(dfg), "g")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(wholeDoc))
+      .filter(col("r") <= col("n") - expr("(9 * n + 9) div 10") + 1)
+      .select(col("doc_id").as("a"), col("g"))
+    val fullPostings = posts.groupBy("g")
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("doc_id"), cap).as("bs"))
+      .observe("graft_containment_df_cap",
+        sum(when(col("bs.n") > cap, lit(1)).otherwise(lit(0))).as("truncated_grams"),
+        sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
+      .select(col("g"), col("bs.ids").as("ids"))
+    val cand = prefix.join(fullPostings, "g")
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("i"), greatest(col("a"), col("b")).as("j"))
+      .distinct()
+      .repartition(sp, col("i")) // keep the verify stage wide under AQE
+    val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .select(col("i"), col("j"),
+        ic.as("n_common"),
+        round(ic.cast("double") / least(size(col("sha")), size(col("shb"))), 9)
+          .as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy("i", "j")
+  }
+
   /** Connected components over the verified near-dup pair graph:
     * (doc_id, cluster_id = min reachable doc_id), for every doc that
     * appears in at least one pair. Iterative min-label propagation (the
@@ -810,6 +875,20 @@ object PipelineQueries {
          |ORDER BY i, j""".stripMargin) { (s, d) =>
       // See ngramPairsFrom for the plan + scale commentary.
       ngramPairsShared(s, d)
+    },
+
+    // --- asymmetric containment dedup (short-doc-inside-long-doc) -------
+    Q("q_dedup_containment",
+      s"""WITH $ShingleOverlapCtes
+         |SELECT i, j, CAST(inter AS INT) AS n_common,
+         |  ROUND(inter::DOUBLE / LEAST(a.n, b.n), 9) AS containment
+         |FROM ov JOIN sz a ON ov.i = a.doc_id JOIN sz b ON ov.j = b.doc_id
+         |WHERE ROUND(inter::DOUBLE / LEAST(a.n, b.n), 9) >= 0.9
+         |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // See containmentPairsFrom for the asymmetric prefix-filter plan;
+      // PipelineSpec proves the semantics this corpus can't (an embedded
+      // short doc found at containment 1.0 that jaccard 0.8 misses).
+      containmentPairsShared(s, d)
     },
 
     // --- near-dup clustering: connected components over the pair graph --

@@ -80,6 +80,25 @@ class PipelineSpec extends GraftSuite {
     assert(got.values.exists(_._2 > 0), "fixture must exercise boilerplate removal")
   }
 
+  test("containment dedup finds an embedded short doc that jaccard misses") {
+    // the semantics this corpus can't exercise (its near-dups are all
+    // similar-sized): a 10-word doc copied verbatim out of a 60-word doc
+    // has containment 1.0 but jaccard |A∩B|/|A∪B| = 8/58 ≈ 0.14 — far
+    // below any dedup threshold. The containment operator must emit the
+    // pair at 1.0 and stay silent on the unrelated doc.
+    val s = spark
+    import s.implicits._
+    val long = (0 until 60).map(i => s"w$i").mkString(" ")
+    val short = (10 until 20).map(i => s"w$i").mkString(" ")
+    val other = (100 until 130).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other)).toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.containmentPairs(docs, 4, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
+    val jac = 8.0 / 58.0 // shared shingles / union — the measure that misses it
+    assert(jac < 0.8)
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
