@@ -597,6 +597,82 @@ object PipelineQueries {
       .orderBy("i", "j")
   }
 
+  /** DuckDB CTE chain ending in `bmr` = the BM25-ranked hit list
+    * (doc_id, hits, score, rn) for the fixed query term set — shared by
+    * q_text_bm25 (rn <= 15 projection) and q_ret_rrf (fusion input). */
+  private[queries] val Bm25Ctes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pt AS (SELECT doc_id, len(w) AS dl,
+      |         len(list_filter(w, x -> x = 'vector')) AS tf0,
+      |         len(list_filter(w, x -> x = 'merge')) AS tf1,
+      |         len(list_filter(w, x -> x = 'scan')) AS tf2
+      |       FROM d),
+      |st AS (SELECT COUNT(*) AS n, SUM(dl) AS t,
+      |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |       FROM pt),
+      |sc AS (SELECT doc_id, CAST(tf0 + tf1 + tf2 AS BIGINT) AS hits,
+      |         ROUND(
+      |           ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+      |             * (CAST(tf0 AS DOUBLE) * 2.2)
+      |             / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
+      |           + ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+      |             * (CAST(tf1 AS DOUBLE) * 2.2)
+      |             / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
+      |           + ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+      |             * (CAST(tf2 AS DOUBLE) * 2.2)
+      |             / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))), 9) AS score
+      |       FROM pt CROSS JOIN st),
+      |bmr AS (SELECT doc_id, hits, score,
+      |          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      |        FROM sc WHERE hits > 0)""".stripMargin
+
+  /** Okapi BM25 (k1=1.2, b=0.75) top-15 for the fixed query term set —
+    * the scoring core of q_text_bm25, shared with q_ret_rrf's fusion.
+    * See the q_text_bm25 catalog entry for the full plan + determinism
+    * commentary (two corpus passes over a persisted narrow numeric
+    * frame; corpus stats are driver model-state scalars; scores round9
+    * with doc_id tiebreaks). */
+  private[queries] def bm25Top(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("vector", "merge", "scan")
+    val docs = t(s, d, "documents")
+    val pt = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+        terms.indices.map(i =>
+          size(expr(s"filter(w, x -> x = '${terms(i)}')")).cast("long").as(s"tf$i")): _*)
+    pt.persist()
+    try {
+      val st = pt.agg(
+        count(lit(1)).as("n"), sum("dl").as("t"),
+        sum((col("tf0") > 0).cast("long")).as("df0"),
+        sum((col("tf1") > 0).cast("long")).as("df1"),
+        sum((col("tf2") > 0).cast("long")).as("df2")).head()
+      val n = st.getLong(0)
+      val tTok = st.getLong(1)
+      val idf = terms.indices.map { i =>
+        val df = st.getLong(2 + i)
+        math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+      }
+      val norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") * lit(n.toDouble) / lit(tTok.toDouble)))
+      val scoreCol = terms.indices.map { i =>
+        val tfD = col(s"tf$i").cast("double")
+        lit(idf(i)) * (tfD * lit(2.2)) / (tfD + norm)
+      }.reduce(_ + _)
+      val top = pt
+        .withColumn("hits", col("tf0") + col("tf1") + col("tf2"))
+        .filter(col("hits") > 0)
+        .select(col("doc_id"), col("hits"), round(scoreCol, 9).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+      top.withColumn("rn",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
+        .orderBy("rn")
+        .localCheckpoint(eager = true)
+    } finally pt.unpersist()
+  }
+
   /** Connected components over the verified near-dup pair graph:
     * (doc_id, cluster_id = min reachable doc_id), for every doc that
     * appears in at least one pair. Iterative min-label propagation (the
@@ -2173,34 +2249,9 @@ object PipelineQueries {
 
     // --- BM25 ranked retrieval ------------------------------------------
     Q("q_text_bm25",
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |pt AS (SELECT doc_id, len(w) AS dl,
-        |         len(list_filter(w, x -> x = 'vector')) AS tf0,
-        |         len(list_filter(w, x -> x = 'merge')) AS tf1,
-        |         len(list_filter(w, x -> x = 'scan')) AS tf2
-        |       FROM d),
-        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS t,
-        |         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |       FROM pt),
-        |sc AS (SELECT doc_id, CAST(tf0 + tf1 + tf2 AS BIGINT) AS hits,
-        |         ROUND(
-        |           ln(1.0 + (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
-        |             * (CAST(tf0 AS DOUBLE) * 2.2)
-        |             / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
-        |           + ln(1.0 + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
-        |             * (CAST(tf1 AS DOUBLE) * 2.2)
-        |             / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
-        |           + ln(1.0 + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
-        |             * (CAST(tf2 AS DOUBLE) * 2.2)
-        |             / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE)))), 9) AS score
-        |       FROM pt CROSS JOIN st)
-        |SELECT doc_id, hits, score, rn FROM (
-        |  SELECT doc_id, hits, score,
-        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
-        |  FROM sc WHERE hits > 0)
-        |WHERE rn <= 15 ORDER BY rn""".stripMargin) { (s, d) =>
+      s"""WITH $Bm25Ctes
+         |SELECT doc_id, hits, score, rn FROM bmr
+         |WHERE rn <= 15 ORDER BY rn""".stripMargin) { (s, d) =>
       // Okapi BM25 (k1=1.2, b=0.75) ranked retrieval for a fixed query
       // term set — the retrieval-side sibling of q_text_tfidf. Shape for
       // 100 TB: per-doc term frequencies for the |q| query terms are
@@ -2216,42 +2267,64 @@ object PipelineQueries {
       // association in both engines; scores round9 before ranking and
       // ties break on doc_id (libm-ulp risk absorbed, the q_text_tfidf
       // convention).
-      val terms = Seq("vector", "merge", "scan")
-      val docs = t(s, d, "documents")
-      val pt = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
-          terms.indices.map(i =>
-            size(expr(s"filter(w, x -> x = '${terms(i)}')")).cast("long").as(s"tf$i")): _*)
-      pt.persist()
-      try {
-        val st = pt.agg(
-          count(lit(1)).as("n"), sum("dl").as("t"),
-          sum((col("tf0") > 0).cast("long")).as("df0"),
-          sum((col("tf1") > 0).cast("long")).as("df1"),
-          sum((col("tf2") > 0).cast("long")).as("df2")).head()
-        val n = st.getLong(0)
-        val tTok = st.getLong(1)
-        val idf = terms.indices.map { i =>
-          val df = st.getLong(2 + i)
-          math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
-        }
-        val norm = lit(1.2) * (lit(0.25) +
-          lit(0.75) * (col("dl").cast("double") * lit(n.toDouble) / lit(tTok.toDouble)))
-        val scoreCol = terms.indices.map { i =>
-          val tfD = col(s"tf$i").cast("double")
-          lit(idf(i)) * (tfD * lit(2.2)) / (tfD + norm)
-        }.reduce(_ + _)
-        val top = pt
-          .withColumn("hits", col("tf0") + col("tf1") + col("tf2"))
-          .filter(col("hits") > 0)
-          .select(col("doc_id"), col("hits"), round(scoreCol, 9).as("score"))
-          .orderBy(col("score").desc, col("doc_id"))
-          .limit(15)
-        top.withColumn("rn",
-            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("bigint"))
-          .orderBy("rn")
-          .localCheckpoint(eager = true)
-      } finally pt.unpersist()
+      bm25Top(s, d)
+    },
+
+    // --- hybrid retrieval: reciprocal-rank fusion (BM25 ⊕ vectors) ------
+    Q("q_ret_rrf",
+      s"""WITH $Bm25Ctes,
+         |bm AS (SELECT doc_id, rn FROM bmr WHERE rn <= 15),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY ROUND(list_cosine_similarity(v, q), 9) DESC, vec_id) AS rv
+         |       FROM e, qv),
+         |vt AS (SELECT doc_id, rv FROM vs WHERE rv <= 15),
+         |fused AS (SELECT COALESCE(bm.doc_id, vt.doc_id) AS doc_id,
+         |            CAST(COALESCE(bm.rn, 0) AS BIGINT) AS bm_rn,
+         |            CAST(COALESCE(vt.rv, 0) AS BIGINT) AS vec_rn,
+         |            CAST(COALESCE(1000000000 // (60 + bm.rn), 0)
+         |               + COALESCE(1000000000 // (60 + vt.rv), 0) AS BIGINT) AS rrf
+         |          FROM bm FULL JOIN vt ON bm.doc_id = vt.doc_id)
+         |SELECT doc_id, bm_rn, vec_rn, rrf, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rn
+         |  FROM fused)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Hybrid retrieval — the RAG-stack default: fuse a lexical (BM25)
+      // ranking and a dense (embedding cosine) ranking by RECIPROCAL
+      // RANK FUSION (Cormack/Clarke/Buettcher 2009), score(d) =
+      // Σ_lists 1/(60 + rank_list(d)). RRF needs only RANKS, never
+      // score calibration between the incommensurable lists — which is
+      // exactly why it's the production fusion default. Determinism:
+      // each 1/(60+r) term is the INTEGER 1e9 div (60+r) — exact in
+      // both engines, no float sums; absent-from-list contributes 0
+      // (rank sentinel 0 in the output, never in the denominator).
+      // Shape for 100 TB: both input rankings are the already-audited
+      // top-k shapes (BM25 = two corpus passes + TakeOrdered; cosine =
+      // broadcast query vector + TakeOrdered over the IVF-pruned scan
+      // in production); the fusion itself joins two k-row lists — a
+      // driver-scale sort-merge on doc_id, cost O(k). doc_id = vec_id
+      // is the fixture's 1:1 doc↔embedding alignment.
+      val bm = bm25Top(s, d).select(col("doc_id"), col("rn").as("bm_rn"))
+      val e = vecs(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("q"))
+      val vt = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"), cosine(col("v"), col("q")).as("cs"))
+        .orderBy(col("cs").desc, col("doc_id"))
+        .limit(15)
+        .withColumn("vec_rn",
+          row_number().over(Window.orderBy(col("cs").desc, col("doc_id"))).cast("bigint"))
+        .select("doc_id", "vec_rn")
+      bm.join(vt, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          coalesce(col("bm_rn"), lit(0L)).as("bm_rn"),
+          coalesce(col("vec_rn"), lit(0L)).as("vec_rn"),
+          (coalesce(expr("1000000000L div (60 + bm_rn)"), lit(0L))
+            + coalesce(expr("1000000000L div (60 + vec_rn)"), lit(0L))).as("rrf"))
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
+        .filter(col("rn") <= 10)
+        .orderBy("rn")
     },
 
     // --- bigram frequencies (n-gram counting) ---------------------------
