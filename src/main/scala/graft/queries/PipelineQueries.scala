@@ -673,6 +673,45 @@ object PipelineQueries {
     } finally pt.unpersist()
   }
 
+  /** Deletion-neighborhood-blocked Levenshtein-≤1 pairs over the first-6-
+    * word titles of a (doc_id, text) frame — see the q_dedup_editdist
+    * catalog entry for the completeness theorem and scale shape. Takes
+    * the frame (not a dir) so PipelineSpec can drive an ed=1 fixture the
+    * corpus lacks. */
+  private[graft] def editDistPairs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cap = 64
+    val titles = docs.select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("title"))
+    val keys = titles.select(col("doc_id"), explode(expr(
+      """array_union(array(title),
+        |  transform(sequence(1, length(title)),
+        |    i -> concat(substr(title, 1, i - 1), substr(title, i + 1))))"""
+        .stripMargin)).as("k"))
+    val cand = keys.groupBy("k")
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("doc_id"), cap).as("bs"))
+      .filter(col("bs.n") > 1)
+      .observe("graft_editdist_cap",
+        sum(when(col("bs.n") > cap, lit(1)).otherwise(lit(0))).as("truncated_keys"),
+        sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
+      .select(col("bs.ids").as("ids"))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  a -> transform(sequence(a + 1, size(ids) - 1),
+          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+      .repartition(sp, col("i")) // keep the verify stage wide under AQE
+    Qh.materializedWith(titles)(
+      cand
+        .join(titles.select(col("doc_id").as("i"), col("title").as("ta")), "i")
+        .join(titles.select(col("doc_id").as("j"), col("title").as("tb")), "j")
+        .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).as("ed"))
+        .filter(col("ed") <= 1)
+        .orderBy("i", "j"))
+  }
+
   /** Connected components over the verified near-dup pair graph:
     * (doc_id, cluster_id = min reachable doc_id), for every doc that
     * appears in at least one pair. Iterative min-label propagation (the
@@ -965,6 +1004,40 @@ object PipelineQueries {
       // PipelineSpec proves the semantics this corpus can't (an embedded
       // short doc found at containment 1.0 that jaccard 0.8 misses).
       containmentPairsShared(s, d)
+    },
+
+    // --- edit-distance title dedup (deletion-neighborhood blocking) -----
+    Q("q_dedup_editdist",
+      """WITH t AS (SELECT doc_id,
+        |             array_to_string(string_split(text, ' ')[1:6], ' ') AS title
+        |           FROM documents)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(levenshtein(a.title, b.title) AS INT) AS ed
+        |FROM t a JOIN t b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.title, b.title) <= 1
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // The short-string near-dup join (titles, URLs, product names):
+      // pairs within char-level Levenshtein distance <= 1, via DELETION-
+      // NEIGHBORHOOD blocking (the SymSpell/spelling-candidate scheme).
+      // Completeness is a theorem, not a heuristic: ed(a,b) <= 1 implies
+      // D1(a) ∩ D1(b) ≠ ∅ where D1(s) = {s} ∪ {s minus one char} — an
+      // insertion/deletion puts the shorter string in both sets, a
+      // substitution at position i makes the two i-deletions equal. So
+      // blocking on D1 keys finds every qualifying pair, and the
+      // levenshtein verify discards the false candidates D1 admits
+      // (ed-2 pairs that share a deletion). The ORACLE is the brute
+      // all-pairs levenshtein join — fully independent of the blocking,
+      // so a neighborhood bug cannot self-confirm. Shape for 100 TB:
+      // keys are built ROW-LOCALLY (|title|+1 variants per doc, one
+      // HOF); the shuffle carries (variant, doc_id); per-key buckets
+      // are BoundedMinSet-capped at 64 with observe()'d drops (a
+      // mega-cluster of identical titles is found via its 64 smallest
+      // members — the LSH-cap trade); verification joins titles back
+      // by id and runs codegen'd levenshtein per candidate. The title
+      // frame feeds three consumers (keys + both verify sides) —
+      // persisted for the one job, dropped on return.
+      editDistPairs(s,
+        t(s, d, "documents").select(col("doc_id"), col("text")))
     },
 
     // --- near-dup clustering: connected components over the pair graph --

@@ -99,6 +99,56 @@ class PipelineSpec extends GraftSuite {
     assert(jac < 0.8)
   }
 
+  test("editdist dedup: blocking finds every ed<=1 form and rejects ed=2") {
+    // the corpus's only ed<=1 title pairs are exact duplicates (ed=0),
+    // so drive each single-edit form the theorem covers through a
+    // fixture: substitution, deletion, insertion must all surface at
+    // ed=1; a two-substitution title (ed=2, which CAN share a deletion
+    // key) must be verified away; an unrelated title must not pair.
+    val s = spark
+    import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      1L -> base,
+      2L -> "alpha beta gamma delta epsilon zetb", // substitution → ed 1
+      3L -> "alpha beta gamma delta epsilon zet",  // deletion → ed 1
+      4L -> "alpha beta gamma delta epsilon zetaq", // insertion → ed 1
+      5L -> "alpha beta gamma delta epsilon qqta", // two subs → ed 2
+      6L -> "totally different words here now ok"
+    ).toDF("doc_id", "text")
+    val got = graft.queries.PipelineQueries.editDistPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 1), (2L, 3L, 1)),
+      got.mkString(","))
+  }
+
+  test("editdist dedup equals brute-force all-pairs at gate sf") {
+    val docs = Tables.df(spark, sf, "documents").select("doc_id", "text")
+    val titles = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).take(6).mkString(" "))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val expected = (for {
+      (i, ta) <- titles; (j, tb) <- titles if i < j
+      d = lev(ta, tb) if d <= 1
+    } yield (i, j, d)).toSet
+    val got = graft.queries.PipelineQueries.editDistPairs(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "fixture corpus must contain ed<=1 pairs")
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
