@@ -704,6 +704,46 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // --- curriculum staging (easy→hard training order) ------------------
+    Q("q_cur_curriculum",
+      """WITH x AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents),
+        |q AS (SELECT doc_id, lang,
+        |        ROUND(0.5 * LEAST(n_chars / 400.0, 1.0)
+        |              + 0.5 * LEAST(len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'is')))::DOUBLE
+        |                            / len(w) * 10, 1.0), 9) AS quality,
+        |        CAST(len(w) AS INT) AS n_tokens
+        |      FROM x)
+        |SELECT doc_id, lang, quality, n_tokens,
+        |  CAST(NTILE(4) OVER (PARTITION BY lang
+        |       ORDER BY quality DESC, n_tokens, doc_id) AS INT) AS stage
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Curriculum assignment (Bengio et al. 2009 applied to pretraining
+      // data ordering): within each language, rank documents easiest →
+      // hardest (clean high-quality short docs first, noisy long docs
+      // last) and cut the ranking into 4 equal-size stages — the
+      // data-loader then feeds stage 1 before stage 2, etc. Difficulty
+      // here = (quality DESC, n_tokens ASC), the same verbatim quality
+      // formula as q_text_quality/q_cur_quality_calibrate so curriculum
+      // and gating decisions agree; doc_id completes the total order so
+      // NTILE boundaries are engine-exact (both engines implement the
+      // SQL-standard ntile over identical orderings). Shape for 100 TB:
+      // one window partitioned by lang — the documented low-cardinality
+      // caveat shared with the calibrate/mixture family; the scale path
+      // is the q_cur_token_budget two-pass distributed rank (stage =
+      // rank * 4 div n per lang), identical assignment, no hot
+      // partition.
+      val q = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"),
+          qualityOf(col("n_chars"), col("w")).as("quality"),
+          size(col("w")).cast("int").as("n_tokens"))
+      val byDifficulty = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("n_tokens"), col("doc_id"))
+      q.withColumn("stage", ntile(4).over(byDifficulty).cast("int"))
+        .orderBy("doc_id")
+    },
+
     // --- end-to-end curation pipeline ----------------------------------------
     Q("q_cur_end2end",
       s"""WITH $ScoredCte,

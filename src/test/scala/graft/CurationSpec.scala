@@ -435,4 +435,20 @@ class CurationSpec extends GraftSuite {
       assert(math.abs(kept.toDouble / n - 0.3) < 0.05, s"$lang kept $kept/$n")
     }
   }
+
+  test("q_cur_curriculum: balanced stages, difficulty-monotone per language") {
+    val got = SparkEntry.queries("q_cur_curriculum")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3), r.getInt(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      // ntile balance: stage sizes differ by at most one, stages 1..4
+      val sizes = rows.groupBy(_._5).view.mapValues(_.length).toMap
+      assert(sizes.keySet == (1 to 4).toSet, s"$lang stages ${sizes.keySet}")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang sizes $sizes")
+      // monotone: every doc in stage k is no harder than any in stage k+1
+      // under the (quality DESC, n_tokens ASC, doc_id) difficulty order
+      val ordered = rows.sortBy(r => (-r._3, r._4, r._1)).map(_._5).toSeq
+      assert(ordered == ordered.sorted, s"$lang stage order not monotone")
+    }
+  }
 }
