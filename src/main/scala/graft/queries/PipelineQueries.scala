@@ -908,6 +908,50 @@ object PipelineQueries {
         "replace(seq, concat(' ', a, '  ', b, ' '), concat(' ', a, b, ' '))"))
       .drop("a", "b")
 
+  /** Learned-vocabulary encode table (word → n_tok) after the 3 BPE
+    * merges — the apply-half core shared by q_text_bpe_encode and
+    * q_text_fertility. Touches only vocabulary-sized data after `wf`. */
+  private def bpeVocabEncode(wf: DataFrame): DataFrame = {
+    val seq0 = wf.select(bpeSeqCol.as("seq"), col("freq"))
+    val m1 = bpeTop(bpePairCounts(seq0)); val seq1 = bpeApply(seq0, m1)
+    val m2 = bpeTop(bpePairCounts(seq1)); val seq2 = bpeApply(seq1, m2)
+    val m3 = bpeTop(bpePairCounts(seq2))
+    val v0 = wf.filter(col("word") =!= "").select(col("word"), bpeSeqCol.as("seq"))
+    bpeApply(bpeApply(bpeApply(v0, m1), m2), m3)
+      .select(col("word"), size(expr("split(trim(seq), '  ')")).as("n_tok"))
+  }
+
+  /** DuckDB CTE chain ending in `venc` = (word, n_tok) under the 3
+    * learned merges — the oracle twin of [[bpeVocabEncode]], shared by
+    * q_text_bpe_encode and q_text_fertility. */
+  private[queries] val BpeVencCtes: String =
+    """wf AS (SELECT t AS word, COUNT(*) AS freq
+      |            FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents) GROUP BY t),
+      |s0 AS (SELECT ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq, freq FROM wf),
+      |p1 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+      |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s0))
+      |       GROUP BY pr.a, pr.b),
+      |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+      |s1 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s0, m1),
+      |p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+      |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s1))
+      |       GROUP BY pr.a, pr.b),
+      |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+      |s2 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s1, m2),
+      |p3 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
+      |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s2))
+      |       GROUP BY pr.a, pr.b),
+      |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+      |v0 AS (SELECT word, ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq
+      |       FROM (SELECT word FROM wf WHERE word <> '')),
+      |v1 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v0, m1),
+      |v2 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v1, m2),
+      |v3 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v2, m3),
+      |venc AS (SELECT word, len(string_split(trim(seq), '  ')) AS n_tok FROM v3)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // --- exact deduplication: content-hash groupBy ----------------------
@@ -2159,38 +2203,13 @@ object PipelineQueries {
 
     // --- BPE apply: encode the corpus with the learned tokenizer --------
     Q("q_text_bpe_encode",
-      """WITH wf AS (SELECT t AS word, COUNT(*) AS freq
-        |            FROM (SELECT unnest(string_split(text,' ')) AS t FROM documents) GROUP BY t),
-        |s0 AS (SELECT ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq, freq FROM wf),
-        |p1 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
-        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s0))
-        |       GROUP BY pr.a, pr.b),
-        |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-        |s1 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s0, m1),
-        |p2 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
-        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s1))
-        |       GROUP BY pr.a, pr.b),
-        |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-        |s2 AS (SELECT replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq, freq FROM s1, m2),
-        |p3 AS (SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-        |         SELECT unnest([{'a': tk[i], 'b': tk[i+1]} for i in range(1, len(tk))]) AS pr, freq
-        |         FROM (SELECT string_split(trim(seq), '  ') AS tk, freq FROM s2))
-        |       GROUP BY pr.a, pr.b),
-        |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
-        |v0 AS (SELECT word, ' ' || array_to_string([word[i] for i in range(1, len(word)+1)], '  ') || ' ' AS seq
-        |       FROM (SELECT word FROM wf WHERE word <> '')),
-        |v1 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v0, m1),
-        |v2 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v1, m2),
-        |v3 AS (SELECT word, replace(seq, ' '||a||'  '||b||' ', ' '||a||b||' ') AS seq FROM v2, m3),
-        |venc AS (SELECT word, len(string_split(trim(seq), '  ')) AS n_tok FROM v3),
-        |dw AS (SELECT doc_id, word, COUNT(*) AS c FROM (
-        |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-        |       WHERE word <> '' GROUP BY doc_id, word)
-        |SELECT dw.doc_id AS doc_id, CAST(SUM(dw.c) AS BIGINT) AS n_words,
-        |       CAST(SUM(dw.c * venc.n_tok) AS BIGINT) AS n_tokens
-        |FROM dw JOIN venc USING(word) GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH $BpeVencCtes,
+         |dw AS (SELECT doc_id, word, COUNT(*) AS c FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       WHERE word <> '' GROUP BY doc_id, word)
+         |SELECT dw.doc_id AS doc_id, CAST(SUM(dw.c) AS BIGINT) AS n_words,
+         |       CAST(SUM(dw.c * venc.n_tok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN venc USING(word) GROUP BY dw.doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       // The apply half of the tokenizer lifecycle (q_text_bpe is the
       // train half): learn the 3 merges, then ENCODE THE VOCABULARY, not
       // the corpus — each distinct word's char sequence goes through the
@@ -2203,16 +2222,9 @@ object PipelineQueries {
       // exact word/BPE-token counts — the number a token-budget pass
       // (q_cur_token_budget) consumes.
       val wf = bpeWordFreq(s, d)
-      val seq0 = wf.select(bpeSeqCol.as("seq"), col("freq"))
-      val m1 = bpeTop(bpePairCounts(seq0)); val seq1 = bpeApply(seq0, m1)
-      val m2 = bpeTop(bpePairCounts(seq1)); val seq2 = bpeApply(seq1, m2)
-      val m3 = bpeTop(bpePairCounts(seq2))
       // vocabulary encode: same seq representation, same merge chain,
       // carrying the word key through bpeApply's column passthrough
-      val v0 = wf.filter(col("word") =!= "").select(col("word"), bpeSeqCol.as("seq"))
-      val v3 = bpeApply(bpeApply(bpeApply(v0, m1), m2), m3)
-      val venc = v3.select(col("word"),
-        size(expr("split(trim(seq), '  ')")).as("n_tok"))
+      val venc = bpeVocabEncode(wf)
       val dw = t(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
@@ -2224,6 +2236,48 @@ object PipelineQueries {
           .agg(sum("c").as("n_words"),
             sum(col("c") * col("n_tok")).as("n_tokens"))
           .orderBy("doc_id"))
+    },
+
+    // --- tokenizer fertility report (per-language tokens-per-word) ------
+    Q("q_text_fertility",
+      s"""WITH $BpeVencCtes,
+         |dw AS (SELECT lang, word, COUNT(*) AS c FROM (
+         |         SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |       WHERE word <> '' GROUP BY lang, word)
+         |SELECT lang, CAST(SUM(c) AS BIGINT) AS n_words,
+         |       CAST(SUM(c * venc.n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(c * length(word)) AS BIGINT) AS n_chars,
+         |       ROUND(CAST(SUM(c * venc.n_tok) AS DOUBLE) / SUM(c), 9) AS fertility,
+         |       ROUND(CAST(SUM(c * length(word)) AS DOUBLE)
+         |             / SUM(c * venc.n_tok), 9) AS chars_per_tok
+         |FROM dw JOIN venc USING(word) GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      // Tokenizer FERTILITY audit — the standard multilingual-tokenizer
+      // health metric (tokens emitted per word, chars compressed per
+      // token), reported PER LANGUAGE: a vocabulary trained mostly on
+      // one language silently taxes the others with 2-3× the tokens per
+      // word, which distorts every downstream token budget, mixing
+      // quota and training cost. Same learned 3-merge vocabulary as
+      // q_text_bpe_encode (bpeVocabEncode), same vocabulary-not-corpus
+      // cost model: the merge chain prices each DISTINCT word once, the
+      // (lang, word) count join shuffles counts — never text — and the
+      // final rollup is languages-sized. Fertility/compression ratios
+      // are single divisions of exact integer sums, round9'd.
+      val wf = bpeWordFreq(s, d)
+      val venc = bpeVocabEncode(wf)
+      val dw = t(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      Qh.materializedWith(wf)(
+        dw.join(venc, "word")
+          .groupBy("lang")
+          .agg(sum("c").as("n_words"),
+            sum(col("c") * col("n_tok")).as("n_tokens"),
+            sum(col("c") * length(col("word"))).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+            round(col("n_tokens").cast("double") / col("n_words"), 9).as("fertility"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 9).as("chars_per_tok"))
+          .orderBy("lang"))
     },
 
     // --- heavy hitters: Misra-Gries sketch + exact recount of the

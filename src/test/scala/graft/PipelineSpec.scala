@@ -149,6 +149,20 @@ class PipelineSpec extends GraftSuite {
     assert(expected.nonEmpty, "fixture corpus must contain ed<=1 pairs")
   }
 
+  test("q_text_fertility totals reconcile with q_text_bpe_encode's per-doc counts") {
+    // same learned vocabulary, two aggregations — the per-language token
+    // mass must equal the per-doc token mass re-bucketed by lang
+    val perDoc = SparkEntry.queries("q_text_bpe_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val langOf = Tables.df(spark, sf, "documents").select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perDoc.groupBy { case (id, _) => langOf(id) }
+      .view.mapValues(v => (v.values.map(_._1).sum, v.values.map(_._2).sum)).toMap
+    val got = SparkEntry.queries("q_text_fertility")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, s"$got vs $expected")
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
