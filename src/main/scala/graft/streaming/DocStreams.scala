@@ -172,6 +172,60 @@ object DocStreams {
       .withColumn("dsir_w", round(col("wfp") / 1e6, 6))
   }
 
+  /** The frozen boilerplate model for ingest-time stripping: the
+    * (source, segment-hash) pairs whose non-overlapping 8-word segment
+    * repeats across ≥ 2 distinct docs of the same source — the SAME
+    * rule q_text_boilerplate oracle-verifies in batch. Keys encode as
+    * "source|hash" text so the stream tests membership against one
+    * literal array; the set is template chrome, a tiny fraction of
+    * distinct segments (model state, like the DSIR ratios above). */
+  def boilerplateModel(corpus: DataFrame): Seq[String] =
+    corpus.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, (size(w) + 7) div 8 - 1), " +
+          "i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))")).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("hs"), col("doc_id"))
+      .distinct()
+      .groupBy("source", "hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(concat_ws("|", col("source"), col("hs").cast("string")).as("k"))
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Ingest-time boilerplate accounting against the frozen model:
+    * segment the document ROW-LOCALLY (same 8-word windows), test each
+    * segment's (source, hash) key against the broadcast-literal model,
+    * and emit exactly q_text_boilerplate's per-doc columns — no
+    * shuffle, no state, append mode. New boilerplate that emerges
+    * AFTER training (a template introduced mid-stream) is invisible
+    * until the next batch retrain, the standard frozen-model trade the
+    * DSIR scorer documents. StreamingSpec pins stream ≡ batch-catalog
+    * equality over the full corpus. */
+  def stripBoilerplate(docs: DataFrame, model: Seq[String]): DataFrame = {
+    val keys = array(model.map(lit): _*)
+    val segs = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, (size(w) + 7) div 8 - 1),
+          |  i -> struct(concat_ws(' ', slice(w, i * 8 + 1, 8)) AS s,
+          |              size(slice(w, i * 8 + 1, 8)) AS sn))""".stripMargin).as("segs"),
+        col("source"))
+      .select(col("doc_id"),
+        transform(col("segs"), g => struct(
+          g.getField("sn").cast("long").as("sn"),
+          array_contains(keys,
+            concat_ws("|", col("source"), xxhash64(g.getField("s")).cast("string")))
+            .as("b"))).as("fl"))
+    segs.select(col("doc_id"),
+      size(col("fl")).cast("long").as("n_seg"),
+      size(filter(col("fl"), g => g.getField("b"))).cast("long").as("n_boiler"),
+      aggregate(col("fl"), lit(0L), (acc, g) => acc + g.getField("sn")).as("n_tok"),
+      aggregate(col("fl"), lit(0L),
+        (acc, g) => acc + when(g.getField("b"), g.getField("sn")).otherwise(lit(0L)))
+        .as("n_tok_removed"))
+      .withColumn("boiler_share",
+        round(col("n_tok_removed").cast("double") / col("n_tok"), 9))
+  }
+
   /** The eval suite's distinct shingle union, computed once in batch
     * from the eval partition of the corpus (source = 'src0'). */
   def evalShingleSet(evalDocs: DataFrame): Seq[String] = {

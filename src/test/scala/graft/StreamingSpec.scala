@@ -587,6 +587,35 @@ class StreamingSpec extends GraftSuite {
     assert(sunk.nonEmpty && sunk.size < all.length)
   }
 
+  test("ingest boilerplate stripping (frozen model) equals the batch catalog query") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val docs = Tables.df(spark, sf, "documents")
+    // train once in batch (the q_text_boilerplate rule), freeze, stream
+    val model = DocStreams.boilerplateModel(docs)
+    assert(model.nonEmpty, "gate corpus must contain boilerplate segments")
+    val all = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .as[Doc].collect()
+    val in = MemoryStream[Doc]
+    val q = DocStreams.stripBoilerplate(in.toDF(), model)
+      .writeStream.format("memory").queryName("boiler")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (w1, w2) = all.splitAt(all.length / 2)
+      in.addData(w1.toIndexedSeq); q.processAllAvailable()
+      in.addData(w2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val sunk = spark.sql("SELECT * FROM boiler").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val batch = SparkEntry.queries("q_text_boilerplate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(sunk == batch)
+    assert(sunk.values.exists(_._2 > 0), "stream must strip something")
+  }
+
   test("trending terms: watermarked token counts finalize once; top-k equals batch") {
     val s = spark
     implicit val sq = s.sqlContext
