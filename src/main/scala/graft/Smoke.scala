@@ -261,6 +261,24 @@ object Smoke {
     println(f"SMOKE round8f: pagerank=${tPr}%.1fs ($nPr ranked vertices) " +
       f"winnow=${tWn}%.1fs ($nWn docs fingerprinted) rake=${tRk}%.1fs ($nRk keywords) " +
       f"unimax=${tUx}%.1fs ($nUx selected docs)")
+
+    // --- round-9g operators at scale -------------------------------------
+    // boilerplate: the ×M EXACT copies drive every segment to df = M ≥ 2 —
+    // the adversarial all-boilerplate regime, where the "tiny broadcast
+    // set" degenerates to ALL distinct segments (worst case for the
+    // marking join); containment/editdist: every posting/bucket carries
+    // the M copies of its members, pushing candidate fan-out toward the
+    // caps; fertility: the merge chain stays vocabulary-bounded while
+    // (lang, word) counts scale ×M; rrf: fuses two top-15 lists whatever
+    // the corpus size — the costs are its two input rankings.
+    val (nBp, tBp) = time(SparkEntry.queries("q_text_boilerplate")(spark, dir).count())
+    val (nCt, tCt) = time(SparkEntry.queries("q_dedup_containment")(spark, dir).count())
+    val (nEd, tEd) = time(SparkEntry.queries("q_dedup_editdist")(spark, dir).count())
+    val (nFt, tFt) = time(SparkEntry.queries("q_text_fertility")(spark, dir).count())
+    val (nRrf, tRrf) = time(SparkEntry.queries("q_ret_rrf")(spark, dir).count())
+    println(f"SMOKE round9g: boilerplate=${tBp}%.1fs ($nBp docs accounted) " +
+      f"containment=${tCt}%.1fs ($nCt pairs) editdist=${tEd}%.1fs ($nEd pairs) " +
+      f"fertility=${tFt}%.1fs ($nFt langs) rrf=${tRrf}%.1fs ($nRrf fused)")
     spark.stop()
   }
 }

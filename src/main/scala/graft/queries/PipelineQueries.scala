@@ -532,6 +532,58 @@ object PipelineQueries {
       .orderBy("i", "j")
   }
 
+  /** (doc_id, source, hs, sn): the non-overlapping 8-word segments of a
+    * (doc_id, source, text) frame, hashed row-locally — q_text_boilerplate's
+    * corpus pass. */
+  private def boilerplateSegs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(0, (size(w) + 7) div 8 - 1),
+            |  i -> struct(concat_ws(' ', slice(w, i * 8 + 1, 8)) AS s,
+            |              size(slice(w, i * 8 + 1, 8)) AS sn))""".stripMargin))
+          .as("g"))
+      .select(col("doc_id"), col("source"),
+        xxhash64(col("g.s")).as("hs"), col("g.sn").cast("long").as("sn"))
+
+  /** Per-doc boilerplate accounting over a segment frame — the LAZY
+    * inner form (the catalog query checkpoints it; PlanShapeSpec
+    * asserts the broadcast marking join here). */
+  private def boilerplateFrom(seg: DataFrame): DataFrame = {
+    val boiler = seg.select("doc_id", "source", "hs").distinct()
+      .groupBy("source", "hs").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("source"), col("hs"), lit(1L).as("b"))
+    seg.join(broadcast(boiler), Seq("source", "hs"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_seg"),
+        sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        sum(col("sn")).as("n_tok"),
+        sum(when(col("b").isNotNull, col("sn")).otherwise(0L)).as("n_tok_removed"))
+      .withColumn("boiler_share",
+        round(col("n_tok_removed").cast("double") / col("n_tok"), 9))
+      .orderBy("doc_id")
+  }
+
+  /** Formatted plan of the boilerplate pipeline over a persisted segment
+    * frame — for PlanShapeSpec (see [[minhashPlanProbe]]). */
+  private[graft] def boilerplatePlanProbe(s: SparkSession, d: String): String = {
+    val seg = boilerplateSegs(t(s, d, "documents")).persist()
+    try boilerplateFrom(seg).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally seg.unpersist()
+  }
+
+  /** Formatted plan of the containment ssjoin over a persisted shingle
+    * frame — for PlanShapeSpec. */
+  private[graft] def containmentPlanProbe(s: SparkSession, d: String): String = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp).persist()
+    try containmentPairsFrom(shStr, sp, NgramDfCap).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally shStr.unpersist()
+  }
+
   /** Asymmetric containment pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 over the
     * same distinct word-3-gram shingles as the jaccard family — the
     * measure that catches a SHORT document embedded inside a LONG one
@@ -680,9 +732,15 @@ object PipelineQueries {
     * corpus lacks. */
   private[graft] def editDistPairs(s: SparkSession, docs: DataFrame): DataFrame = {
     val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val cap = 64
-    val titles = docs.select(col("doc_id"),
+    val titles = editDistTitles(docs)
+    Qh.materializedWith(titles)(editDistFrom(titles, sp, 64))
+  }
+
+  private def editDistTitles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("title"))
+
+  private def editDistFrom(titles: DataFrame, sp: Int, cap: Int): DataFrame = {
     val keys = titles.select(col("doc_id"), explode(expr(
       """array_union(array(title),
         |  transform(sequence(1, length(title)),
@@ -703,13 +761,23 @@ object PipelineQueries {
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
       .repartition(sp, col("i")) // keep the verify stage wide under AQE
-    Qh.materializedWith(titles)(
-      cand
-        .join(titles.select(col("doc_id").as("i"), col("title").as("ta")), "i")
-        .join(titles.select(col("doc_id").as("j"), col("title").as("tb")), "j")
-        .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).as("ed"))
-        .filter(col("ed") <= 1)
-        .orderBy("i", "j"))
+    cand
+      .join(titles.select(col("doc_id").as("i"), col("title").as("ta")), "i")
+      .join(titles.select(col("doc_id").as("j"), col("title").as("tb")), "j")
+      .select(col("i"), col("j"), levenshtein(col("ta"), col("tb")).as("ed"))
+      .filter(col("ed") <= 1)
+      .orderBy("i", "j")
+  }
+
+  /** Formatted plan of the edit-distance pipeline over a persisted title
+    * frame — for PlanShapeSpec. */
+  private[graft] def editDistPlanProbe(s: SparkSession, d: String): String = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val titles = editDistTitles(
+      t(s, d, "documents").select(col("doc_id"), col("text"))).persist()
+    try editDistFrom(titles, sp, 64).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally titles.unpersist()
   }
 
   /** Connected components over the verified near-dup pair graph:
@@ -2659,30 +2727,8 @@ object PipelineQueries {
       // two-phase aggregate. The segment frame feeds two consumers (df
       // count + marking), so it is persisted for one job and dropped
       // (Qh.materializedWith).
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      val seg = docs.select(col("doc_id"), col("source"),
-        explode(expr(
-          """transform(sequence(0, (size(w) + 7) div 8 - 1),
-            |  i -> struct(concat_ws(' ', slice(w, i * 8 + 1, 8)) AS s,
-            |              size(slice(w, i * 8 + 1, 8)) AS sn))""".stripMargin))
-          .as("g"))
-        .select(col("doc_id"), col("source"),
-          xxhash64(col("g.s")).as("hs"), col("g.sn").cast("long").as("sn"))
-      val boiler = seg.select("doc_id", "source", "hs").distinct()
-        .groupBy("source", "hs").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2)
-        .select(col("source"), col("hs"), lit(1L).as("b"))
-      Qh.materializedWith(seg)(
-        seg.join(broadcast(boiler), Seq("source", "hs"), "left")
-          .groupBy("doc_id").agg(
-            count(lit(1)).as("n_seg"),
-            sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
-            sum(col("sn")).as("n_tok"),
-            sum(when(col("b").isNotNull, col("sn")).otherwise(0L)).as("n_tok_removed"))
-          .withColumn("boiler_share",
-            round(col("n_tok_removed").cast("double") / col("n_tok"), 9))
-          .orderBy("doc_id"))
+      val seg = boilerplateSegs(t(s, d, "documents"))
+      Qh.materializedWith(seg)(boilerplateFrom(seg))
     },
 
     // --- winnowing fingerprints (MOSS-style w-window minima) ------------

@@ -439,6 +439,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_text_boilerplate: boilerplate set broadcasts; corpus never reshuffles for marking") {
+    val p = graft.queries.PipelineQueries.boilerplatePlanProbe(spark, sf)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dedup_containment: prefix×postings blocking plans no cartesian product") {
+    val p = graft.queries.PipelineQueries.containmentPlanProbe(spark, sf)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // the df-table broadcast onto postings
+  }
+
+  test("q_dedup_editdist: deletion-neighborhood blocking plans no cartesian product") {
+    val p = graft.queries.PipelineQueries.editDistPlanProbe(spark, sf)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_cur_dsir scoring broadcasts the B-row model; tokens never shuffle by content") {
     val p = graft.queries.CurationQueries.dsirScoringPlan(spark, sf)
     assert(p.contains("BroadcastHashJoin"), p)
