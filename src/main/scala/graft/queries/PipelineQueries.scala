@@ -584,6 +584,23 @@ object PipelineQueries {
     finally shStr.unpersist()
   }
 
+  /** Ensure the persisted per-(source, segment-hash) document-frequency
+    * artifact exists for `d`'s corpus and return its base path — the
+    * boilerplate model's incremental-maintenance state (the text-cleaning
+    * analog of the LSH bands index). */
+  private[queries] def ensureBoilerIndex(s: SparkSession, d: String): String = {
+    val base = s"${SourceQueries.cacheDir(d)}/boiler_idx1"
+    SourceQueries.materialize(s"$base/commit") {
+      boilerplateSegs(t(s, d, "documents"))
+        .select("doc_id", "source", "hs").distinct()
+        .groupBy("source", "hs").agg(count(lit(1)).as("df"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$base/df")
+      s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$base/commit")
+    }
+    base
+  }
+
   /** Asymmetric containment pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 over the
     * same distinct word-3-gram shingles as the jaccard family — the
     * measure that catches a SHORT document embedded inside a LONG one
@@ -2729,6 +2746,66 @@ object PipelineQueries {
       // (Qh.materializedWith).
       val seg = boilerplateSegs(t(s, d, "documents"))
       Qh.materializedWith(seg)(boilerplateFrom(seg))
+    },
+
+    // --- incremental boilerplate-model maintenance ----------------------
+    Q("q_text_boiler_incremental",
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |seg AS (SELECT doc_id, source, array_to_string(w[i*8+1 : i*8+8], ' ') AS s2
+        |        FROM (SELECT doc_id, source, w,
+        |                unnest(range(0, (len(w) + 7) // 8)) AS i FROM w)),
+        |df AS (SELECT source, s2, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY 1, 2),
+        |dseg AS (SELECT doc_id + 1000000 AS doc_id, source, s2 FROM seg
+        |         WHERE doc_id % 10 = 0),
+        |adf AS (SELECT source, s2, COUNT(DISTINCT doc_id) AS df2 FROM
+        |        (SELECT * FROM seg UNION ALL SELECT * FROM dseg) GROUP BY 1, 2),
+        |ob AS (SELECT source, COUNT(*) AS o FROM df WHERE df >= 2 GROUP BY source),
+        |nb AS (SELECT source, COUNT(*) AS t FROM adf WHERE df2 >= 2 GROUP BY source)
+        |SELECT nb.source AS source,
+        |  CAST(COALESCE(ob.o, 0) AS BIGINT) AS n_boiler_old,
+        |  CAST(nb.t - COALESCE(ob.o, 0) AS BIGINT) AS n_new_boiler,
+        |  CAST(nb.t AS BIGINT) AS n_boiler_total
+        |FROM nb LEFT JOIN ob USING (source) ORDER BY source""".stripMargin) { (s, d) =>
+      // Incremental maintenance of the boilerplate MODEL — the
+      // text-cleaning member of the incremental family (dedup/graph/agg
+      // already have theirs): when a delta batch arrives (the standard
+      // every-10th-doc re-ingest under +1000000 ids), which segments
+      // NEWLY cross the df >= 2 boilerplate threshold, per source?
+      // Shape for 100 TB: the per-(source, hash) df table is a PERSISTED
+      // artifact (built once, like the LSH bands index); the delta's own
+      // segment counts are O(delta); the lookup of old counts for
+      // exactly the delta's keys is a BROADCAST-semi prune of the
+      // artifact scan — the corpus-scale frequency table is scanned
+      // columnar-only and never shuffles, the upsert discipline of
+      // q_cur_upsert. New-boilerplate detection is then pure arithmetic
+      // on (old, delta) counts: old < 2 ∧ old + dc >= 2 — since
+      // df_merged = df_old + dc for every key, this is exactly the full
+      // recount's boilerplate-set delta, which is what the oracle
+      // recomputes from scratch. The per-source old-boilerplate rollup
+      // is a columnar aggregate of the same artifact (the nightly
+      // corpus-health read).
+      val base = ensureBoilerIndex(s, d)
+      val art = s.read.parquet(s"$base/df")
+      val delta = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"), col("text"))
+      val dk = boilerplateSegs(delta)
+        .select("doc_id", "source", "hs").distinct()
+        .groupBy("source", "hs").agg(count(lit(1)).as("dc"))
+      val oldForKeys = art.join(broadcast(dk.select("source", "hs")),
+        Seq("source", "hs"), "leftsemi")
+      val merged = dk.join(oldForKeys, Seq("source", "hs"), "left")
+        .select(col("source"), coalesce(col("df"), lit(0L)).as("old"), col("dc"))
+      val newB = merged.filter(col("old") < 2 && (col("old") + col("dc")) >= 2)
+        .groupBy("source").agg(count(lit(1)).as("nn"))
+      val oldB = art.filter(col("df") >= 2)
+        .groupBy("source").agg(count(lit(1)).as("oo"))
+      oldB.join(newB, Seq("source"), "full")
+        .select(col("source"),
+          coalesce(col("oo"), lit(0L)).as("n_boiler_old"),
+          coalesce(col("nn"), lit(0L)).as("n_new_boiler"),
+          (coalesce(col("oo"), lit(0L)) + coalesce(col("nn"), lit(0L)))
+            .as("n_boiler_total"))
+        .orderBy("source")
     },
 
     // --- winnowing fingerprints (MOSS-style w-window minima) ------------

@@ -102,4 +102,31 @@ class PropertySpec extends GraftSuite {
       ids == expect && merged.total == xs.size.toLong
     })
   }
+
+  test("deletion-neighborhood blocking is complete for every ed<=1 edit") {
+    // the q_dedup_editdist theorem, property-tested: for ANY base string
+    // and ANY single edit (insert/delete/substitute at any position),
+    // D1(a) ∩ D1(b) ≠ ∅ where D1(s) = {s} ∪ {s minus one char} — i.e.
+    // the blocking key join finds the pair before verification.
+    def d1(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.substring(0, i) + s.substring(i + 1))
+    val alpha = Gen.alphaLowerChar
+    val gen = for {
+      n <- Gen.choose(1, 24)
+      base <- Gen.listOfN(n, alpha).map(_.mkString)
+      kind <- Gen.choose(0, 2)
+      pos <- Gen.choose(0, n - 1)
+      c <- alpha
+    } yield {
+      val edited = kind match {
+        case 0 => base.substring(0, pos) + c + base.substring(pos)       // insert
+        case 1 => base.substring(0, pos) + base.substring(pos + 1)       // delete
+        case _ => base.substring(0, pos) + c + base.substring(pos + 1)   // substitute
+      }
+      (base, edited)
+    }
+    check(Prop.forAll(gen) { case (a, b) =>
+      (d1(a) intersect d1(b)).nonEmpty
+    })
+  }
 }
