@@ -279,6 +279,14 @@ object Smoke {
     println(f"SMOKE round9g: boilerplate=${tBp}%.1fs ($nBp docs accounted) " +
       f"containment=${tCt}%.1fs ($nCt pairs) editdist=${tEd}%.1fs ($nEd pairs) " +
       f"fertility=${tFt}%.1fs ($nFt langs) rrf=${tRrf}%.1fs ($nRrf fused)")
+    // boiler-model maintenance: first call builds the df artifact for
+    // this corpus, second measures the steady-state O(delta) probe
+    val (nBi1, tBi1) = time(SparkEntry.queries("q_text_boiler_incremental")(spark, dir).count())
+    val (nBi, tBi) = time(SparkEntry.queries("q_text_boiler_incremental")(spark, dir).count())
+    println(f"SMOKE boiler incremental: build+probe=${tBi1}%.1fs warm probe=${tBi}%.1fs " +
+      f"($nBi sources audited, $nBi1 first run)")
+    val (nKc, tKc) = time(SparkEntry.queries("q_graph_kcore")(spark, dir).count())
+    println(f"SMOKE kcore: peel=${tKc}%.1fs ($nKc core vertices)")
     spark.stop()
   }
 }

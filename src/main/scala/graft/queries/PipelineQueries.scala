@@ -797,6 +797,30 @@ object PipelineQueries {
     finally titles.unpersist()
   }
 
+  /** Survivors of `rounds` peel iterations toward the 2-core of the
+    * near-dup graph, with their induced-subgraph degree — see the
+    * q_graph_kcore catalog entry. Exposed with the round count so
+    * PipelineSpec can prove the fixpoint (rounds vs rounds+1). */
+  private[graft] def kcoreSurvivors(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+    var edges = p.select(col("i").as("src"), col("j").as("dst"))
+      .union(p.select(col("j").as("src"), col("i").as("dst")))
+    val perRound = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("src").as("v"))
+      edges = edges
+        .join(keep.select(col("v").as("src")), Seq("src"), "leftsemi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "leftsemi")
+      perRound += edges
+    }
+    Qh.materializedWith(perRound.result(): _*)(
+      edges.groupBy("src").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("src").as("doc_id"), col("c").as("core_deg"))
+        .orderBy("doc_id"))
+  }
+
   /** Connected components over the verified near-dup pair graph:
     * (doc_id, cluster_id = min reachable doc_id), for every doc that
     * appears in at least one pair. Iterative min-label propagation (the
@@ -1320,6 +1344,45 @@ object PipelineQueries {
               / (col("deg") * (col("deg") - 1)), 9))
             .otherwise(lit(0.0)).as("cc"))
         .orderBy("doc_id")
+    },
+
+    // --- k-core decomposition (bounded-round peel) ----------------------
+    Q("q_graph_kcore",
+      s"""WITH $ShingleOverlapCtes,
+         |e0 AS MATERIALIZED (SELECT i AS src, j AS dst FROM jpairs
+         |       UNION ALL SELECT j, i FROM jpairs),
+         |d0 AS (SELECT src, COUNT(*) AS c FROM e0 GROUP BY src),
+         |k0 AS MATERIALIZED (SELECT src AS v FROM d0 WHERE c >= 2),
+         |e1 AS MATERIALIZED (SELECT e.src, e.dst FROM e0 e
+         |       JOIN k0 a ON e.src = a.v JOIN k0 b ON e.dst = b.v),
+         |d1 AS (SELECT src, COUNT(*) AS c FROM e1 GROUP BY src),
+         |k1 AS MATERIALIZED (SELECT src AS v FROM d1 WHERE c >= 2),
+         |e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
+         |       JOIN k1 a ON e.src = a.v JOIN k1 b ON e.dst = b.v),
+         |d2 AS (SELECT src, COUNT(*) AS c FROM e2 GROUP BY src),
+         |k2 AS MATERIALIZED (SELECT src AS v FROM d2 WHERE c >= 2),
+         |e3 AS (SELECT e.src, e.dst FROM e2 e
+         |       JOIN k2 a ON e.src = a.v JOIN k2 b ON e.dst = b.v),
+         |d3 AS (SELECT src, COUNT(*) AS c FROM e3 GROUP BY src)
+         |SELECT src AS doc_id, CAST(c AS BIGINT) AS core_deg
+         |FROM d3 WHERE c >= 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // 2-core of the near-dup graph via THREE peel rounds (drop
+      // degree-<2 vertices, recompute degrees on the induced subgraph,
+      // repeat) — the graph-density curation signal that separates
+      // chained near-dup PAIRS (peel to nothing: each endpoint has
+      // degree 1) from genuinely dense duplication cores (boilerplate
+      // families, template farms) that survive peeling. Bounded-round
+      // semantics make the exact oracle possible (the same 3 unrolled
+      // rounds in SQL) — and PipelineSpec proves 3 rounds REACH THE
+      // FIXPOINT on the gate corpora (round 4 changes nothing), so the
+      // bound is the documented convergence knob (pagerank's iteration
+      // convention), not an approximation. Shape for 100 TB: each round
+      // is two semi joins keyed src/dst against a vertex-scale keep set
+      // + one degree count — per-round edge shuffles carrying long
+      // pairs; rounds persist for one job each and drop on return (at
+      // production scale each round is a PipelineRunner checkpoint,
+      // the nearDupClusters discipline).
+      kcoreSurvivors(s, d, 3)
     },
 
     // --- incremental graph maintenance over the persisted LSH index -----

@@ -163,6 +163,18 @@ class PipelineSpec extends GraftSuite {
     assert(got == expected, s"$got vs $expected")
   }
 
+  test("q_graph_kcore: 3 peel rounds reach the fixpoint (round 4 changes nothing)") {
+    def run(r: Int) = graft.queries.PipelineQueries.kcoreSurvivors(spark, sf, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r3 = run(3); val r4 = run(4)
+    assert(r3 == r4, s"fixpoint not reached: ${r3.size} vs ${r4.size}")
+    // the gate corpus must exercise BOTH branches: some vertices peel
+    // away (pair-only components) and some survive (dense cores)
+    val deg0 = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(r3.nonEmpty && r3.size < deg0.size, s"${r3.size} of ${deg0.size}")
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
