@@ -287,6 +287,8 @@ object Smoke {
       f"($nBi sources audited, $nBi1 first run)")
     val (nKc, tKc) = time(SparkEntry.queries("q_graph_kcore")(spark, dir).count())
     println(f"SMOKE kcore: peel=${tKc}%.1fs ($nKc core vertices)")
+    val (nSw, tSw) = time(SparkEntry.queries("q_dedup_threshold_sweep")(spark, dir).count())
+    println(f"SMOKE threshold sweep: t>=0.5 histogram=${tSw}%.1fs ($nSw buckets)")
     spark.stop()
   }
 }

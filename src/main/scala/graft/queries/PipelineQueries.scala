@@ -797,6 +797,57 @@ object PipelineQueries {
     finally titles.unpersist()
   }
 
+  /** Jaccard-decile pair histogram down to t = 0.5 — see the
+    * q_dedup_threshold_sweep catalog entry. Same hash-once postings /
+    * rarity-prefix / BoundedMinSet discipline as [[ngramPairsFrom]],
+    * prefix sized for the 0.5 floor. */
+  private[queries] def sweepPairsShared(s: SparkSession, d: String): DataFrame = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp)
+    Qh.materializedWith(shStr)(sweepPairsFrom(shStr, sp, NgramDfCap))
+  }
+
+  private def sweepPairsFrom(shStr: DataFrame, sp: Int, cap: Int): DataFrame = {
+    val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    val posts = shStr.select(col("doc_id"),
+      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+    val dfg = posts.groupBy("g").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("g"))
+    val wholeDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = posts.join(broadcast(dfg), "g")
+      .withColumn("r", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(wholeDoc))
+      .filter(col("r") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select("doc_id", "g")
+    val postings = prefix.groupBy("g")
+      .agg(graft.functions.BoundedMinSet.bounded_min_set(col("doc_id"), cap).as("bs"))
+      .filter(col("bs.n") > 1)
+      .observe("graft_sweep_df_cap",
+        sum(when(col("bs.n") > cap, lit(1)).otherwise(lit(0))).as("truncated_grams"),
+        sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
+      .select(col("bs.ids").as("ids"))
+    val cand = postings
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  a -> transform(sequence(a + 1, size(ids) - 1),
+          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .distinct()
+      .repartition(sp, col("i"))
+    val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
+    val union = size(col("sha")) + size(col("shb")) - ic
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .select(ic.as("inter"), union.as("u"))
+      .filter(lit(2) * col("inter") >= col("u"))
+      .select(expr("(10 * inter) div u").cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
   /** Survivors of `rounds` peel iterations toward the 2-core of the
     * near-dup graph, with their induced-subgraph degree — see the
     * q_graph_kcore catalog entry. Exposed with the round count so
@@ -1191,6 +1242,30 @@ object PipelineQueries {
       // persisted for the one job, dropped on return.
       editDistPairs(s,
         t(s, d, "documents").select(col("doc_id"), col("text")))
+    },
+
+    // --- dedup threshold-sensitivity sweep ------------------------------
+    Q("q_dedup_threshold_sweep",
+      s"""WITH $ShingleOverlapCtes
+         |SELECT CAST((10 * inter) // (a.n + b.n - inter) AS INT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM ov JOIN sz a ON ov.i = a.doc_id JOIN sz b ON ov.j = b.doc_id
+         |WHERE 2 * inter >= (a.n + b.n - inter)
+         |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      // The question every dedup deployment asks BEFORE picking its
+      // threshold: how many pairs would each setting sweep in? One
+      // pass emits the pair-count histogram over jaccard deciles down
+      // to 0.5 — a cliff between buckets (here: nothing below 0.8,
+      // then the near-dup mass) means the threshold is insensitive and
+      // safe; pairs smeared across buckets mean the knob matters and
+      // deserves a human look. Same inverted-index ssjoin as
+      // q_dedup_ngram_jaccard but with the prefix filter sized for the
+      // SWEEP FLOOR t=1/2 (r <= n − (n+1) div 2 + 1 — exact integer
+      // spelling), since completeness must hold for the lowest bucket
+      // surveyed. Bucketing is INTEGER arithmetic end to end:
+      // membership 2·inter >= union and decile (10·inter) div union —
+      // no float boundary can misfile a pair in either engine.
+      sweepPairsShared(s, d)
     },
 
     // --- near-dup clustering: connected components over the pair graph --
