@@ -456,6 +456,14 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dedup_threshold_sweep: the catalog plan is a checkpoint scan feeding an agg (no cartesian)") {
+    // the sweep shares ngramPairsFrom's audited blocking (prefix sized
+    // for t=0.5); its public plan is the checkpointed histogram — assert
+    // no nested-loop anywhere in the executed shape
+    val p = plan("q_dedup_threshold_sweep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_cur_dsir scoring broadcasts the B-row model; tokens never shuffle by content") {
     val p = graft.queries.CurationQueries.dsirScoringPlan(spark, sf)
     assert(p.contains("BroadcastHashJoin"), p)
