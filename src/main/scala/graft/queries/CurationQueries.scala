@@ -1146,6 +1146,74 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    Q("q_cur_snapshot_fuzzy",
+      """WITH a0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 3),
+        |a AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |               for i in range(1, len(w) - 1)]) AS sha FROM a0),
+        |b1 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 43 = 0 THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |              WHEN doc_id % 31 = 0 THEN text || ' edited'
+        |              ELSE text END AS text,
+        |         CASE WHEN doc_id % 43 = 0 OR doc_id % 31 = 0 THEN 1 ELSE 0 END AS touched
+        |       FROM documents WHERE doc_id % 97 <> 0),
+        |b0 AS (SELECT doc_id, touched, string_split(text, ' ') AS w FROM b1
+        |       WHERE len(string_split(text, ' ')) >= 3),
+        |b AS (SELECT doc_id, touched,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |               for i in range(1, len(w) - 1)]) AS shb FROM b0),
+        |m AS (SELECT a.doc_id, sha, shb FROM a JOIN b USING (doc_id) WHERE touched = 1)
+        |SELECT doc_id,
+        |  ROUND(len(list_intersect(sha, shb))::DOUBLE
+        |        / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 9) AS jac,
+        |  CASE WHEN ROUND(len(list_intersect(sha, shb))::DOUBLE
+        |        / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 9) >= 0.8
+        |       THEN 'minor_edit' ELSE 'rewritten' END AS severity
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // The fuzzy half of the snapshot audit: q_cur_snapshot_diff says
+      // WHICH docs changed (hash inequality); this says HOW MUCH —
+      // per modified doc, the shingle-jaccard between old and new text
+      // classifies the drift as cosmetic (minor_edit ≥ 0.8: template
+      // tweaks, typo fixes — safe to auto-accept) or substantive
+      // (rewritten: re-embed, re-dedup, re-gate it). The key scale
+      // property: versions of the SAME doc_id compare ROW-ALIGNED — a
+      // doc_id-keyed join, never a pair join — so cost is linear in the
+      // changed set. Shingle-hash arrays are computed row-locally on
+      // EACH side before the join, so the shuffle carries ~60 longs per
+      // doc, not text; the jaccard is then one codegen'd IntersectCount
+      // per row. The derived "new" snapshot adds a REWRITE class
+      // (doc_id%43: reversed word order — unigrams intact, 3-gram
+      // shingles destroyed) alongside the append-edit (doc_id%31), so
+      // both severity branches are exercised and oracle-checked.
+      // hashed shingle set of the `w` column — sizes equal the string
+      // sets' absent an xxhash64 collision (the jaccard-family trade)
+      val shingle = expr(
+        """array_distinct(transform(sequence(0, size(w) - 3),
+          |  i -> xxhash64(concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))))"""
+          .stripMargin)
+      val a = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), shingle.as("sha"))
+      val b = t(s, d, "documents").filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 43 === 0,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+            .when(col("doc_id") % 31 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"),
+          (col("doc_id") % 43 === 0 || col("doc_id") % 31 === 0).as("touched"))
+        .filter(col("touched"))
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), shingle.as("shb"))
+      val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
+      val jac = round(ic.cast("double") / (size(col("sha")) + size(col("shb")) - ic), 9)
+      a.join(b, "doc_id")
+        .select(col("doc_id"), jac.as("jac"),
+          when(jac >= 0.8, lit("minor_edit")).otherwise(lit("rewritten")).as("severity"))
+        .orderBy("doc_id")
+    },
+
     Q("q_cur_semantic_decontam",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 50 = 0),
