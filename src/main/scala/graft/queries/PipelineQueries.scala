@@ -872,6 +872,41 @@ object PipelineQueries {
         .orderBy("doc_id"))
   }
 
+  /** Synchronous label propagation over a SYMMETRIC (src, dst) edge
+    * frame: `rounds` iterations of new-label(v) = most frequent label
+    * among v's neighbors PLUS v's own current label (one self-vote),
+    * ties to the minimum label; init label = own id. Returns (v, lbl).
+    * Deterministic by construction (no sweep order, no randomized
+    * tie-break) — the property the cross-engine oracle and the spec
+    * fixtures rely on. The self-vote is the standard synchronous-LPA
+    * stabilizer: without it every isolated 2-clique oscillates with
+    * period 2 (each vertex's only vote is the other's label — they swap
+    * forever); with it the pair ties on {own, other} and settles on the
+    * minimum in one round. Per round: one dst-keyed edge shuffle to
+    * fetch neighbor labels, a (v, lbl) count (map-side partial), and a
+    * vertex-scale max(struct(count, -lbl)) argmax — no window sort
+    * anywhere. Edges persist across rounds and drop on return; label
+    * frames chain lazily into one lineage (the caller materializes the
+    * result once). */
+  private[graft] def lpaCommunities(edges: DataFrame, rounds: Int): DataFrame = {
+    edges.persist()
+    try {
+      var labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v"))
+      for (_ <- 1 to rounds) {
+        labels = edges
+          .join(labels.select(col("v").as("dst"), col("lbl")), "dst")
+          .select(col("src"), col("lbl"))
+          .union(labels.select(col("v").as("src"), col("lbl")))
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("src").as("v"), (-col("m.nl")).as("lbl"))
+      }
+      labels.localCheckpoint(eager = true)
+    } finally edges.unpersist()
+  }
+
   /** Connected components over the verified near-dup pair graph:
     * (doc_id, cluster_id = min reachable doc_id), for every doc that
     * appears in at least one pair. Iterative min-label propagation (the
@@ -1458,6 +1493,70 @@ object PipelineQueries {
       // production scale each round is a PipelineRunner checkpoint,
       // the nearDupClusters discipline).
       kcoreSurvivors(s, d, 3)
+    },
+
+    // --- label-propagation communities ----------------------------------
+    Q("q_graph_lpa",
+      s"""WITH $ShingleOverlapCtes,
+         |e0 AS MATERIALIZED (SELECT i AS src, j AS dst FROM jpairs
+         |       UNION ALL SELECT j, i FROM jpairs),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e0),
+         |n1 AS (SELECT v, lbl, COUNT(*) AS c FROM (
+         |         SELECT e.src AS v, l.lbl FROM e0 e JOIN l0 l ON e.dst = l.v
+         |         UNION ALL SELECT v, lbl FROM l0) GROUP BY 1, 2),
+         |l1 AS MATERIALIZED (SELECT v, lbl FROM (
+         |       SELECT v, lbl, ROW_NUMBER() OVER (
+         |         PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM n1)
+         |     WHERE rn = 1),
+         |n2 AS (SELECT v, lbl, COUNT(*) AS c FROM (
+         |         SELECT e.src AS v, l.lbl FROM e0 e JOIN l1 l ON e.dst = l.v
+         |         UNION ALL SELECT v, lbl FROM l1) GROUP BY 1, 2),
+         |l2 AS MATERIALIZED (SELECT v, lbl FROM (
+         |       SELECT v, lbl, ROW_NUMBER() OVER (
+         |         PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM n2)
+         |     WHERE rn = 1),
+         |n3 AS (SELECT v, lbl, COUNT(*) AS c FROM (
+         |         SELECT e.src AS v, l.lbl FROM e0 e JOIN l2 l ON e.dst = l.v
+         |         UNION ALL SELECT v, lbl FROM l2) GROUP BY 1, 2),
+         |l3 AS MATERIALIZED (SELECT v, lbl FROM (
+         |       SELECT v, lbl, ROW_NUMBER() OVER (
+         |         PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM n3)
+         |     WHERE rn = 1),
+         |cs AS (SELECT lbl, COUNT(*) AS comm_sz FROM l3 GROUP BY lbl)
+         |SELECT l3.v AS doc_id, l3.lbl AS comm, cs.comm_sz
+         |FROM l3 JOIN cs ON l3.lbl = cs.lbl ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Community detection by SYNCHRONOUS label propagation (Raghavan/
+      // Albert/Kumara) over the near-dup graph — the finer-grained twin
+      // of connected components (q_dedup_clusters): where cc merges
+      // everything reachable (one bridge edge chains two template farms
+      // into one blob), LPA converges to DENSITY communities, splitting
+      // a chained component at its sparse cut — the right granularity
+      // for "retire this boilerplate family" curation decisions. Three
+      // synchronous rounds, each: new label(v) = the most frequent
+      // label among v's neighbors PLUS one self-vote, ties broken by
+      // MINIMUM label — fully deterministic (no async sweep order, no
+      // random tie-coin), which is what makes an exact cross-engine
+      // oracle possible; the self-vote kills synchronous LPA's classic
+      // period-2 oscillation on isolated pair components (see
+      // lpaCommunities). PipelineSpec proves 3 rounds reach the
+      // fixpoint on the gate corpus and pins the sparse-cut split on a
+      // barbell fixture cc cannot split.
+      // Shape for 100 TB: per round ONE edge-scale shuffle (dst-keyed
+      // label fetch), then vertex-scale (v,lbl) count + max(struct)
+      // argmax — partially aggregatable on the map side, no windows, no
+      // sorts; labels persist for one round each and drop (the
+      // nearDupClusters cache-retirement discipline).
+      val pairs = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+      // lpaCommunities returns an eager checkpoint, so its two consumers
+      // here (the size rollup + the final join) scan materialized blocks,
+      // not a re-run of the three rounds
+      val lbl = lpaCommunities(edges, 3)
+      val sz = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("comm_sz"))
+      lbl.join(sz, "lbl")
+        .select(col("v").as("doc_id"), col("lbl").as("comm"), col("comm_sz"))
+        .orderBy("doc_id")
     },
 
     // --- incremental graph maintenance over the persisted LSH index -----

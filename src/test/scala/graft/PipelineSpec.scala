@@ -175,6 +175,47 @@ class PipelineSpec extends GraftSuite {
     assert(r3.nonEmpty && r3.size < deg0.size, s"${r3.size} of ${deg0.size}")
   }
 
+  test("q_graph_lpa: 3 rounds reach the fixpoint; communities refine components") {
+    val pairs = graft.queries.PipelineQueries
+      .minhashPairs(spark, sf, 64).select("i", "j")
+    val edges = pairs.selectExpr("i as src", "j as dst")
+      .union(pairs.selectExpr("j as src", "i as dst")).cache()
+    def run(r: Int) = graft.queries.PipelineQueries.lpaCommunities(edges, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r3 = run(3); val r4 = run(4)
+    edges.unpersist()
+    assert(r3 == r4, s"fixpoint not reached: 3 vs 4 rounds differ")
+    // refinement: every LPA community must live inside ONE connected
+    // component (LPA can split a component at a sparse cut, never merge
+    // across components — labels only travel along edges)
+    val cc = SparkEntry.queries("q_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val violations = r3.groupBy(_._2).filter { case (_, members) =>
+      members.keys.map(cc).toSet.size > 1
+    }
+    assert(violations.isEmpty, s"communities spanning components: $violations")
+  }
+
+  test("lpaCommunities splits a barbell at the sparse cut (cc cannot)") {
+    // two triangles {0,1,2} and {10,11,12} joined by one bridge 2-10:
+    // ONE connected component, but LPA's frequency rule keeps each
+    // triangle on its own min label — the density granularity cc lacks
+    val s = spark
+    import s.implicits._
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("src", "dst")
+    val edges = und.union(und.selectExpr("dst as src", "src as dst"))
+    val got = graft.queries.PipelineQueries.lpaCommunities(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-simulated with the self-vote rule: left stabilizes on label
+    // 0, the right triangle's internal majority beats the bridge and
+    // settles on 10 — two communities where cc reports one component
+    assert(Set(0L, 1L, 2L).map(got) == Set(0L),
+      s"left triangle not labeled 0: $got")
+    assert(Set(10L, 11L, 12L).map(got) == Set(10L),
+      s"right triangle not labeled 10: $got")
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
