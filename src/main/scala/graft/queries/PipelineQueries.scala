@@ -872,6 +872,35 @@ object PipelineQueries {
         .orderBy("doc_id"))
   }
 
+  /** Per-(lang, source) readability rollup over a (lang, source, text)
+    * frame — the integer-micro-unit core of q_text_readability (see the
+    * catalog entry for the formula + determinism notes). Exposed so
+    * PipelineSpec can pin hand-computed Flesch/FK micro values on a
+    * fixture, including a negative FK sum. */
+  private[graft] def readabilityMicro(docs: DataFrame): DataFrame = {
+    val syl = expr(
+      """aggregate(transform(split(text, ' '),
+        |  x -> greatest(1, size(regexp_extract_all(x, '[aeiouy]+', 0)))),
+        |  0L, (a, x) -> a + x)""".stripMargin)
+    val p = docs.select(
+      col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("nw"),
+      syl.cast("long").as("syl"),
+      greatest(lit(1), size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+        .cast("long").as("ns"))
+    p.select(col("lang"), col("source"), col("nw"), col("syl"),
+        (lit(206835000L) - expr("(1015000 * nw) div ns")
+          - expr("(84600000 * syl) div nw")).as("fl"),
+        (expr("(390000 * nw) div ns") + expr("(11800000 * syl) div nw")
+          - lit(15590000L)).as("fk"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("fl").as("sum_flesch_micro"),
+        sum("fk").as("sum_fk_micro"),
+        expr("(100 * sum(syl)) div sum(nw)").as("syl_per_100w"))
+      .orderBy("lang", "source")
+  }
+
   /** Synchronous label propagation over a SYMMETRIC (src, dst) edge
     * frame: `rounds` iterations of new-label(v) = most frequent label
     * among v's neighbors PLUS v's own current label (one self-vote),
@@ -1985,6 +2014,41 @@ object PipelineQueries {
           (expr(s"size(filter(w, t -> $stop))").cast("double") / size(col("w")) > 0.04)
             .as("looks_en"))
         .orderBy("doc_id")
+    },
+
+    // --- readability scoring (Flesch / Flesch-Kincaid) ------------------
+    Q("q_text_readability",
+      """WITH p AS (
+        |  SELECT lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |    CAST(list_sum(list_transform(string_split(text, ' '),
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))) AS BIGINT) AS syl,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS ns
+        |  FROM documents),
+        |m AS (SELECT lang, source, nw, syl,
+        |    206835000 - (1015000 * nw) // ns - (84600000 * syl) // nw AS fl,
+        |    (390000 * nw) // ns + (11800000 * syl) // nw - 15590000 AS fk
+        |  FROM p)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(fl) AS BIGINT) AS sum_flesch_micro,
+        |  CAST(SUM(fk) AS BIGINT) AS sum_fk_micro,
+        |  CAST((100 * SUM(syl)) // SUM(nw) AS BIGINT) AS syl_per_100w
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // Flesch reading ease + Flesch-Kincaid grade per (lang, source) —
+      // the classic surface-readability gate a pretraining mix applies
+      // per source shard (flag slabs of degenerate or over-complex
+      // text before they enter the mix). Syllables via the standard
+      // vowel-group heuristic (runs of [aeiouy], min 1/word); sentences
+      // via [.!?]+ runs, min 1/doc. ALL arithmetic is integer micro
+      // units: nw/ns/syl are exact counts, each division has POSITIVE
+      // operands (truncating div agrees across engines there; floor vs
+      // truncate diverges only on negatives, which is why the rollup
+      // ships SUMS, never an average that would divide a possibly
+      // negative total). Row-local per-doc math + one map-side-partial
+      // rollup keyed (lang, source) — no window, no second pass; at
+      // 100 TB the shuffle carries ~|langs×sources| partial rows per
+      // partition.
+      readabilityMicro(t(s, d, "documents"))
     },
 
     // --- language ID: char-trigram profile classifier -------------------

@@ -216,6 +216,24 @@ class PipelineSpec extends GraftSuite {
       s"right triangle not labeled 10: $got")
   }
 
+  test("readabilityMicro matches hand-computed Flesch/FK micro units") {
+    val s = spark
+    import s.implicits._
+    // "the cat sat. it ran!": nw=5 (sat./ran! keep their punctuation in
+    // whitespace tokens), one vowel group per word -> syl=5, ns=2.
+    // fl = 206835000 - (1015000*5) div 2 - (84600000*5) div 5 = 119697500
+    // fk = (390000*5) div 2 + (11800000*5) div 5 - 15590000 = -2815000
+    val docs = Seq(("en", "s1", "the cat sat. it ran!"))
+      .toDF("lang", "source", "text")
+    val r = graft.queries.PipelineQueries.readabilityMicro(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(2) == 1L, "n_docs")
+    assert(row.getLong(3) == 119697500L, s"flesch: ${row.getLong(3)}")
+    assert(row.getLong(4) == -2815000L, s"fk: ${row.getLong(4)}")
+    assert(row.getLong(5) == 100L, s"syl/100w: ${row.getLong(5)}")
+  }
+
   test("q_dedup_semantic survivors equal a from-scratch within-cell prune") {
     // independent of the DuckDB oracle: recompute the whole operator in
     // plain Scala (cells from the same Knuth-hash planes, brute-force
