@@ -24,6 +24,40 @@ import org.apache.spark.sql.types.DecimalType
 object CurationQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
+  /** Epoch allocation over a (source, tok) frame — the integer core of
+    * q_cur_epochs (see the catalog entry for semantics). Exposed so
+    * CurationSpec can pin hand-computed cap/redistribute/clamp values
+    * on a skewed fixture the near-uniform corpus can't produce. */
+  private[graft] def epochSchedule(
+      tok: DataFrame, capEpochs: Long, budgetMult: Long): DataFrame = {
+    tok.persist()
+    try {
+      val g = tok.agg(sum("tok").as("tt"), count(lit(1)).as("ns")).head()
+      val budget = budgetMult * g.getLong(0)
+      val base = budget / g.getLong(1)
+      val cap = lit(capEpochs) * col("tok")
+      val a1 = tok.select(col("source"), col("tok"),
+        least(cap, lit(base)).as("alloc1"))
+      val su = a1.agg(
+        sum(lit(base) - col("alloc1")).as("surplus"),
+        sum(when(col("alloc1") < lit(capEpochs) * col("tok"), col("tok"))
+          .otherwise(lit(0L))).as("utok")).head()
+      val (surplus, utok) = (su.getLong(0), su.getLong(1))
+      val alloc =
+        when(col("alloc1") < cap && lit(utok) > 0L,
+          least(cap, col("alloc1") + expr(s"($surplus * tok) div $utok")))
+          .otherwise(col("alloc1"))
+      a1.select(col("source"), col("tok"), alloc.as("alloc"))
+        .select(col("source"),
+          col("tok").as("n_tokens"),
+          col("alloc").as("alloc_tokens"),
+          expr("(1000 * alloc) div tok").as("epochs_milli"),
+          (col("alloc") === lit(capEpochs) * col("tok")).as("capped"))
+        .orderBy("source")
+        .localCheckpoint(eager = true)
+    } finally tok.unpersist()
+  }
+
   /** Knuth multiplicative hash of a non-negative id, mod 2^32 — exact
     * BIGINT arithmetic both engines replicate bit-for-bit (same mix
     * q_dedup_simhash uses to spread its vote bits). Valid while
@@ -525,6 +559,53 @@ object CurationQueries {
           .filter(col("cum_tokens") <= col("budget"))
           .select(col("doc_id"), col("quality"), col("n_tokens"), col("cum_tokens"))
           .orderBy(col("quality").desc, col("doc_id")))
+    },
+
+    // --- data-constrained epoch / repetition schedule -------------------
+    Q("q_cur_epochs",
+      """WITH t AS (SELECT source,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |       FROM documents GROUP BY source),
+        |g AS (SELECT CAST(2 * SUM(tok) AS BIGINT) AS budget,
+        |        COUNT(*) AS ns FROM t),
+        |a1 AS (SELECT source, tok, budget // ns AS base,
+        |         LEAST(2 * tok, budget // ns) AS alloc1 FROM t, g),
+        |su AS (SELECT CAST(SUM(base - alloc1) AS BIGINT) AS surplus,
+        |         CAST(SUM(CASE WHEN alloc1 < 2 * tok THEN tok ELSE 0 END)
+        |           AS BIGINT) AS utok
+        |       FROM a1),
+        |f AS (SELECT source, tok,
+        |        CASE WHEN alloc1 < 2 * tok AND utok > 0
+        |          THEN LEAST(2 * tok, alloc1 + (surplus * tok) // utok)
+        |          ELSE alloc1 END AS alloc
+        |      FROM a1, su)
+        |SELECT source, tok AS n_tokens,
+        |  CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST((1000 * alloc) // tok AS BIGINT) AS epochs_milli,
+        |  alloc = 2 * tok AS capped
+        |FROM f ORDER BY source""".stripMargin) { (s, d) =>
+      // Data-constrained repetition schedule (the "how many epochs of
+      // each source under this token budget" table a 100 TB pretraining
+      // run plans with): target an EQUAL share of the 2×-unique-tokens
+      // budget per source, cap any source at `capEpochs` epochs of its
+      // unique tokens (the diminishing-returns bound from
+      // data-constrained scaling studies — repetition beyond a few
+      // epochs buys little; ~4 is the usual production knob, 2 here so
+      // the near-uniform gate corpus exercises ALL THREE branches: cap,
+      // surplus redistribution, and post-redistribution clamp), then
+      // redistribute the capped sources' unspent share to the uncapped
+      // ones proportionally to their size, one documented round, final
+      // clamp at the cap. ALL integer arithmetic on positive operands
+      // (token counts, floor divisions) — bit-identical across engines
+      // and merge orders. Shape: one (source)-keyed map-side-partial
+      // count of the corpus, then |sources|-row math with the
+      // budget/surplus scalars as driver model state (the BM25
+      // convention) — the corpus is scanned exactly once.
+      epochSchedule(
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("tok")),
+        capEpochs = 2L, budgetMult = 2L)
     },
 
     // --- keep-best canonical dedup over near-dup clusters -------------------

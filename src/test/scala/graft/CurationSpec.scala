@@ -451,4 +451,34 @@ class CurationSpec extends GraftSuite {
       assert(ordered == ordered.sorted, s"$lang stage order not monotone")
     }
   }
+
+  test("epochSchedule: cap, redistribution, and post-redistribution clamp") {
+    val s = spark
+    import s.implicits._
+    // total=7600, budget=15200, base=5066, surplus=4866, utok=7500:
+    //  a (100):  round-1 cap at 2 epochs -> 200
+    //  c (3500): uncapped at round 1 (5066 < 7000); redistribution adds
+    //            (4866*3500) div 7500 = 2270 -> 7336 CLAMPS to 7000
+    //  d (4000): redistribution adds (4866*4000) div 7500 = 2595 -> 7661
+    val tok = Seq(("a", 100L), ("c", 3500L), ("d", 4000L)).toDF("source", "tok")
+    val got = graft.queries.CurationQueries.epochSchedule(tok, 2L, 2L)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("a", 100L, 200L, 2000L, true),
+      ("c", 3500L, 7000L, 2000L, true),
+      ("d", 4000L, 7661L, 1915L, false)), got.toSeq.toString)
+  }
+
+  test("q_cur_epochs: budget is respected and the gate corpus caps someone") {
+    val rows = SparkEntry.queries("q_cur_epochs")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val totalTok = rows.map(_._1).sum
+    val alloc = rows.map(_._2).sum
+    // integer floors only ever UNDER-spend the 2x budget
+    assert(alloc <= 2L * totalTok, s"over budget: $alloc vs ${2L * totalTok}")
+    // the corpus must exercise both branches at gate SF
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      s"capped split degenerate: ${rows.count(_._3)} of ${rows.length}")
+  }
 }
