@@ -742,6 +742,84 @@ object PipelineQueries {
     } finally pt.unpersist()
   }
 
+  /** RM3-style pseudo-relevance feedback on top of the BM25 core — see
+    * the q_ret_rm3 catalog entry for semantics + determinism notes.
+    * Same constants (k1=1.2, b=0.75, query terms, rounding) as bm25Top;
+    * expansion model state (5 feedback ids, 3 terms, their idf) is
+    * bounded driver state, the BM25 convention. */
+  private[graft] def rm3Top(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("vector", "merge", "scan")
+    val docs = t(s, d, "documents")
+    val pt = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id") +: size(col("w")).cast("long").as("dl") +:
+        terms.indices.map(i =>
+          size(expr(s"filter(w, x -> x = '${terms(i)}')")).cast("long").as(s"tf$i")): _*)
+    pt.persist()
+    try {
+      val st = pt.agg(count(lit(1)).as("n"), sum("dl").as("t"),
+        sum((col("tf0") > 0).cast("long")).as("df0"),
+        sum((col("tf1") > 0).cast("long")).as("df1"),
+        sum((col("tf2") > 0).cast("long")).as("df2")).head()
+      val n = st.getLong(0)
+      val tTok = st.getLong(1)
+      val idf = terms.indices.map { i =>
+        val df = st.getLong(2 + i)
+        math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+      }
+      val norm = lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl").cast("double") * lit(n.toDouble) / lit(tTok.toDouble)))
+      val scoreCol = terms.indices.map { i =>
+        val tfD = col(s"tf$i").cast("double")
+        lit(idf(i)) * (tfD * lit(2.2)) / (tfD + norm)
+      }.reduce(_ + _)
+      val base = pt.select(col("doc_id"),
+        (col("tf0") + col("tf1") + col("tf2")).as("hits"),
+        round(round(scoreCol, 9) * 1e9, 0).cast("long").as("base_n"))
+      base.persist()
+      try {
+        val fb = base.filter(col("hits") > 0)
+          .orderBy(col("base_n").desc, col("doc_id")).limit(5).select("doc_id")
+        val expTerms = docs.join(broadcast(fb), "doc_id")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .filter(!col("term").isin(terms: _*))
+          .groupBy("term").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("term")).limit(3)
+          .collect().map(_.getString(0)).toSeq
+        val tfx = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term").isin(expTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        tfx.persist()
+        try {
+          val idfX = tfx.groupBy("term").agg(count(lit(1)).as("df")).collect()
+            .map { r =>
+              val df = r.getLong(1)
+              (r.getString(0),
+                math.log(1.0 + ((n - df).toDouble + 0.5) / (df.toDouble + 0.5)))
+            }.toSeq
+          val idfDf = s.createDataFrame(idfX).toDF("term", "idfx")
+          val ctr = tfx.join(broadcast(idfDf), "term")
+            .join(pt.select(col("doc_id"), col("dl")), "doc_id")
+            .select(col("doc_id"),
+              round(col("idfx") * (col("tf").cast("double") * lit(2.2)) /
+                (col("tf").cast("double") + norm) * 1e9, 0).cast("long").as("cn"))
+          val expn = ctr.groupBy("doc_id").agg(sum("cn").as("exp_n"))
+          val fin = base.select(col("doc_id"), col("base_n"))
+            .join(expn, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("base_n"),
+              coalesce(col("exp_n"), lit(0L)).as("exp_n"))
+            .withColumn("final_n", col("base_n") + expr("exp_n div 2"))
+          fin.orderBy(col("final_n").desc, col("doc_id")).limit(10)
+            .withColumn("rn", row_number().over(
+              Window.orderBy(col("final_n").desc, col("doc_id"))).cast("bigint"))
+            .select("rn", "doc_id", "base_n", "exp_n", "final_n")
+            .orderBy("rn")
+            .localCheckpoint(eager = true)
+        } finally tfx.unpersist()
+      } finally base.unpersist()
+    } finally pt.unpersist()
+  }
+
   /** Deletion-neighborhood-blocked Levenshtein-≤1 pairs over the first-6-
     * word titles of a (doc_id, text) frame — see the q_dedup_editdist
     * catalog entry for the completeness theorem and scale shape. Takes
@@ -2838,6 +2916,60 @@ object PipelineQueries {
           row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("bigint"))
         .filter(col("rn") <= 10)
         .orderBy("rn")
+    },
+
+    // --- pseudo-relevance feedback (RM3-style query expansion) ----------
+    Q("q_ret_rm3",
+      s"""WITH $Bm25Ctes,
+         |fb AS (SELECT doc_id FROM bmr WHERE rn <= 5),
+         |fbw AS (SELECT unnest(string_split(text, ' ')) AS term
+         |        FROM documents JOIN fb USING (doc_id)),
+         |et AS (SELECT term FROM (
+         |    SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+         |    FROM fbw WHERE term NOT IN ('vector', 'merge', 'scan')
+         |    GROUP BY term) WHERE rn <= 3),
+         |tfx AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+         |  JOIN et USING (term) GROUP BY 1, 2),
+         |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfx GROUP BY term),
+         |ctr AS (SELECT tfx.doc_id,
+         |    CAST(ROUND(ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+         |      * (CAST(tf AS DOUBLE) * 2.2)
+         |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(t AS DOUBLE))))
+         |      * 1e9, 0) AS BIGINT) AS cn
+         |  FROM tfx JOIN dfx USING (term) JOIN pt ON tfx.doc_id = pt.doc_id
+         |  CROSS JOIN st),
+         |expn AS (SELECT doc_id, CAST(SUM(cn) AS BIGINT) AS exp_n
+         |         FROM ctr GROUP BY doc_id),
+         |basen AS (SELECT doc_id, CAST(ROUND(score * 1e9, 0) AS BIGINT) AS base_n
+         |          FROM sc),
+         |fin AS (SELECT b.doc_id, b.base_n,
+         |          CAST(COALESCE(e.exp_n, 0) AS BIGINT) AS exp_n,
+         |          b.base_n + (CAST(COALESCE(e.exp_n, 0) AS BIGINT) // 2) AS final_n
+         |        FROM basen b LEFT JOIN expn e ON b.doc_id = e.doc_id)
+         |SELECT rn, doc_id, base_n, exp_n, CAST(final_n AS BIGINT) AS final_n FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY final_n DESC, doc_id) AS BIGINT) AS rn
+         |  FROM fin)
+         |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Pseudo-relevance feedback (RM3's deterministic skeleton): take
+      // the BM25 top-5 as assumed-relevant, mine their 3 most frequent
+      // non-query terms as the expansion model, re-score the WHOLE
+      // corpus with original + expansion terms (expansion interpolated
+      // at λ: final = base + exp/2), return the fused top-10. The
+      // retrieval-quality move a RAG stack layers on plain BM25: a doc
+      // with ZERO query-term hits can enter the final list via
+      // vocabulary the feedback set surfaced — recall plain keyword
+      // match can't reach. Determinism: scores land in integer
+      // NANO-units (round(x*1e9) per contribution, then integer sums /
+      // integer halving) so no cross-engine float-sum ordering exists;
+      // the only doubles are per-term ln/division on identical integer
+      // inputs, the audited q_text_bm25 risk profile. Shape for 100 TB:
+      // three corpus passes (tf stats; feedback term mine over FIVE
+      // docs — broadcast semi join; expansion tf pass filtered to 3
+      // broadcast terms), each map-side-partial; expansion model (ids,
+      // terms, idf) is bounded driver state; final is TakeOrdered k=10,
+      // never a global sort.
+      rm3Top(s, d)
     },
 
     // --- bigram frequencies (n-gram counting) ---------------------------

@@ -216,6 +216,29 @@ class PipelineSpec extends GraftSuite {
       s"right triangle not labeled 10: $got")
   }
 
+  test("q_ret_rm3: base scores agree with bm25Top; expansion reorders") {
+    val bm = SparkEntry.queries("q_text_bm25")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val rm3 = SparkEntry.queries("q_ret_rm3")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rm3.length == 10)
+    // base_n is exactly the BM25 score in nano units for shared docs
+    rm3.foreach { case (_, id, baseN, _, _) =>
+      bm.get(id).foreach { s0 =>
+        assert(math.round(s0 * 1e9) == baseN, s"doc $id: $s0 vs $baseN")
+      }
+    }
+    // every fused doc carries expansion mass, and the fused ORDER is not
+    // the base order (the operator must actually change the ranking)
+    assert(rm3.forall(_._4 > 0), "a top-10 doc with zero expansion mass")
+    val baseOrder = rm3.sortBy { case (_, id, baseN, _, _) => (-baseN, id) }.map(_._2)
+    assert(rm3.map(_._2).toSeq != baseOrder.toSeq,
+      "expansion left the base ranking untouched — vacuous on this corpus")
+    // final_n is exactly base + exp/2 and rows are ordered by it
+    rm3.foreach { case (_, _, b, e, f) => assert(f == b + e / 2) }
+    assert(rm3.map(_._5).toSeq == rm3.map(_._5).sortBy(-_).toSeq)
+  }
+
   test("readabilityMicro matches hand-computed Flesch/FK micro units") {
     val s = spark
     import s.implicits._
