@@ -239,6 +239,22 @@ class PipelineSpec extends GraftSuite {
     assert(rm3.map(_._5).toSeq == rm3.map(_._5).sortBy(-_).toSeq)
   }
 
+  test("q_ann_nndescent: refinement never loses recall and the corpus gains") {
+    val rows = SparkEntry.queries("q_ann_nndescent")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // per-vertex monotonicity is a theorem (superset of candidates,
+    // true-distance re-rank): a single violation is an engine bug
+    rows.foreach { case (v, h0, h1, imp) =>
+      assert(h1 >= h0, s"vertex $v lost recall: $h0 -> $h1")
+      assert(imp == (h1 > h0), s"vertex $v improved flag inconsistent")
+      assert(h0 >= 0 && h1 <= 3)
+    }
+    // the round must do real work on the gate corpus, not pass vacuously
+    assert(rows.map(_._3).sum > rows.map(_._2).sum,
+      s"no aggregate recall gain: ${rows.map(_._2).sum} -> ${rows.map(_._3).sum}")
+  }
+
   test("q_embed_rp: sign matrix is balanced and distortion centers on 1") {
     // matrix sanity: each sketch dim mixes both signs, no two sketch
     // dims share (or exactly oppose) their sign pattern — the failure
