@@ -239,6 +239,44 @@ class PipelineSpec extends GraftSuite {
     assert(rm3.map(_._5).toSeq == rm3.map(_._5).sortBy(-_).toSeq)
   }
 
+  test("cusumDaily: step shifts fire with the hand-computed 6-day delay") {
+    val s = spark
+    import s.implicits._
+    // type up: 100/day for d=1..20, 150 after; base=100, slack=10,
+    // h=200 -> s_up = 40*(d-20), first alarm (>200) at d=26.
+    // type dn: mirror downward, s_dn = 40*(d-20), alarm at d=26.
+    val rows =
+      (1 to 30).map(dd => ("up", dd.toLong, if (dd <= 20) 100L else 150L)) ++
+      (1 to 30).map(dd => ("dn", dd.toLong, if (dd <= 20) 100L else 50L))
+    val got = graft.queries.PipelineQueries
+      .cusumDaily(rows.toDF("event_type", "d", "cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    // stationary prefix: both statistics flat at zero on day 20
+    assert(got(("up", 20L)) == ((0L, 0L, false, false)), got(("up", 20L)).toString)
+    assert(got(("dn", 20L)) == ((0L, 0L, false, false)), got(("dn", 20L)).toString)
+    // first alarm exactly at day 26, right direction only
+    (21 to 30).foreach { dd =>
+      val (sUp, _, aUp, aDn) = got(("up", dd.toLong))
+      assert(sUp == 40L * (dd - 20), s"up d$dd s_up $sUp")
+      assert(aUp == (dd >= 26), s"up d$dd alarm $aUp")
+      assert(!aDn, s"up d$dd spurious down alarm")
+      val (_, sDn, bUp, bDn) = got(("dn", dd.toLong))
+      assert(sDn == 40L * (dd - 20), s"dn d$dd s_dn $sDn")
+      assert(bDn == (dd >= 26), s"dn d$dd alarm $bDn")
+      assert(!bUp, s"dn d$dd spurious up alarm")
+    }
+    // the stationary GATE corpus must produce zero alarms; pinned at
+    // sf0.01 (daily base ~65, slack 6, h=130) — at sf0.001 daily counts
+    // are ~6 so the integer slack floors to 0 and the monitor is
+    // legitimately noise-sensitive, the documented small-count caveat
+    val corpus = SparkEntry.queries("q_events_cusum")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(corpus.nonEmpty)
+    assert(!corpus.exists(r => r.getBoolean(5) || r.getBoolean(6)),
+      "false positive on stationary corpus")
+  }
+
   test("q_ann_nndescent: refinement never loses recall and the corpus gains") {
     val rows = SparkEntry.queries("q_ann_nndescent")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
