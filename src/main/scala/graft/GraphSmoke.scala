@@ -61,6 +61,18 @@ object GraphSmoke {
     // near-duplicate vectors — within-cell prune fan-out is the measure
     val (nSem, tSem) = run("q_dedup_semantic")
     println(f"GRAPH-SMOKE q_dedup_semantic: ${tSem}%.1fs ($nSem survivors of $nVecs)")
+
+    // LPA communities: ×M cliques are LPA's easy case (interior majority
+    // locks instantly) — the measure is the per-round edge-shuffle cost
+    // on the M-clique-dense pair graph, same regime as triangles
+    val (nLpa, tLpa) = run("q_graph_lpa")
+    println(f"GRAPH-SMOKE q_graph_lpa: ${tLpa}%.1fs ($nLpa labeled vertices)")
+
+    // NN-descent: the sampled base graph grows with the corpus (vec_id
+    // % 10 = 0 of ×M jittered vectors) — all-pairs on the sample is the
+    // documented bound, quadratic in sample size by design
+    val (nNnd, tNnd) = run("q_ann_nndescent")
+    println(f"GRAPH-SMOKE q_ann_nndescent: ${tNnd}%.1fs ($nNnd sampled vertices)")
     spark.stop()
   }
 }

@@ -45,6 +45,28 @@ final case class AsofState(
     clicks: List[Long],
     purchases: List[(Long, Long)])
 
+/** One finalized day of the streaming CUSUM monitor — schema-identical
+  * to the batch `q_events_cusum` rows so replay equality is a string
+  * compare. */
+final case class CusumRow(
+    event_type: String,
+    d: Long,
+    cnt: Long,
+    s_up: Long,
+    s_dn: Long,
+    alarm_up: Boolean,
+    alarm_dn: Boolean)
+
+/** Per-type CUSUM state between micro-batches: counts for days the
+  * watermark hasn't closed (bounded by watermark lag × 1 row/day),
+  * the ≤7-day baseline buffer, and four longs of statistic state —
+  * nothing here grows with the stream. */
+final case class CusumState(
+    open: Map[Long, Long],
+    pending: List[(Long, Long)],
+    b: Long, hasBase: Boolean,
+    p: Long, minP: Long, pd: Long, maxPd: Long)
+
 /** Structured Streaming operators over the events stream.
   *
   * The reference has NO streaming at all (SURVEY.md §2.9) — this module
@@ -261,6 +283,75 @@ object EventStreams {
         ((lit(7L) * col("cnt") - col("s")) * (lit(7L) * col("cnt") - col("s"))
           > lit(4L) * (lit(7L) * col("q") - col("s") * col("s")))
           .as("is_anomaly"))
+
+  /** Streaming twin of the batch `q_events_cusum` drift monitor: one
+    * stateful operator keyed by event_type that buckets raw events into
+    * days inside its own state, FINALIZES a day only when the watermark
+    * passes its end (replay-correct: results depend on data, never on
+    * arrival batching), freezes the baseline from the first 7 finalized
+    * days exactly like the batch query's first-7-rows window, then runs
+    * Page's recursion day by day — the same closed-form values the
+    * batch computes with stacked windows, emitted incrementally. The
+    * first ≤7 days buffer until the baseline exists and then replay
+    * through the recursion, so the emitted rows are IDENTICAL to the
+    * batch table (StreamingSpec pins string equality on a drifted
+    * fixture, alarms firing at the hand-computed day). EventTimeTimeout
+    * re-invokes each type when the watermark alone advances — a
+    * watermark-only micro-batch still closes days. State is bounded:
+    * open-day counts (watermark lag), a ≤7-entry buffer, four longs. */
+  def cusumMonitor(
+      events: Dataset[Event],
+      watermark: String = "1 hour")(
+      implicit e1: org.apache.spark.sql.Encoder[CusumRow]): Dataset[CusumRow] = {
+    val DayMs = 86400000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.event_type)(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (typ: String, batch: Iterator[Event], state: GroupState[CusumState]) =>
+          val st = state.getOption.getOrElse(CusumState(
+            Map.empty, Nil, 0L, hasBase = false,
+            0L, Long.MaxValue, 0L, Long.MinValue))
+          var open = st.open
+          batch.foreach { ev =>
+            val day = ev.ts.getTime / DayMs
+            open = open.updated(day, open.getOrElse(day, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val finalized = open.keys.filter(dd => (dd + 1) * DayMs <= wm).toSeq.sorted
+          val finCounts = finalized.map(dd => dd -> open(dd))
+          open = open -- finalized
+          val out = Seq.newBuilder[CusumRow]
+          var (b, hasBase, p, minP, pd, maxPd) =
+            (st.b, st.hasBase, st.p, st.minP, st.pd, st.maxPd)
+          var pending = st.pending
+          def step(day: Long, cnt: Long): Unit = {
+            p += cnt - b - b / 10
+            if (p < minP) minP = p
+            pd += cnt - (b - b / 10)
+            if (pd > maxPd) maxPd = pd
+            val sUp = p - minP
+            val sDn = maxPd - pd
+            out += CusumRow(typ, day, cnt, sUp, sDn, sUp > 2 * b, sDn > 2 * b)
+          }
+          finCounts.foreach { case (day, cnt) =>
+            if (!hasBase) {
+              pending = pending :+ (day -> cnt)
+              if (pending.length == 7) {
+                b = pending.map(_._2).sum / 7
+                hasBase = true
+                pending.foreach { case (dd, cc) => step(dd, cc) }
+                pending = Nil
+              }
+            } else step(day, cnt)
+          }
+          state.update(CusumState(open, pending, b, hasBase, p, minP, pd, maxPd))
+          if (open.nonEmpty)
+            state.setTimeoutTimestamp(open.keys.map(dd => (dd + 1) * DayMs).min)
+          out.result().iterator
+      }(org.apache.spark.sql.Encoders.product[CusumState], e1)
+  }
 
   def dedupe(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
     val ts = events.withColumn("ts", col("ts").cast("timestamp"))

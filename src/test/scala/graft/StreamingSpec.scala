@@ -325,6 +325,56 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM monitor: replay equals batch cusumDaily; drift fires") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    // drifted fixture, the cusumDaily spec's twin: 30 days per type,
+    // "up" steps 10 -> 15 events/day at day 21, "dn" steps 10 -> 5
+    var id = 0L
+    def day(i: Int) = ts(f"2024-02-${0 + i}%02d 12:00:00") // days 1..28
+    val fixture = for {
+      typ <- Seq("up", "dn")
+      i <- 1 to 28
+      n = if (i <= 20) 10 else if (typ == "up") 15 else 5
+      _ <- 1 to n
+    } yield { id += 1; Event(id, day(i), 1, typ, 1.0) }
+    val in = MemoryStream[Event]
+    in.addData(fixture: _*)
+    val q = EventStreams.cusumMonitor(in.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("cusum")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // sentinel batch: one far-future event per type advances the
+      // watermark past every fixture day and re-invokes both groups
+      in.addData(
+        Event(id + 1, ts("2024-03-30 00:00:00"), 1, "up", 1.0),
+        Event(id + 2, ts("2024-03-30 00:00:00"), 1, "dn", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT * FROM cusum ORDER BY event_type, d").collect()
+      // the batch query's own core over the same daily counts
+      val dc = fixture.toDF()
+        .selectExpr("event_type",
+          "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+        .groupBy("event_type", "d")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      val batch = graft.queries.PipelineQueries.cusumDaily(dc)
+        .orderBy("event_type", "d").collect()
+      assert(streamed.length == batch.length && streamed.nonEmpty,
+        s"${streamed.length} streamed vs ${batch.length} batch")
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      // drift must actually fire, in the right direction per type
+      val byType = streamed.groupBy(_.getString(0))
+      assert(byType("up").exists(_.getBoolean(5)), "up drift never fired")
+      assert(byType("dn").exists(_.getBoolean(6)), "dn drift never fired")
+      assert(!byType("up").exists(_.getBoolean(6)), "spurious dn alarm on up")
+      assert(!byType("dn").exists(_.getBoolean(5)), "spurious up alarm on dn")
+    } finally q.stop()
+  }
+
   test("file-source streaming: new files in a directory flow through the pipeline") {
     val s = spark
     import s.implicits._
