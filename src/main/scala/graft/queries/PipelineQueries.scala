@@ -2533,6 +2533,86 @@ object PipelineQueries {
       } finally e.unpersist()
     },
 
+    // --- margin-based mutual-NN mining across label groups ---------------
+    Q("q_embed_mutual_nn",
+      """WITH e AS (SELECT vec_id, label,
+        |         [CAST(floor(x * 1024.0) AS BIGINT)
+        |          for x in CAST(embedding AS DOUBLE[])] AS q
+        |       FROM embeddings WHERE label IN (0, 1)),
+        |d AS MATERIALIZED (SELECT a.vec_id AS x, b.vec_id AS y,
+        |       CAST(list_sum([(a.q[j] - b.q[j]) * (a.q[j] - b.q[j])
+        |                      for j in range(1, 65)]) AS BIGINT) AS d64
+        |     FROM e a JOIN e b ON a.label = 0 AND b.label = 1),
+        |kx AS MATERIALIZED (SELECT x, y, d64 FROM (
+        |    SELECT x, y, d64, ROW_NUMBER() OVER (PARTITION BY x ORDER BY d64, y) AS rn
+        |    FROM d) WHERE rn <= 4),
+        |ky AS MATERIALIZED (SELECT x, y, d64 FROM (
+        |    SELECT x, y, d64, ROW_NUMBER() OVER (PARTITION BY y ORDER BY d64, x) AS rn
+        |    FROM d) WHERE rn <= 4),
+        |akx AS (SELECT x, CAST(SUM(d64) // 4 AS BIGINT) AS ak FROM kx GROUP BY x),
+        |aky AS (SELECT y, CAST(SUM(d64) // 4 AS BIGINT) AS ak FROM ky GROUP BY y),
+        |mu AS (SELECT kx.x, kx.y, kx.d64 FROM kx JOIN ky
+        |       ON kx.x = ky.x AND kx.y = ky.y)
+        |SELECT mu.x, mu.y, mu.d64,
+        |       CAST((1000 * (akx.ak + aky.ak)) // (2 * mu.d64) AS BIGINT)
+        |         AS margin_milli
+        |FROM mu JOIN akx ON mu.x = akx.x JOIN aky ON mu.y = aky.y
+        |WHERE mu.d64 > 0 ORDER BY mu.x, mu.y""".stripMargin) { (s, d) =>
+      // Margin-based MUTUAL nearest-neighbor mining between two vector
+      // groups (labels 0 and 1 as the two sides) — the deterministic
+      // skeleton of bitext/parallel-pair mining (Artetxe & Schwenk):
+      // a candidate pair must be in each other's k=4 nearest across
+      // the boundary (mutuality kills hub vectors that are "near"
+      // everything), scored by the RATIO margin — pair distance
+      // against the mean of each side's own 4-NN distances, in integer
+      // milli (margin > 1000 ⇒ the pair is closer than either side's
+      // typical neighborhood, the strong-alignment signal training-
+      // pair curation thresholds on). Quantized integer distances and
+      // (dist, id) window tiebreaks; every division has positive
+      // operands. Shape for 100 TB: the cross join here is
+      // group×group at gate scale; production replaces it with the
+      // IVF-pruned candidate scan per side (the persisted-index path)
+      // and keeps exactly these windows/rollups — per-side state is
+      // k distances per vector, map-side partial. The d64 > 0 guard
+      // drops exact cross-label duplicates consistently in both
+      // engines (margin undefined at distance zero).
+      val e = t(s, d, "embeddings").filter(col("label").isin(0, 1))
+        .select(col("vec_id"), col("label"),
+          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")
+            .as("q"))
+      e.persist()
+      try {
+        val dist = e.filter(col("label") === 0)
+          .select(col("vec_id").as("x"), col("q").as("qa"))
+          .crossJoin(e.filter(col("label") === 1)
+            .select(col("vec_id").as("y"), col("q").as("qb")))
+          .select(col("x"), col("y"),
+            expr("aggregate(zip_with(qa, qb, (u, v) -> (u - v) * (u - v)), 0L, (acc, v) -> acc + v)")
+              .as("d64"))
+        dist.persist()
+        try {
+          val kx = dist.withColumn("rn", row_number().over(
+              Window.partitionBy("x").orderBy(col("d64"), col("y"))))
+            .filter(col("rn") <= 4).select("x", "y", "d64")
+          val ky = dist.withColumn("rn", row_number().over(
+              Window.partitionBy("y").orderBy(col("d64"), col("x"))))
+            .filter(col("rn") <= 4).select("x", "y", "d64")
+          kx.persist(); ky.persist()
+          try {
+            val akx = kx.groupBy("x").agg(expr("sum(d64) div 4").as("akx"))
+            val aky = ky.groupBy("y").agg(expr("sum(d64) div 4").as("aky"))
+            kx.join(ky.select("x", "y"), Seq("x", "y"))
+              .join(akx, "x").join(aky, "y")
+              .filter(col("d64") > 0)
+              .select(col("x"), col("y"), col("d64"),
+                expr("(1000 * (akx + aky)) div (2 * d64)").as("margin_milli"))
+              .orderBy("x", "y")
+              .localCheckpoint(eager = true)
+          } finally { kx.unpersist(); ky.unpersist() }
+        } finally dist.unpersist()
+      } finally e.unpersist()
+    },
+
     // --- embedding QA (feature-store validation) -------------------------
     // --- per-label centroid-distance outlier queue -----------------------
     Q("q_embed_outliers",

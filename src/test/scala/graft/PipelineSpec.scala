@@ -239,6 +239,40 @@ class PipelineSpec extends GraftSuite {
     assert(rm3.map(_._5).toSeq == rm3.map(_._5).sortBy(-_).toSeq)
   }
 
+  test("q_embed_mutual_nn equals a from-scratch Scala recompute") {
+    val vecs = Tables.df(spark, sf, "embeddings")
+      .filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Double](2).map(x => math.floor(x * 1024.0).toLong).toArray))
+    val side0 = vecs.filter(_._2 == 0)
+    val side1 = vecs.filter(_._2 == 1)
+    def d64(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum
+    val dist = (for ((x, _, qa) <- side0; (y, _, qb) <- side1)
+      yield (x, y, d64(qa, qb))).toSeq
+    def top4(grouped: Map[Long, Seq[(Long, Long, Long)]], by: ((Long, Long, Long)) => Long) =
+      grouped.view.mapValues(_.sortBy(t => (t._3, by(t))).take(4)).toMap
+    val kx = top4(dist.groupBy(_._1), _._2)
+    val ky = top4(dist.groupBy(_._2), _._1)
+    val akx = kx.view.mapValues(_.map(_._3).sum / 4).toMap
+    val aky = ky.view.mapValues(_.map(_._3).sum / 4).toMap
+    val expected = (for {
+      (x, perX) <- kx.toSeq; (_, y, dd) <- perX
+      if ky(y).exists(t => t._1 == x && t._2 == y) && dd > 0
+    } yield (x, y, dd, (1000L * (akx(x) + aky(y))) / (2 * dd)))
+      .sortBy(t => (t._1, t._2))
+    val frame = SparkEntry.queries("q_embed_mutual_nn")(spark, sf)
+    assert(frame.columns.toSeq == Seq("x", "y", "d64", "margin_milli"))
+    val got = frame.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected,
+      s"${got.length} vs ${expected.length}; first diff: ${
+        got.zip(expected).find(p => p._1 != p._2)}")
+    assert(expected.nonEmpty)
+  }
+
   test("cusumDaily: step shifts fire with the hand-computed 6-day delay") {
     val s = spark
     import s.implicits._
