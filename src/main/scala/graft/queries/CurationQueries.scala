@@ -1025,6 +1025,68 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // --- SCD2 history-preserving upsert ---------------------------------
+    Q("q_cur_scd2",
+      """WITH v1 AS (SELECT doc_id, text, 1 AS vf FROM documents),
+        |v2 AS (SELECT doc_id, text || ' rev2' AS text, 2 AS vf
+        |       FROM documents WHERE doc_id % 7 = 0),
+        |v3 AS (SELECT doc_id, text || ' rev3' AS text, 3 AS vf
+        |       FROM documents WHERE doc_id % 5 = 0),
+        |allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+        |         UNION ALL SELECT * FROM v3),
+        |h AS (SELECT doc_id, vf,
+        |        LEAD(vf) OVER (PARTITION BY doc_id ORDER BY vf) AS nxt,
+        |        length(text) AS len
+        |      FROM allv)
+        |SELECT doc_id, CAST(vf AS BIGINT) AS valid_from,
+        |       CAST(COALESCE(nxt, 9999) AS BIGINT) AS valid_to,
+        |       nxt IS NULL AS is_current,
+        |       CAST(len AS BIGINT) AS n_chars
+        |FROM h ORDER BY doc_id, valid_from""".stripMargin) { (s, d) =>
+      // SCD2 (type-2 slowly-changing dimension): the history-preserving
+      // twin of q_cur_upsert's MERGE — every corpus refresh CLOSES the
+      // superseded row's validity interval instead of overwriting it,
+      // so "which text did the model train on at epoch T" stays
+      // answerable forever (the provenance question every datasheet
+      // audit eventually asks). The Spark side applies the two deltas
+      // INCREMENTALLY — exactly the production discipline: each merge
+      // touches ONLY current rows (history partitions are immutable),
+      // closes the ones whose key appears in the delta via one
+      // broadcast doc_id-keyed join, and appends the delta as the new
+      // current version — while the oracle derives the same table in
+      // closed form with one LEAD window. Their equality IS the
+      // correctness claim: incremental interval maintenance ≡ the
+      // declarative spec. Intervals are half-open version stamps
+      // [valid_from, valid_to) with 9999 as the open sentinel (a NULL
+      // would hash differently across engines). At 100 TB the history
+      // table partitions by is_current so the merge's scan never
+      // touches closed rows.
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      def applyDelta(hist: DataFrame, delta: DataFrame, at: Long): DataFrame = {
+        val keys = delta.select("doc_id")
+        val closed = hist.filter(col("valid_to") === 9999L)
+          .join(broadcast(keys), Seq("doc_id"), "leftsemi")
+          .withColumn("valid_to", lit(at))
+        val untouched = hist.join(broadcast(keys), Seq("doc_id"), "left_anti")
+          .unionByName(hist.filter(col("valid_to") =!= 9999L)
+            .join(broadcast(keys), Seq("doc_id"), "leftsemi"))
+        untouched.unionByName(closed)
+          .unionByName(delta.withColumn("valid_from", lit(at))
+            .withColumn("valid_to", lit(9999L)))
+      }
+      val hist0 = base
+        .withColumn("valid_from", lit(1L)).withColumn("valid_to", lit(9999L))
+      val d2 = base.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev2")))
+      val d3 = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev3")))
+      applyDelta(applyDelta(hist0, d2, 2L), d3, 3L)
+        .select(col("doc_id"), col("valid_from"), col("valid_to"),
+          (col("valid_to") === 9999L).as("is_current"),
+          length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id", "valid_from")
+    },
+
     // --- corpus datasheet (per-stratum documentation report) -----------------
     Q("q_cur_datasheet",
       s"""WITH $ScoredCte,

@@ -452,6 +452,26 @@ class CurationSpec extends GraftSuite {
     }
   }
 
+  test("q_cur_scd2: intervals tile [1, 9999) per key, one current row each") {
+    val rows = SparkEntry.queries("q_cur_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, vs) =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.head._2 == 1L, s"doc $id history does not start at 1")
+      assert(sorted.last._3 == 9999L, s"doc $id has no open interval")
+      sorted.sliding(2).foreach {
+        case Array((_, _, to, _), (_, from, _, _)) =>
+          assert(to == from, s"doc $id gap/overlap: $to vs $from")
+        case _ =>
+      }
+      assert(vs.count(_._4) == 1, s"doc $id current-row count ${vs.count(_._4)}")
+      // version counts follow the delta keys: %35 -> 3 rows, %5 or %7 -> 2
+      val expected = if (id % 35 == 0) 3 else if (id % 5 == 0 || id % 7 == 0) 2 else 1
+      assert(vs.length == expected, s"doc $id has ${vs.length} versions")
+    }
+  }
+
   test("epochSchedule: cap, redistribution, and post-redistribution clamp") {
     val s = spark
     import s.implicits._
