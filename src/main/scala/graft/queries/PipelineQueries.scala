@@ -4625,6 +4625,54 @@ object PipelineQueries {
           .groupBy("event_type", "d").agg(count(lit(1)).as("cnt")))
     },
 
+    // --- day-of-week seasonality profile --------------------------------
+    Q("q_events_seasonality",
+      """WITH dc AS (SELECT event_type,
+        |         CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM events GROUP BY 1, 2),
+        |prof AS (SELECT event_type, d % 7 AS dow,
+        |           CAST(SUM(cnt) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        |         FROM dc GROUP BY 1, 2)
+        |SELECT dc.event_type, d, cnt, d % 7 AS dow,
+        |       CAST((1000 * s) // n AS BIGINT) AS dow_mean_milli,
+        |       CAST((1000 * cnt * n) // s AS BIGINT) AS ratio_milli,
+        |       (1000 * cnt * n) // s > 1200 AS hot,
+        |       (1000 * cnt * n) // s < 800 AS cold
+        |FROM dc JOIN prof ON dc.event_type = prof.event_type
+        |  AND d % 7 = prof.dow
+        |ORDER BY dc.event_type, d""".stripMargin) { (s, d) =>
+      // Day-of-week seasonality profile — the baseline model the other
+      // two monitors DON'T have: q_events_anomaly scores against a
+      // trailing window (weekday dips read as anomalies), q_events_cusum
+      // against a flat level (weekly rhythm inflates the statistic);
+      // this one learns each (type, weekday)'s own mean and scores
+      // every day against ITS weekday peer group. dow = epoch_day % 7,
+      // a pure bucket index identical by construction in both engines
+      // (bucket 0 = Thursdays; no locale-dependent dayofweek()
+      // function anywhere near the oracle hash). All integer: profile
+      // means in milli via (1000·s) div n, per-day ratio (1000·c·n)
+      // div s, hot/cold gates at ±20%. Shape for 100 TB: map-side
+      // collapse to types×days, then a types×7 profile joined back
+      // broadcast — the profile is the model artifact a monitoring
+      // deployment persists and refreshes on its own cadence.
+      val dc = t(s, d, "events")
+        .selectExpr("event_type",
+          "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val prof = dc.withColumn("dow", col("d") % 7)
+        .groupBy("event_type", "dow")
+        .agg(sum("cnt").as("s"), count(lit(1)).as("n"))
+      dc.withColumn("dow", col("d") % 7)
+        .join(broadcast(prof), Seq("event_type", "dow"))
+        .select(col("event_type"), col("d"), col("cnt"), col("dow"),
+          expr("(1000 * s) div n").as("dow_mean_milli"),
+          expr("(1000 * cnt * n) div s").as("ratio_milli"),
+          (expr("(1000 * cnt * n) div s") > 1200).as("hot"),
+          (expr("(1000 * cnt * n) div s") < 800).as("cold"))
+        .orderBy("event_type", "d")
+    },
+
     Q("q_events_sessionize",
       """WITH x AS (
         |  SELECT user_id, event_id, ts, lag(ts) OVER w AS prev

@@ -273,6 +273,26 @@ class PipelineSpec extends GraftSuite {
     assert(expected.nonEmpty)
   }
 
+  test("q_events_seasonality: profile self-consistent with its own rows") {
+    val rows = SparkEntry.queries("q_events_seasonality")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // every day row carries dow = d % 7 and a dow_mean recomputable from
+    // the emitted rows themselves — the profile can hide nothing
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((typ, dow), grp) =>
+      grp.foreach { r => assert(r._2 % 7 == dow, s"$typ day ${r._2} dow") }
+      val s = grp.map(_._3).sum
+      val n = grp.length
+      val mean = (1000L * s) / n
+      assert(grp.forall(_._5 == mean),
+        s"$typ dow $dow profile mean ${grp.head._5} vs recomputed $mean")
+      // ratios are floor((1000*c*n)/s) of the same integers
+      grp.foreach { r =>
+        assert(r._6 == (1000L * r._3 * n) / s, s"$typ day ${r._2} ratio") }
+    }
+  }
+
   test("cusumDaily: step shifts fire with the hand-computed 6-day delay") {
     val s = spark
     import s.implicits._
