@@ -97,6 +97,43 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Unrolled DuckDB oracle for greedy k-center selection over the
+    * deterministic embedding sample — one (m, s, c) CTE triple per
+    * round, generated by loop exactly like the Spark side iterates
+    * (build the text programmatically so 8 rounds can't drift apart
+    * by hand-editing). */
+  private[queries] def KCenterSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id,
+        |        [CAST(floor(x * 1024.0) AS BIGINT)
+        |         for x in CAST(embedding AS DOUBLE[])] AS q
+        |      FROM embeddings WHERE vec_id % 10 = 0),
+        |c1 AS (SELECT q FROM e WHERE vec_id = 0),
+        |m1 AS MATERIALIZED (SELECT e.vec_id,
+        |       CAST(list_sum([(e.q[j] - c1.q[j]) * (e.q[j] - c1.q[j])
+        |                      for j in range(1, 65)]) AS BIGINT) AS md
+        |     FROM e, c1)""".stripMargin)
+    for (r <- 2 to k) {
+      sb.append(s""",
+        |s$r AS (SELECT vec_id, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1),
+        |c$r AS (SELECT e.q FROM e JOIN s$r USING (vec_id)),
+        |m$r AS MATERIALIZED (SELECT m${r - 1}.vec_id,
+        |       LEAST(m${r - 1}.md,
+        |         CAST(list_sum([(e.q[j] - c$r.q[j]) * (e.q[j] - c$r.q[j])
+        |                        for j in range(1, 65)]) AS BIGINT)) AS md
+        |     FROM m${r - 1} JOIN e ON m${r - 1}.vec_id = e.vec_id, c$r)""".stripMargin)
+    }
+    sb.append("""
+      |SELECT CAST(1 AS BIGINT) AS rn,
+      |       CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS radius""".stripMargin)
+    for (r <- 2 to k)
+      sb.append(s"""
+        |UNION ALL SELECT CAST($r AS BIGINT), vec_id, md FROM s$r""".stripMargin)
+    sb.append("\nORDER BY rn")
+    sb.toString
+  }
+
   /** ±1 sign matrix for q_embed_rp's JL projection, [k][j] with k=16
     * sketch dims × j=64 input dims — generated ONCE here and inlined
     * as a literal in both the Spark expression and the DuckDB oracle,
@@ -972,6 +1009,35 @@ object PipelineQueries {
         .filter(col("c") >= 2)
         .select(col("src").as("doc_id"), col("c").as("core_deg"))
         .orderBy("doc_id"))
+  }
+
+  /** Greedy k-center (farthest-point) selection over a (vec_id, q)
+    * integer-vector frame — the iterative core of q_cur_kcenter.
+    * Centers live as driver model state (k 64-int arrays, the k-means
+    * convention); each round is ONE map-side-reduced argmax pass with
+    * the current centers inlined as literals. Returns (rn, vec_id,
+    * radius = the selected point's min-distance to the prior set). */
+  private[graft] def kcenterGreedy(e: DataFrame, k: Int): DataFrame = {
+    e.persist()
+    try {
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var centers = List(
+        e.filter(col("vec_id") === 0).head().getSeq[Long](1).toArray)
+      out += ((1L, 0L, 0L))
+      for (r <- 2 to k) {
+        val md = centers.map { c =>
+          val arr = c.mkString("array(", "L,", "L)")
+          expr(s"aggregate(zip_with(q, $arr, (u, v) -> (u - v) * (u - v)), 0L, (a, x) -> a + x)")
+        }.reduce(least(_, _))
+        val top = e.select(col("vec_id"), md.as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1).head()
+        out += ((r.toLong, top.getLong(0), top.getLong(1)))
+        centers = centers :+
+          e.filter(col("vec_id") === top.getLong(0)).head().getSeq[Long](1).toArray
+      }
+      e.sparkSession.createDataFrame(out.result())
+        .toDF("rn", "vec_id", "radius")
+    } finally e.unpersist()
   }
 
   /** CUSUM over a (event_type, d, cnt) daily-count frame — the window
@@ -2533,6 +2599,37 @@ object PipelineQueries {
       } finally e.unpersist()
     },
 
+    // --- greedy k-center coreset (diversity selection) --------------------
+    Q("q_cur_kcenter",
+      KCenterSql(8)) { (s, d) =>
+      // Greedy k-center / farthest-point coreset (Gonzalez 1985, the
+      // 2-approximation to optimal k-center): pick the point farthest
+      // from everything chosen so far, 8 rounds — the DIVERSITY
+      // selection a curation pipeline runs when it wants a maximally
+      // spread training subsample or eval probe set instead of the
+      // density-biased picks every sampler/quality gate produces (MMR
+      // diversifies a RANKING; this diversifies the corpus itself).
+      // Output per round: the chosen vec_id and its selection RADIUS =
+      // min-distance to the prior set; the radii are NON-INCREASING by
+      // construction (each round covers the previous worst gap — the
+      // Gonzalez invariant, pinned in PipelineSpec) and radius_k bounds
+      // the full sample's covering radius within 2× of optimal.
+      // Deterministic: quantized integer distances, argmax ties to the
+      // smaller vec_id, seed center = vec 0; the oracle unrolls the
+      // same 8 rounds in generated SQL (KCenterSql — built by loop so
+      // engine and oracle can't drift). Shape for 100 TB: k passes
+      // over the corpus, each a map-side-reduced argmax against k
+      // inlined centers (driver model state, the k-means convention);
+      // the deterministic sample here bounds gate cost, production
+      // runs the same passes on the full vector table.
+      kcenterGreedy(
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"),
+            expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")
+              .as("q")),
+        8)
+    },
+
     // --- margin-based mutual-NN mining across label groups ---------------
     Q("q_embed_mutual_nn",
       """WITH e AS (SELECT vec_id, label,
@@ -4031,6 +4128,48 @@ object PipelineQueries {
     },
 
     // --- skew-resistant salted join (technique demo, exact result) ------
+    // --- join-key skew audit (the decide-before-you-salt diagnostic) ----
+    Q("q_join_skew_audit",
+      """WITH kc AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM orders GROUP BY 1),
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+        |         CAST(SUM(c) AS BIGINT) AS tot FROM kc)
+        |SELECT CAST(rn AS BIGINT) AS rn, k, c AS cnt,
+        |       CAST((1000000 * c) // tot AS BIGINT) AS share_ppm,
+        |       CAST((1000 * c * nk) // tot AS BIGINT) AS ratio_mean_milli
+        |FROM (SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rn
+        |      FROM kc), st
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
+      // Pre-join skew audit over the prospective join key — the
+      // diagnostic that DECIDES whether q_join_salted's treatment is
+      // needed before the shuffle burns: per-key row counts, the top-10
+      // heavy keys with their corpus share (ppm) and ratio to the mean
+      // key (milli). A ratio_mean_milli in the low thousands says hash
+      // partitioning is fine; 100k+ says this key's partition will
+      // straggle and the join needs salting (or an AQE skew split —
+      // whose trigger threshold is exactly this statistic, computed at
+      // runtime from the same shuffle sizes). Integer everywhere; one
+      // map-side-partial key count, the totals are a driver-scale
+      // scalar row, the top-10 is TakeOrdered never a full sort. At
+      // 100 TB this audit reads the key column ONLY (columnar prune)
+      // and is the cheap pass you always run before a fact-fact join.
+      val kc = t(s, d, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      kc.persist()
+      try {
+        val st = kc.agg(count(lit(1)).as("nk"), sum("c").as("tot")).head()
+        val (nk, tot) = (st.getLong(0), st.getLong(1))
+        kc.orderBy(col("c").desc, col("k")).limit(10)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("c").desc, col("k"))).cast("bigint"))
+          .select(col("rn"), col("k"), col("c").as("cnt"),
+            expr(s"(1000000 * c) div $tot").as("share_ppm"),
+            expr(s"(1000 * c * $nk) div $tot").as("ratio_mean_milli"))
+          .orderBy("rn")
+          .localCheckpoint(eager = true)
+      } finally kc.unpersist()
+    },
+
     Q("q_join_salted",
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |       ${Qh.sqlDsum("l_extendedprice")} AS total

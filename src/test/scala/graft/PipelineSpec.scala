@@ -273,6 +273,30 @@ class PipelineSpec extends GraftSuite {
     assert(expected.nonEmpty)
   }
 
+  test("kcenterGreedy: hand-computed line fixture and the Gonzalez invariant") {
+    val s = spark
+    import s.implicits._
+    // three points on one axis at 0, 1024, 10240 (already quantized):
+    // from seed 0 greedy picks the far point (radius 10240^2), then the
+    // near one (its min-dist is to the seed: 1024^2)
+    val fx = Seq(
+      (0L, Array(0L) ++ Array.fill(63)(0L)),
+      (1L, Array(1024L) ++ Array.fill(63)(0L)),
+      (2L, Array(10240L) ++ Array.fill(63)(0L))).toDF("vec_id", "q")
+    val got = graft.queries.PipelineQueries.kcenterGreedy(fx, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 2L, 104857600L), (3L, 1L, 1048576L)),
+      got.toString)
+    // corpus: selection radii are non-increasing from round 2 on — each
+    // round covers the previous worst gap (the 2-approximation's core)
+    val radii = SparkEntry.queries("q_cur_kcenter")(spark, sf).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(2)).drop(1)
+    assert(radii.nonEmpty && radii.sliding(2).forall {
+      case Array(a, b) => b <= a
+      case _ => true
+    }, radii.mkString(","))
+  }
+
   test("q_events_seasonality: profile self-consistent with its own rows") {
     val rows = SparkEntry.queries("q_events_seasonality")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
