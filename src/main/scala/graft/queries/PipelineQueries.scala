@@ -4901,5 +4901,141 @@ object PipelineQueries {
           .crossJoin(t2.agg(count(lit(1)).as("n_view_click")))
           .crossJoin(t3.agg(count(lit(1)).as("n_full_funnel"))))
     },
+
+    // --- event-type Markov transition matrix ----------------------------
+    Q("q_events_markov",
+      """WITH x AS (SELECT user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |       FROM events),
+        |tr AS (SELECT COALESCE(prev, '_start') AS prev_type, event_type AS next_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM x GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, next_type, n,
+        |       CAST((1000 * n) // tot AS BIGINT) AS p_milli
+        |FROM tr JOIN tot USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin) { (s, d) =>
+      // First-order Markov model of user journeys — P(next event type |
+      // previous event type), the user-behavior transition matrix behind
+      // next-action prediction and journey-drop-off analysis. Each user's
+      // timeline is ordered once (the same (user, ts, event_id) total
+      // order every sequence operator here uses), lag() yields the
+      // predecessor, a NULL predecessor becomes the synthetic '_start'
+      // state so entry-point probabilities are part of the same matrix.
+      // Probabilities are exact integer milli-units — (1000·n) div tot,
+      // identical both engines — never a float division race. Shape for
+      // 100 TB: ONE user-keyed shuffle for the lag pass (co-partitioned
+      // with every other per-user sequence operator), then the corpus
+      // collapses map-side to ≤ (types+1)×types transition cells; the
+      // row-count rollup `tot` is model-sized and broadcast back. The
+      // matrix itself is the persistable model artifact.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts").cast("timestamp").as("ts"),
+          col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .groupBy(coalesce(col("prev"), lit("_start")).as("prev_type"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("prev_type").agg(sum("n").as("tot"))
+      tr.join(broadcast(tot), "prev_type")
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(1000 * n) div tot").as("p_milli"))
+        .orderBy("prev_type", "next_type")
+    },
+
+    // --- RFM user segmentation ------------------------------------------
+    Q("q_events_rfm",
+      s"""WITH u AS (SELECT user_id,
+        |         MAX(epoch_ms(ts) // 86400000) AS last_d,
+        |         CAST(COUNT(*) AS BIGINT) AS freq,
+        |         ${Qh.sqlDsum("value")} AS mon
+        |       FROM events GROUP BY 1),
+        |m AS (SELECT MAX(last_d) AS maxd FROM u),
+        |sc AS (SELECT user_id, CAST(maxd - last_d AS BIGINT) AS recency_days, freq, mon,
+        |         NTILE(5) OVER (ORDER BY maxd - last_d ASC, user_id) AS r,
+        |         NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |         NTILE(5) OVER (ORDER BY mon DESC, user_id) AS mm
+        |       FROM u, m)
+        |SELECT user_id, recency_days, freq, mon,
+        |       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f, CAST(mm AS BIGINT) AS m,
+        |       CAST(r * 100 + f * 10 + mm AS BIGINT) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin) { (s, d) =>
+      // RFM (recency / frequency / monetary) segmentation — the classic
+      // user-value model: quintile-score each user on days-since-last-
+      // event, event count, and exact summed value, concatenated into a
+      // 555-style segment code. Monetary sums go through decimal
+      // (Qh.dsum) so ordering ties are engine-identical; every NTILE
+      // orders with a user_id tiebreak so quintile boundaries are
+      // deterministic at any parallelism. The gate spelling uses exact
+      // global NTILE (one-partition window — fine at gate SF); the 100 TB
+      // path replaces each NTILE with approx-quantile cut points
+      // (percentile_approx on the per-user frame, 5 cuts broadcast back,
+      // score = map-side comparison) — the same exact-vs-sketch split
+      // q_cur_quality_gate documents, with the per-user rollup (ONE
+      // user-keyed shuffle, map-side partials) unchanged.
+      val u = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000").as("dd"),
+          col("value"))
+        .groupBy("user_id")
+        .agg(max("dd").as("last_d"), count(lit(1)).as("freq"),
+          Qh.dsum(col("value")).as("mon"))
+      val maxd = u.agg(max("last_d").as("maxd"))
+      u.crossJoin(broadcast(maxd))
+        .select(col("user_id"), (col("maxd") - col("last_d")).as("recency_days"),
+          col("freq"), col("mon"),
+          ntile(5).over(Window.orderBy(col("maxd") - col("last_d"), col("user_id")))
+            .cast("bigint").as("r"),
+          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+            .cast("bigint").as("f"),
+          ntile(5).over(Window.orderBy(col("mon").desc, col("user_id")))
+            .cast("bigint").as("m"))
+        .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+        .orderBy("user_id")
+    },
+
+    // --- Pareto / Lorenz concentration audit ----------------------------
+    Q("q_events_pareto",
+      """WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM events GROUP BY 1),
+        |r AS (SELECT user_id, n,
+        |        ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rn,
+        |        (SELECT COUNT(*) FROM uc) AS nu,
+        |        (SELECT SUM(n) FROM uc) AS te
+        |      FROM uc),
+        |g AS (SELECT CAST(((rn - 1) * 10) // nu AS BIGINT) AS decile,
+        |        CAST(COUNT(*) AS BIGINT) AS n_users,
+        |        CAST(SUM(n) AS BIGINT) AS n_events, MAX(te) AS te
+        |      FROM r GROUP BY 1)
+        |SELECT decile, n_users, n_events,
+        |  CAST((1000 * SUM(n_events) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING))
+        |       // te AS BIGINT) AS cum_share_milli
+        |FROM g ORDER BY decile""".stripMargin) { (s, d) =>
+      // Lorenz-curve concentration audit — "what share of the corpus do
+      // the top 10% of contributors produce?" — the skew census run
+      // before choosing salting/cap policies (q_join_skew_audit profiles
+      // JOIN keys; this profiles the contributor distribution itself).
+      // Users rank by event count (user_id tiebreak → total order),
+      // land in rank deciles, and each decile reports its exact
+      // cumulative corpus share in integer milli-units. Shape for
+      // 100 TB: per-user counts collapse map-side before ONE user-keyed
+      // exchange; the ranked frame is users-scale — the gate spelling's
+      // global ROW_NUMBER is the documented one-partition caveat, and
+      // the scale path is the distributed two-pass rank of
+      // q_cur_token_budget (range-repartition + per-partition offsets)
+      // feeding the same decile bucketing; the final window runs on 10
+      // rows.
+      val uc = t(s, d, "events").groupBy("user_id").agg(count(lit(1)).as("n"))
+      val tots = uc.agg(count(lit(1)).as("nu"), sum("n").as("te"))
+      val g = uc.crossJoin(broadcast(tots))
+        .withColumn("rn", row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+        .groupBy(expr("((rn - 1) * 10) div nu").as("decile"))
+        .agg(count(lit(1)).as("n_users"), sum("n").as("n_events"), max("te").as("te"))
+      g.withColumn("cum_share_milli",
+          expr("(1000 * sum(n_events) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) div te"))
+        .select(col("decile"), col("n_users"), col("n_events"), col("cum_share_milli"))
+        .orderBy("decile")
+    },
   )
 }
