@@ -5037,5 +5037,115 @@ object PipelineQueries {
         .select(col("decile"), col("n_users"), col("n_events"), col("cum_share_milli"))
         .orderBy("decile")
     },
+
+    // --- cross-doc duplicated n-gram fraction (FineWeb/RefinedWeb) ------
+    Q("q_text_dup_ngram",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |occ AS (SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS g
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w)),
+        |df AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST((1000 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+        |    AS dup_frac_milli,
+        |  (1000 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END)) // COUNT(*) > 300 AS flagged
+        |FROM occ JOIN df USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Duplicated-n-gram fraction — the RefinedWeb/FineWeb quality
+      // signal the WITHIN-doc repetition filter (q_text_repetition)
+      // cannot see: the share of a document's 3-gram OCCURRENCES whose
+      // gram also appears in some OTHER document. Template spam, mirror
+      // pages and licence-block boilerplate score high here while
+      // looking locally clean. Shape for 100 TB: position 3-grams
+      // explode row-locally; document frequency is a two-phase distinct
+      // (gram, doc) count; the join back is keyed on the gram (the ONE
+      // corpus-scale shuffle — gram keys partition finely, no hot key
+      // survives the distinct), and the per-doc rollup collapses
+      // map-side on doc_id. Fractions are exact integer milli-units.
+      // The occurrence frame feeds both the df build and the join probe
+      // — materialized once, dropped on return. Sub-3-word docs have no
+      // 3-grams and are excluded (a caller's length gate catches them
+      // long before this filter).
+      val occ = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w) - 3),
+            |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))"""
+            .stripMargin)).as("g"))
+      Qh.materializedWith(occ) {
+        val df = occ.select("doc_id", "g").distinct()
+          .groupBy("g").agg(count(lit(1)).as("df"))
+        occ.join(df, "g")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            expr("(1000 * n_dup) div n_grams").as("dup_frac_milli"),
+            (expr("(1000 * n_dup) div n_grams") > 300).as("flagged"))
+          .orderBy("doc_id")
+      }
+    },
+
+    // --- encoding-artifact (mojibake) audit -----------------------------
+    Q("q_text_mojibake",
+      """WITH c AS (SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(65533) || chr(65533) || text
+        |         WHEN doc_id % 11 = 0 THEN text || chr(7)
+        |         WHEN doc_id % 13 = 0 THEN text || ' ' || repeat(chr(233), 40)
+        |         ELSE text END AS t
+        |  FROM documents),
+        |f AS (SELECT lang, source,
+        |    CASE WHEN strpos(t, chr(65533)) > 0 THEN 1 ELSE 0 END AS repl,
+        |    CASE WHEN regexp_matches(t, '[\x01-\x08\x0b\x0c\x0e-\x1f]') THEN 1 ELSE 0 END AS ctl,
+        |    CASE WHEN 1000 * (length(t) - length(regexp_replace(t, '[^\x01-\x7f]', '', 'g')))
+        |              > 50 * length(t) THEN 1 ELSE 0 END AS hi
+        |  FROM c)
+        |SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(repl) AS BIGINT) AS n_replacement,
+        |  CAST(SUM(ctl) AS BIGINT) AS n_control,
+        |  CAST(SUM(hi) AS BIGINT) AS n_nonascii,
+        |  CAST(SUM(CASE WHEN repl + ctl + hi > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |  CAST((1000 * SUM(CASE WHEN repl + ctl + hi > 0 THEN 1 ELSE 0 END)) // COUNT(*)
+        |       AS BIGINT) AS bad_share_milli
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // Encoding-artifact audit — the mojibake/charset-QA gate every web
+      // crawl runs before training: U+FFFD replacement characters (a
+      // decoder already gave up), C0 control characters (binary bleed),
+      // and a high non-ASCII share (charset mislabel for an ASCII-coded
+      // corpus) are flagged per document and rolled up per (lang,
+      // source) — the granularity at which a crawl quarantines a feed.
+      // The gate corpus is clean ASCII by construction, so the audit's
+      // branches are exercised on a DERIVED corrupted column (the
+      // q_cur_snapshot_fuzzy precedent): doc_id-keyed, identical in both
+      // engines, hitting each flag class. Detection is row-local regex
+      // at scan speed — patterns stay in the Java-regex/RE2-identical
+      // subset (the q_cur_pii rule; NUL excluded from both classes —
+      // RE2 accepts \x00 but a NUL in a pattern literal is undefined
+      // across engines), ratios are integer cross-multiplications; the
+      // rollup collapses map-side to langs×sources cells before the one
+      // exchange. No shuffle ever carries text.
+      val c = t(s, d, "documents").select(col("lang"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(lit("\uFFFD\uFFFD"), col("text")))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit("\u0007")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" "), lit("é" * 40)))
+          .otherwise(col("text")).as("t"))
+      val f = c.select(col("lang"), col("source"),
+        when(instr(col("t"), "\uFFFD") > 0, 1L).otherwise(0L).as("repl"),
+        when(col("t").rlike("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]"), 1L).otherwise(0L).as("ctl"),
+        when(lit(1000) * (length(col("t"))
+            - length(regexp_replace(col("t"), "[^\\x01-\\x7f]", "")))
+          > lit(50) * length(col("t")), 1L).otherwise(0L).as("hi"))
+      f.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("repl").as("n_replacement"),
+          sum("ctl").as("n_control"),
+          sum("hi").as("n_nonascii"),
+          sum(when(col("repl") + col("ctl") + col("hi") > 0, 1L).otherwise(0L)).as("n_bad"))
+        .withColumn("bad_share_milli", expr("(1000 * n_bad) div n_docs"))
+        .orderBy("lang", "source")
+    },
   )
 }
