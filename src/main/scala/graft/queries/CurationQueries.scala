@@ -1445,6 +1445,54 @@ object CurationQueries {
           .orderBy(col("wfp").desc, col("doc_id"))
           .limit(100)
           .select(col("doc_id"), round(col("wfp") / 1e6, 6).as("dsir_w")))
+    },
+
+    // --- source reputation via empirical-Bayes shrinkage ----------------
+    Q("q_cur_source_reputation",
+      """WITH q AS (SELECT source,
+        |    LEAST(n_chars * 1250, 500000)
+        |      + LEAST((5000000 * len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'is'))))
+        |              // len(w), 500000) AS qm
+        |  FROM (SELECT source, n_chars, string_split(text, ' ') AS w FROM documents)),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(qm) AS BIGINT) AS sq FROM q GROUP BY 1),
+        |g AS (SELECT CAST(SUM(sq) AS BIGINT) AS ts, CAST(SUM(n_docs) AS BIGINT) AS tn FROM s)
+        |SELECT source, n_docs,
+        |  CAST(sq // n_docs AS BIGINT) AS mean_q_micro,
+        |  CAST((sq + 20 * (ts // tn)) // (n_docs + 20) AS BIGINT) AS shrunk_q_micro,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY (sq + 20 * (ts // tn)) // (n_docs + 20) DESC, source) AS BIGINT) AS rank
+        |FROM s, g ORDER BY rank""".stripMargin) { (s, d) =>
+      // Source (domain/feed) reputation — the crawl-prioritization model:
+      // rank sources by mean document quality, SHRUNK toward the global
+      // mean with an empirical-Bayes prior of strength K=20 pseudo-docs,
+      // so a 3-document source with three lucky drafts cannot outrank an
+      // established feed (the small-sample pathology raw means have).
+      // shrunk = (Σq + K·ḡ) / (n + K) — the Beta-prior posterior mean.
+      // The quality formula is q_text_quality's, recast in EXACT integer
+      // micro-units (n_chars·1250 and (5e6·stops) div words, each capped
+      // at 500000 — no float anywhere, so sums are merge-order-
+      // independent and both engines agree bit-for-bit). Shape for
+      // 100 TB: per-doc scores are row-local; the rollup collapses
+      // map-side to one cell per source before the single exchange; the
+      // global mean is a 1-row broadcast; ranking runs on the
+      // model-sized source frame.
+      val q = t(s, d, "documents")
+        .select(col("source"), col("n_chars"), split(col("text"), " ").as("w"))
+        .select(col("source"),
+          (least(col("n_chars") * 1250, lit(500000L)) +
+            least(expr(s"(5000000 * size(filter(w, t -> $Stop))) div size(w)"),
+              lit(500000L))).as("qm"))
+      val sAgg = q.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("qm").as("sq"))
+      val g = sAgg.agg(sum("sq").as("ts"), sum("n_docs").as("tn"))
+      sAgg.crossJoin(broadcast(g))
+        .select(col("source"), col("n_docs"),
+          expr("sq div n_docs").as("mean_q_micro"),
+          expr("(sq + 20 * (ts div tn)) div (n_docs + 20)").as("shrunk_q_micro"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("shrunk_q_micro").desc, col("source"))).cast("bigint"))
+        .orderBy("rank")
     }
   )
 }

@@ -5147,5 +5147,60 @@ object PipelineQueries {
         .withColumn("bad_share_milli", expr("(1000 * n_bad) div n_docs"))
         .orderBy("lang", "source")
     },
+
+    // --- URL-canonicalization dedup -------------------------------------
+    Q("q_dedup_url",
+      """WITH u AS (SELECT event_id,
+        |    'https://EX-' || CAST(user_id % 5 AS VARCHAR) || '.Example.COM/'
+        |      || event_type || '/p' || CAST(user_id % 50 AS VARCHAR)
+        |      || (CASE WHEN event_id % 3 = 0 THEN '/' ELSE '' END)
+        |      || (CASE WHEN event_id % 2 = 0
+        |          THEN '?utm_source=x&sid=' || CAST(event_id AS VARCHAR) ELSE '' END) AS url
+        |  FROM events),
+        |c AS (SELECT event_id, url,
+        |    'https://' || lower(regexp_extract(url, '^https://([^/?]+)', 1))
+        |      || regexp_replace(regexp_replace(
+        |           regexp_replace(url, '^https://[^/?]+', ''), '\?.*$', ''), '/$', '') AS curl
+        |  FROM u)
+        |SELECT curl, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(MIN(event_id) AS BIGINT) AS first_event_id
+        |FROM c GROUP BY 1 ORDER BY curl""".stripMargin) { (s, d) =>
+      // URL-canonicalization dedup — the FIRST dedup stage of every web
+      // corpus (CommonCrawl processing dedups by canonical URL before
+      // any content hashing touches bytes): case-fold the host (DNS is
+      // case-insensitive; paths are NOT — the path's case survives),
+      // strip the query string (session ids / UTM tags explode one page
+      // into millions of raw URLs), drop the trailing slash, then group
+      // fetches by canonical form, keeping the earliest fetch as owner.
+      // The corpus has no URL column, so fetch URLs derive
+      // deterministically from events (host/path/slash/query variants
+      // all exercised, identical in both engines — the derived-column
+      // precedent of q_text_mojibake). Canonicalization is three
+      // row-local regex passes at scan speed; the dedup is ONE
+      // canonical-key group-by with map-side partials — URL keys
+      // partition finely at any crawl size, and only (url, id) pairs
+      // ever shuffle. At 100 TB the same plan runs per crawl segment
+      // with the owner table persisted as the fetch-frontier filter.
+      val u = t(s, d, "events").select(col("event_id"),
+        concat(lit("https://EX-"), (col("user_id") % 5).cast("string"),
+          lit(".Example.COM/"), col("event_type"),
+          lit("/p"), (col("user_id") % 50).cast("string"),
+          when(col("event_id") % 3 === 0, "/").otherwise(""),
+          when(col("event_id") % 2 === 0,
+            concat(lit("?utm_source=x&sid="), col("event_id").cast("string")))
+            .otherwise("")).as("url"))
+      u.select(col("event_id"), col("url"),
+          concat(lit("https://"),
+            lower(regexp_extract(col("url"), "^https://([^/?]+)", 1)),
+            regexp_replace(regexp_replace(
+              regexp_replace(col("url"), "^https://[^/?]+", ""),
+              "\\?.*$", ""), "/$", "")).as("curl"))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct("url").as("n_variants"),
+          min("event_id").as("first_event_id"))
+        .orderBy("curl")
+    },
   )
 }
