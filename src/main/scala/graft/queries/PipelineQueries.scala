@@ -5202,5 +5202,70 @@ object PipelineQueries {
           min("event_id").as("first_event_id"))
         .orderBy("curl")
     },
+
+    // --- Matryoshka truncated-dimension retrieval audit -----------------
+    Q("q_embed_matryoshka",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |sc AS (SELECT pid, e.vec_id,
+        |         ROUND(list_cosine_similarity(e.v, qv), 9) AS cf,
+        |         ROUND(list_cosine_similarity(e.v[1:16], qv[1:16]), 9) AS ct
+        |       FROM e, p WHERE e.vec_id <> pid),
+        |rf AS (SELECT pid, vec_id FROM (
+        |         SELECT pid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cf DESC, vec_id) AS r
+        |         FROM sc) WHERE r <= 10),
+        |rt AS (SELECT pid, vec_id FROM (
+        |         SELECT pid, vec_id,
+        |           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ct DESC, vec_id) AS r
+        |         FROM sc) WHERE r <= 10)
+        |SELECT rf.pid AS probe_id, CAST(COUNT(rt.vec_id) AS BIGINT) AS n_overlap,
+        |       CAST(COUNT(rt.vec_id) * 100 AS BIGINT) AS recall_milli
+        |FROM rf LEFT JOIN rt ON rf.pid = rt.pid AND rf.vec_id = rt.vec_id
+        |GROUP BY rf.pid ORDER BY probe_id""".stripMargin) { (s, d) =>
+      // Matryoshka (MRL) truncation audit — modern embedding models are
+      // trained so a PREFIX of the vector is itself a usable embedding;
+      // serving at 16 of 64 dims cuts index memory and dot-product cost
+      // 4× IF retrieval quality holds. This measures exactly that:
+      // per-probe top-10 overlap between full-dimension and
+      // prefix-truncated cosine retrieval (recall@10 of the cheap
+      // metric against the exact one — the number a deployment reads
+      // before flipping the truncation switch; on THESE random-synthetic
+      // vectors the audit correctly reports low overlap, the
+      // untrained-model baseline). Probes are the deterministic
+      // vec_id%100 set, broadcast; the corpus is scored ONCE carrying
+      // both metrics (two codegen'd dot products in the same row-local
+      // pass — not two corpus scans), then two per-probe top-10 windows
+      // rank the SAME scored frame (materialized once, dropped on
+      // return) and an id-equality join counts agreement. At 100 TB:
+      // probes×corpus map work, two probe-keyed window shuffles of
+      // (pid, id, score) longs, never the vectors themselves.
+      val e = vecs(s, d)
+      val p = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("pid"), col("v").as("qv"))
+      val sc = e.crossJoin(broadcast(p))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("vec_id"),
+          cosine(col("v"), col("qv")).as("cf"),
+          cosine(slice(col("v"), 1, 16), slice(col("qv"), 1, 16)).as("ct"))
+      Qh.materializedWith(sc) {
+        def top10(metric: String) = sc
+          .withColumn("r", row_number().over(
+            Window.partitionBy("pid").orderBy(col(metric).desc, col("vec_id"))))
+          .filter(col("r") <= 10)
+          .select(col("pid"), col("vec_id"))
+        top10("cf").as("rf")
+          .join(top10("ct").as("rt"), Seq("pid", "vec_id"), "left_semi")
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("matched"))
+          // probes with zero overlap still need a row: re-join onto the
+          // probe list (model-sized, broadcast)
+          .join(broadcast(p.select(col("pid"))), Seq("pid"), "right")
+          .select(col("pid").as("probe_id"),
+            coalesce(col("matched"), lit(0L)).as("n_overlap"),
+            (coalesce(col("matched"), lit(0L)) * 100).as("recall_milli"))
+          .orderBy("probe_id")
+      }
+    },
   )
 }
