@@ -5267,5 +5267,61 @@ object PipelineQueries {
           .orderBy("probe_id")
       }
     },
+
+    // --- last-touch revenue attribution ---------------------------------
+    Q("q_events_attribution",
+      s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |tch AS (SELECT user_id, ts, event_id AS tid, event_type FROM events
+        |        WHERE event_type <> 'purchase'),
+        |lt AS (SELECT event_id, event_type AS touch FROM (
+        |         SELECT p.event_id, tch.event_type,
+        |           ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |                              ORDER BY tch.ts DESC, tch.tid DESC) AS rn
+        |         FROM p JOIN tch ON p.user_id = tch.user_id
+        |           AND tch.ts < p.ts
+        |           AND tch.ts >= p.ts - INTERVAL 7 DAY)
+        |       WHERE rn = 1),
+        |a AS (SELECT p.event_id, p.value, COALESCE(lt.touch, '_organic') AS touch
+        |      FROM p LEFT JOIN lt USING (event_id))
+        |SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  ${Qh.sqlDsum("value")} AS revenue
+        |FROM a GROUP BY 1 ORDER BY touch""".stripMargin) { (s, d) =>
+      // Last-touch attribution — the marketing-analytics staple: each
+      // purchase's revenue is credited to the LATEST non-purchase event
+      // by the same user inside a 7-day lookback; purchases with no
+      // touch in the window are '_organic'. This is the as-of-join
+      // shape (q_join_asof) specialized to attribution: in Spark the
+      // "latest preceding" pick is a max_by aggregate over the
+      // windowed user-keyed join — purchases and touches co-partition
+      // on user_id, so after ONE user-keyed shuffle the range match is
+      // partition-local; ties (same-timestamp touches) break by the
+      // touch's event_id, a total order both engines evaluate
+      // identically. Revenue sums are decimal-exact (Qh.dsum). At
+      // 100 TB the 7-day window bounds per-user match fan-out, and the
+      // rollup collapses to one row per touch type. The scale caveat is
+      // a power-user's dense timeline (touches×purchases within 7 days
+      // quadratic per user) — the production mitigation is bucketing
+      // the join by (user, day-bucket) so each purchase only meets its
+      // own 8 day-buckets of touches.
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("timestamp").as("pts"),
+          col("event_id"), col("value"))
+      val tch = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("tuid"), col("ts").cast("timestamp").as("tts"),
+          col("event_id").as("tid"), col("event_type"))
+      val lt = p.join(tch,
+          col("user_id") === col("tuid") &&
+            col("tts") < col("pts") &&
+            col("tts") >= col("pts") - expr("INTERVAL 7 DAY"))
+        .groupBy(col("event_id"))
+        .agg(max_by(col("event_type"), struct(col("tts"), col("tid"))).as("touch"))
+      p.join(lt, Seq("event_id"), "left")
+        .select(coalesce(col("touch"), lit("_organic")).as("touch"), col("value"))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases"), Qh.dsum(col("value")).as("revenue"))
+        .orderBy("touch")
+    },
   )
 }
