@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the behavioral-analytics / hygiene operators that the
+  * DuckDB hash gate can't express as a single-frame compare: mass
+  * conservation across rollups, probability normalization, shrinkage
+  * bounds, canonical-form laws. */
+class AnalyticsSpec extends GraftSuite {
+
+  private def events = Tables.df(spark, sf, "events")
+
+  test("markov transition mass conserves: rows sum to event count, _start rows to user count") {
+    val m = SparkEntry.queries("q_events_markov")(spark, sf).collect()
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(m.map(_.getLong(2)).sum == nEvents,
+      "every event is exactly one transition target")
+    assert(m.filter(_.getString(0) == "_start").map(_.getLong(2)).sum == nUsers,
+      "each user contributes exactly one _start transition")
+    // per-prev probability rows live in [0, 1000] and nearly sum to 1000
+    // (truncating integer division loses < #successors milli-units)
+    m.groupBy(_.getString(0)).foreach { case (prev, rows) =>
+      val ps = rows.map(_.getLong(3))
+      assert(ps.forall(p => p >= 0 && p <= 1000), s"$prev: p out of range")
+      val sum = ps.sum
+      assert(sum <= 1000 && sum > 1000 - rows.length, s"$prev: sum $sum")
+    }
+  }
+
+  test("rfm quintiles are balanced and segment encodes the three digits") {
+    val r = SparkEntry.queries("q_events_rfm")(spark, sf).collect()
+    val n = r.length
+    for ((idx, nm) <- Seq(4 -> "r", 5 -> "f", 6 -> "m")) {
+      val counts = r.groupBy(_.getLong(idx)).map(_._2.length)
+      assert(counts.max - counts.min <= 1, s"$nm quintiles unbalanced: $counts")
+      assert(r.forall(x => x.getLong(idx) >= 1 && x.getLong(idx) <= 5))
+    }
+    r.foreach { x =>
+      assert(x.getLong(7) == x.getLong(4) * 100 + x.getLong(5) * 10 + x.getLong(6))
+    }
+  }
+
+  test("pareto deciles: monotone cumulative share ending at ~1000, users and events conserve") {
+    val p = SparkEntry.queries("q_events_pareto")(spark, sf).collect()
+    val nUsers = events.select("user_id").distinct().count()
+    val nEvents = events.count()
+    assert(p.map(_.getLong(1)).sum == nUsers)
+    assert(p.map(_.getLong(2)).sum == nEvents)
+    val shares = p.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, "not monotone")
+    // truncating division: the final cumulative share is 1000 or 999
+    assert(shares.last >= 999 && shares.last <= 1000)
+    // deciles are rank-ordered by volume: per-user average event count
+    // never increases from one decile to the next
+    val avg = p.sortBy(_.getLong(0)).map(x => x.getLong(2).toDouble / x.getLong(1))
+    assert(avg.zip(avg.tail).forall { case (a, b) => a >= b - 1e-9 }, "deciles out of order")
+  }
+
+  test("attribution conserves purchase count and exact revenue") {
+    val a = SparkEntry.queries("q_events_attribution")(spark, sf).collect()
+    val purchases = events.filter(col("event_type") === "purchase")
+    assert(a.map(_.getLong(1)).sum == purchases.count())
+    val exact = purchases.agg(queries.Qh.dsum(col("value"))).head.getDouble(0)
+    assert(math.abs(a.map(_.getDouble(2)).sum - exact) < 1e-6,
+      "attributed revenue must add back to total purchase revenue")
+    // no touch type may carry the 'purchase' label itself
+    assert(a.forall(_.getString(0) != "purchase"))
+  }
+
+  test("duplicated-ngram fractions are consistent and symmetric across the dup relation") {
+    val d = SparkEntry.queries("q_text_dup_ngram")(spark, sf).collect()
+    d.foreach { r =>
+      val (n, dup, frac) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup <= n && frac == 1000 * dup / n)
+      assert(r.getBoolean(4) == (frac > 300))
+    }
+    // a duplicated gram is duplicated for EVERY doc containing it, so the
+    // total dup mass is at least twice the largest single doc's dup count
+    val dups = d.map(_.getLong(2)).filter(_ > 0)
+    if (dups.nonEmpty) assert(dups.sum >= 2 * dups.max)
+  }
+
+  test("mojibake audit: every injected class fires and clean docs stay clean") {
+    val m = SparkEntry.queries("q_text_mojibake")(spark, sf).collect()
+    val nDocs = Tables.df(spark, sf, "documents").count()
+    assert(m.map(_.getLong(2)).sum == nDocs, "rollup covers the corpus")
+    val (repl, ctl, hi, bad) =
+      (m.map(_.getLong(3)).sum, m.map(_.getLong(4)).sum,
+        m.map(_.getLong(5)).sum, m.map(_.getLong(6)).sum)
+    assert(repl > 0 && ctl > 0 && hi > 0, s"all three classes must fire: $repl $ctl $hi")
+    assert(bad <= repl + ctl + hi && bad >= Seq(repl, ctl, hi).max)
+    // injection is doc_id-keyed at ~1/7 + 1/11 + 1/13: the clean majority
+    // must dominate every stratum's count
+    assert(bad.toDouble / nDocs < 0.5)
+  }
+
+  test("source reputation: shrunk mean lies between source mean and global mean") {
+    val r = SparkEntry.queries("q_cur_source_reputation")(spark, sf).collect()
+    val ts = r.map(x => x.getLong(2) * x.getLong(1)).sum // approx global via means
+    val g = r.map(x => x.getLong(1)).sum
+    val global = ts / g
+    r.foreach { x =>
+      val (mean, shrunk) = (x.getLong(2), x.getLong(3))
+      val lo = math.min(mean, global) - 2 // integer-division slack
+      val hi = math.max(mean, global) + 2
+      assert(shrunk >= lo && shrunk <= hi,
+        s"${x.getString(0)}: shrunk $shrunk outside [$lo, $hi] (mean $mean, global ~$global)")
+    }
+    // ranks are a permutation of 1..n
+    assert(r.map(_.getLong(4)).sorted.toSeq == (1L to r.length).toSeq)
+  }
+
+  test("url canonicalization: lowercase host, no query, no trailing slash, hits conserve") {
+    val u = SparkEntry.queries("q_dedup_url")(spark, sf).collect()
+    assert(u.map(_.getLong(1)).sum == events.count(), "every fetch lands in one bucket")
+    u.foreach { r =>
+      val curl = r.getString(0)
+      assert(!curl.contains("?") && !curl.endsWith("/"), curl)
+      val host = curl.stripPrefix("https://").takeWhile(_ != '/')
+      assert(host == host.toLowerCase, s"host not folded: $curl")
+      assert(r.getLong(2) <= r.getLong(1), "variants cannot exceed hits")
+    }
+  }
+
+  test("matryoshka audit: overlap bounded by k and truncated metric is self-consistent at full dim") {
+    val m = SparkEntry.queries("q_embed_matryoshka")(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val o = r.getLong(1)
+      assert(o >= 0 && o <= 10 && r.getLong(2) == o * 100)
+    }
+  }
+}
