@@ -485,5 +485,40 @@ object AggregateQueries {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
           |ORDER BY rf, ls""".stripMargin)
     },
+
+    // --- exact MODE aggregate (deterministic tiebreak) ------------------
+    Q("q_agg_mode",
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, event_type, n,
+        |        ROW_NUMBER() OVER (PARTITION BY user_id
+        |                           ORDER BY n DESC, event_type) AS rn
+        |      FROM c)
+        |SELECT user_id, event_type AS mode_type, n AS n_mode
+        |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Exact MODE — the aggregate family's missing member (MEDIAN and
+      // the percentile sketches are in; mode needs its own two-phase
+      // shape): each user's most frequent event type, ties broken
+      // lexicographically so the answer is deterministic at any
+      // parallelism (a bare mode() is tie-unspecified in BOTH engines —
+      // the reason neither side uses the built-in). Shape for 100 TB:
+      // (user, type) counts collapse map-side before the one exchange;
+      // the argmax is max_by over a struct ordering on the counted
+      // frame — partial-aggregatable, co-partitioned with the count's
+      // own user_id keying, no window over corpus-scale data (the
+      // oracle's ROW_NUMBER spelling is for DuckDB readability; the
+      // engine side never sorts).
+      t(s, d, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        // min_by over (-n, type): the smallest (-n, type) struct is the
+        // largest count with the lexicographically-first type
+        .agg(min_by(struct(col("event_type").as("mode_type"), col("n").as("n_mode")),
+          struct((-col("n")).as("neg"), col("event_type"))).as("mt"))
+        .select(col("user_id"), col("mt.mode_type").as("mode_type"),
+          col("mt.n_mode").as("n_mode"))
+        .orderBy("user_id")
+    },
   )
 }
