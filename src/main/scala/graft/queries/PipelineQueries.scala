@@ -5282,6 +5282,77 @@ object PipelineQueries {
       }
     },
 
+    // --- per-source Jensen-Shannon distribution drift -------------------
+    Q("q_text_js_divergence",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS g FROM documents),
+        |tb AS (SELECT source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(ascii(g[i]) AS BIGINT) for i in range(1, length(g) + 1)]),
+        |           (h, c) -> (h * 31 + c) % 1000000007) % 256 AS b
+        |       FROM w),
+        |sc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n FROM tb GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |gb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ng FROM sc GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM sc),
+        |spine AS (SELECT sp.b, COALESCE(ng, 0) AS ng
+        |          FROM range(0, 256) sp(b) LEFT JOIN gb ON gb.b = sp.b),
+        |grid AS (SELECT source, ns, b, ng, ntot FROM st, spine, gt),
+        |j AS (SELECT grid.source, ns,
+        |        (COALESCE(sc.n, 0) + 1.0) / (ns + 256.0) AS p,
+        |        (ng + 1.0) / (ntot + 256.0) AS q
+        |      FROM grid LEFT JOIN sc ON sc.source = grid.source AND sc.b = grid.b),
+        |t AS (SELECT source, ns,
+        |        CAST(ROUND((0.5 * p * ln(2.0 * p / (p + q))
+        |                  + 0.5 * q * ln(2.0 * q / (p + q))) * 1e9) AS BIGINT) AS tn
+        |      FROM j)
+        |SELECT source, MAX(ns) AS n_tokens,
+        |  CAST(SUM(tn) AS BIGINT) AS jsd_nano,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY SUM(tn) DESC, source) AS BIGINT) AS rank
+        |FROM t GROUP BY source ORDER BY rank""".stripMargin) { (s, d) =>
+      // Per-source distribution drift — "which feed no longer writes
+      // like the corpus?": Jensen-Shannon divergence between each
+      // source's hashed-unigram distribution and the corpus-wide one,
+      // the symmetric/bounded ([0, ln 2]) alternative to the KL ratios
+      // DSIR uses. Features are the DSIR hashing (engine-independent
+      // rolling hash → B=256 buckets, Laplace +1/+B smoothed), so no
+      // tokenizer or vocab ships anywhere. Per-bucket JS terms are
+      // fixed-pointed to nano-units ONCE on the sources×256 model grid
+      // (the DSIR precedent: cross-engine ln() agrees orders of
+      // magnitude inside the rounding grain), so per-source sums are
+      // exact integer math — merge-order-independent at any
+      // parallelism. Shape for 100 TB: the corpus pass collapses
+      // map-side to (source, bucket) cells; everything after the one
+      // exchange runs on the model-sized grid; the count frame feeds
+      // four rollups and is materialized once.
+      val tb = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("g"))
+        .select(col("source"),
+          (graft.functions.RollingHash.rolling_hash(col("g")) % 256).as("b"))
+      val sc = tb.groupBy("source", "b").agg(count(lit(1)).as("n"))
+      Qh.materializedWith(sc) {
+        val st = sc.groupBy("source").agg(sum("n").as("ns"))
+        val gb = sc.groupBy("b").agg(sum("n").as("ng"))
+        val gt = sc.agg(sum("n").as("ntot"))
+        val spine = s.range(0, 256).toDF("b")
+        val grid = st.crossJoin(spine)
+          .join(gb, Seq("b"), "left")
+          .crossJoin(broadcast(gt))
+          .join(sc, Seq("source", "b"), "left")
+          .select(col("source"), col("ns"),
+            ((coalesce(col("n"), lit(0L)) + 1.0) / (col("ns") + 256.0)).as("p"),
+            ((coalesce(col("ng"), lit(0L)) + 1.0) / (col("ntot") + 256.0)).as("q"))
+        grid.select(col("source"), col("ns"),
+            round((lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+              + lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+              * 1e9).cast("long").as("tn"))
+          .groupBy("source")
+          .agg(max("ns").as("n_tokens"), sum("tn").as("jsd_nano"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("jsd_nano").desc, col("source"))).cast("bigint"))
+          .orderBy("rank")
+      }
+    },
+
     // --- last-touch revenue attribution ---------------------------------
     Q("q_events_attribution",
       s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events
