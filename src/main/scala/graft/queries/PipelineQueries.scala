@@ -97,6 +97,45 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Unrolled DuckDB oracle for the fixed-point power iteration — one
+    * (s, w, m, v) CTE quadruple per iteration, generated by the same
+    * loop count the Spark side runs so the two can't drift apart by
+    * hand-editing (the KCenterSql convention). All arithmetic is
+    * integer: HUGEINT accumulations on the oracle side mirror the
+    * engine's DECIMAL(38,0) sums, and `//`/`div` both truncate toward
+    * zero, so every intermediate matches bit-for-bit. */
+  private[queries] val PcaPowerSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id,
+        |        [CAST(floor(x * 16777216.0) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS xq
+        |      FROM embeddings),
+        |ce0 AS (SELECT vec_id, i, xq[i + 1] AS x FROM e, range(0, 64) r(i)),
+        |mn AS (SELECT i, CAST(SUM(x) AS HUGEINT) AS sm, COUNT(*) AS n FROM ce0 GROUP BY i),
+        |ce AS (SELECT vec_id, ce0.i, CAST(x - (sm // n) AS BIGINT) AS c
+        |       FROM ce0 JOIN mn ON ce0.i = mn.i),
+        |v0 AS (SELECT i, CAST(65536 AS HUGEINT) AS v FROM range(0, 64) r(i)),
+        |""".stripMargin)
+    for (t <- 1 to 4) sb.append(
+      s"""s$t AS (SELECT vec_id, CAST(SUM(c * v) AS BIGINT) AS s
+         |       FROM ce JOIN v${t - 1} USING (i) GROUP BY vec_id),
+         |w$t AS (SELECT i, SUM(CAST(c AS HUGEINT) * s) AS w
+         |       FROM ce JOIN s$t USING (vec_id) GROUP BY i),
+         |m$t AS (SELECT MAX(ABS(w)) AS mx FROM w$t),
+         |v$t AS (SELECT i, (w * 65536) // mx AS v FROM w$t, m$t),
+         |""".stripMargin)
+    sb.append(
+      """sf AS (SELECT vec_id, CAST(SUM(c * v) AS BIGINT) AS s
+        |      FROM ce JOIN v4 USING (i) GROUP BY vec_id),
+        |ray AS (SELECT CAST(SUM((s // 16777216) * (s // 16777216)) AS HUGEINT) AS num FROM sf),
+        |vv AS (SELECT SUM(v * v) // 65536 AS vvd FROM v4),
+        |cc AS (SELECT CAST(SUM((c // 4096) * (c // 4096)) AS HUGEINT) AS ccd FROM ce)
+        |SELECT v4.i, CAST(v4.v AS BIGINT) AS loading,
+        |  CAST((256000000 * num) // (vvd * ccd) AS BIGINT) AS ev_ppm
+        |FROM v4, ray, vv, cc ORDER BY i""".stripMargin)
+    sb.toString
+  }
+
   /** Unrolled DuckDB oracle for greedy k-center selection over the
     * deterministic embedding sample — one (m, s, c) CTE triple per
     * round, generated by loop exactly like the Spark side iterates
@@ -5280,6 +5319,77 @@ object PipelineQueries {
             (coalesce(col("matched"), lit(0L)) * 100).as("recall_milli"))
           .orderBy("probe_id")
       }
+    },
+
+    // --- top principal component via fixed-point power iteration --------
+    Q("q_embed_pca_power", PcaPowerSql) { (s, d) =>
+      // Top principal component of the (mean-centered) embedding cloud by
+      // POWER ITERATION — the spectral primitive behind whitening,
+      // anisotropy audits ("all-but-the-top"), and drift detection in
+      // embedding spaces. Everything after the one-time 2^-24
+      // quantization (the q_embed_kmeans grid) is INTEGER arithmetic,
+      // bit-identical in both engines at any parallelism: centering
+      // subtracts the truncated per-dim mean; each iteration computes
+      // w = Σ_rows c·(c·v) — the covariance matvec without ever forming
+      // the 64×64 matrix — with the per-row dot c·v EXACT in a codegen'd
+      // double dot product (terms ≤2^40, partial sums ≤2^46 < 2^53, so
+      // every double is an exact integer) and the rank-1 accumulation in
+      // decimal; the new direction is renormalized to a 2^16 grid by
+      // BigInt truncating division on the driver (v is 64 longs of MODEL
+      // STATE, the kmeans-centroid precedent — both engines' `div`/`//`
+      // truncate toward zero, so the oracle unrolls the identical
+      // algebra per iteration). Four fixed iterations (unrollable, like
+      // kmeans); the output is the loading vector on the 2^16 grid plus
+      // an explained-variance share (Rayleigh quotient vs total
+      // variance) in ppm from one more exact-integer pass. Shape for
+      // 100 TB: per iteration ONE corpus map pass + a 64-cell two-phase
+      // rollup (the exchange carries 64×partitions rows); nothing
+      // corpus-sized ever shuffles, vectors never leave their rows.
+      import graft.functions.DotProduct.dot_product
+      val eq = vecs(s, d).select(col("vec_id"),
+        expr("transform(v, x -> floor(x * 16777216D))").as("xq"))
+      eq.persist()
+      try {
+        val dimStats = eq.select(posexplode(col("xq")).as(Seq("i", "x")))
+          .groupBy("i").agg(sum(col("x").cast(DecimalType(38, 0))).as("sm"),
+            count(lit(1)).as("n"))
+          .collect()
+        val m = new Array[Long](64)
+        dimStats.foreach { r =>
+          m(r.getInt(0)) = (BigInt(r.getDecimal(1).toBigInteger) / r.getLong(2)).toLong
+        }
+        val cf = eq.select(col("vec_id"),
+          expr(s"zip_with(xq, array(${m.mkString(", ")}), (a, b) -> a - b)").as("c"))
+        def sCol(v: Array[BigInt]) = dot_product(
+          expr("cast(c as array<double>)"),
+          expr(s"cast(array(${v.mkString(", ")}) as array<double>)")).cast("long")
+        var v = Array.fill(64)(BigInt(65536))
+        for (_ <- 1 to 4) {
+          val w = cf.withColumn("s", sCol(v))
+            .select(col("s"), posexplode(col("c")).as(Seq("i", "ci")))
+            .groupBy("i")
+            .agg(sum(col("ci").cast(DecimalType(20, 0)) * col("s")).as("w"))
+            .collect()
+          val wb = new Array[BigInt](64)
+          w.foreach(r => wb(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+          val mx = wb.map(_.abs).max
+          require(mx > BigInt(0), "degenerate corpus: zero covariance matvec")
+          v = wb.map(_ * 65536 / mx)
+        }
+        val vvd = (v.map(x => x * x).sum / 65536).toLong
+        val ev = cf.withColumn("s", sCol(v))
+          .agg(
+            sum((expr("s div 16777216") * expr("s div 16777216"))
+              .cast(DecimalType(38, 0))).as("num"),
+            sum(expr(
+              "aggregate(transform(c, x -> (x div 4096) * (x div 4096)), CAST(0 AS BIGINT), (a, b) -> a + b)")
+              .cast(DecimalType(38, 0))).as("ccd"))
+          .select(expr(s"CAST((256000000 * num) div ($vvd * ccd) AS BIGINT)").as("ev_ppm"))
+        import s.implicits._
+        val loadings = v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong) }
+          .toSeq.toDF("i", "loading")
+        loadings.crossJoin(ev).select(col("i"), col("loading"), col("ev_ppm")).orderBy("i")
+      } finally eq.unpersist()
     },
 
     // --- per-source Jensen-Shannon distribution drift -------------------

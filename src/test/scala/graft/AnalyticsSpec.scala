@@ -131,4 +131,36 @@ class AnalyticsSpec extends GraftSuite {
       assert(o >= 0 && o <= 10 && r.getLong(2) == o * 100)
     }
   }
+
+  test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
+    val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // replicate the whole fixed-point pipeline on the driver from raw
+    // embeddings: quantize, center, 4 matvec+rescale rounds, Rayleigh
+    val rows = Tables.df(spark, sf, "embeddings")
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = rows.length
+    val xq = rows.map(_.map(x => math.floor(x * 16777216.0).toLong))
+    val mean = Array.tabulate(64)(i => BigInt(xq.map(_(i)).sum) / n)
+    val c = xq.map(r => Array.tabulate(64)(i => BigInt(r(i)) - mean(i)))
+    var v = Array.fill(64)(BigInt(65536))
+    for (_ <- 1 to 4) {
+      val s = c.map(r => (0 until 64).map(i => r(i) * v(i)).sum)
+      val w = Array.tabulate(64)(i => c.indices.map(r => c(r)(i) * s(r)).sum)
+      val mx = w.map(_.abs).max
+      v = w.map(_ * 65536 / mx)
+    }
+    val sF = c.map(r => (0 until 64).map(i => r(i) * v(i)).sum)
+    val num = sF.map(s => { val sd = s / 16777216; sd * sd }).sum
+    val vvd = v.map(x => x * x).sum / 65536
+    val ccd = c.flatMap(_.map(x => { val cd = x / 4096; cd * cd })).sum
+    val evPpm = (BigInt(256000000) * num / (vvd * ccd)).toLong
+    val expect = v.zipWithIndex.map { case (x, i) => (i.toLong, x.toLong, evPpm) }
+    assert(got.toSeq == expect.toSeq)
+    // sanity on the audit's meaning: loadings on the 2^16 grid with the
+    // max-normalized component present, ev share a valid proportion
+    assert(got.map(_._2.abs).max == 65536)
+    assert(evPpm >= 0 && evPpm <= 1000000)
+  }
 }
