@@ -97,6 +97,33 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** The kmeans assignment CTE chain (quantize → seed → assign → update
+    * → re-assign) shared by every oracle that consumes cluster
+    * assignments (q_embed_kmeans, q_embed_cluster_purity) — one text, so
+    * the model can't drift between its consumers. Ends with `a2`:
+    * (vec_id, cid, dist). */
+  private[queries] val KmeansAssignCtes: String =
+    """WITH e AS (SELECT vec_id,
+      |         [CAST(floor(x * 16777216.0) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS vq
+      |       FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < 4),
+      |a1 AS (SELECT vec_id, vq, cid, dist FROM (
+      |         SELECT e.vec_id, e.vq, c0.cid,
+      |           list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]) AS dist,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]), c0.cid) AS rn
+      |         FROM e CROSS JOIN c0) WHERE rn = 1),
+      |s1 AS (SELECT cid, pos, SUM(vq[pos + 1]) AS sp, COUNT(*) AS np
+      |       FROM a1, (SELECT unnest(range(64)) AS pos) GROUP BY cid, pos),
+      |c1 AS (SELECT cid, list(CAST(floor(CAST(sp AS DOUBLE) / np) AS BIGINT) ORDER BY pos) AS c
+      |       FROM s1 GROUP BY cid),
+      |a2 AS (SELECT vec_id, cid, dist FROM (
+      |         SELECT e.vec_id, c1.cid,
+      |           list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]) AS dist,
+      |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]), c1.cid) AS rn
+      |         FROM e CROSS JOIN c1) WHERE rn = 1)""".stripMargin
+
   /** Unrolled DuckDB oracle for the fixed-point power iteration — one
     * (s, w, m, v) CTE quadruple per iteration, generated by the same
     * loop count the Spark side runs so the two can't drift apart by
@@ -3961,26 +3988,7 @@ object PipelineQueries {
 
     // --- k-means clustering over embeddings (fixed-point Lloyd's) -------
     Q("q_embed_kmeans",
-      """WITH e AS (SELECT vec_id,
-        |         [CAST(floor(x * 16777216.0) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] AS vq
-        |       FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, vq AS c FROM e WHERE vec_id < 4),
-        |a1 AS (SELECT vec_id, vq, cid, dist FROM (
-        |         SELECT e.vec_id, e.vq, c0.cid,
-        |           list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]) AS dist,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_sum([(e.vq[i] - c0.c[i]) * (e.vq[i] - c0.c[i]) for i in range(1, 65)]), c0.cid) AS rn
-        |         FROM e CROSS JOIN c0) WHERE rn = 1),
-        |s1 AS (SELECT cid, pos, SUM(vq[pos + 1]) AS sp, COUNT(*) AS np
-        |       FROM a1, (SELECT unnest(range(64)) AS pos) GROUP BY cid, pos),
-        |c1 AS (SELECT cid, list(CAST(floor(CAST(sp AS DOUBLE) / np) AS BIGINT) ORDER BY pos) AS c
-        |       FROM s1 GROUP BY cid),
-        |a2 AS (SELECT vec_id, cid, dist FROM (
-        |         SELECT e.vec_id, c1.cid,
-        |           list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]) AS dist,
-        |           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-        |             list_sum([(e.vq[i] - c1.c[i]) * (e.vq[i] - c1.c[i]) for i in range(1, 65)]), c1.cid) AS rn
-        |         FROM e CROSS JOIN c1) WHERE rn = 1)
+      s"""$KmeansAssignCtes
         |SELECT cid, COUNT(*) AS n_vecs,
         |  ROUND(CAST(SUM(dist) AS DOUBLE) / 281474976710656.0, 6) AS inertia
         |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
@@ -5517,6 +5525,91 @@ object PipelineQueries {
         .groupBy("touch")
         .agg(count(lit(1)).as("n_purchases"), Qh.dsum(col("value")).as("revenue"))
         .orderBy("touch")
+    },
+
+    // --- inter-event gap profile (log2-bucketed, integer-exact) ---------
+    Q("q_events_gaps",
+      """WITH x AS (SELECT user_id, event_type, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS prev
+        |       FROM events),
+        |b AS (SELECT event_type,
+        |        CAST(length(bin(CAST(epoch_ms(ts) - epoch_ms(prev) AS BIGINT))) AS BIGINT)
+        |          AS bucket
+        |      FROM x WHERE prev IS NOT NULL),
+        |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS tot FROM b GROUP BY 1)
+        |SELECT b.event_type, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST((1000 * COUNT(*)) // tot AS BIGINT) AS share_milli
+        |FROM b JOIN t USING (event_type)
+        |GROUP BY 1, 2, tot ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // Inter-arrival profile — the traffic-shape census per event type:
+      // per-(user, type) gaps between consecutive events, bucketed on a
+      // log2 grid. The bucket index is INTEGER-EXACT in both engines
+      // without touching libm: length(bin(gap_ms)) = floor(log2)+1 of
+      // the millisecond gap (binary strings carry no leading zeros in
+      // either engine) — no float log whose rounding could flip a
+      // boundary bucket. Reads straight off burstiness (low buckets),
+      // human rhythm (middle) and batch/cron cadence (a spike bucket).
+      // Shape for 100 TB: the one (user, type)-keyed lag shuffle every
+      // sequence operator shares, then map-side collapse to
+      // types×~40 bucket cells; per-type totals broadcast back.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val b = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"),
+          length(bin(unix_millis(col("ts")) - unix_millis(col("prev"))))
+            .cast("bigint").as("bucket"))
+      val tot = b.groupBy("event_type").agg(count(lit(1)).as("tot"))
+      b.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("bucket"), col("n"),
+          expr("(1000 * n) div tot").as("share_milli"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // --- cluster label purity (clustering-quality evaluation) -----------
+    Q("q_embed_cluster_purity",
+      s"""$KmeansAssignCtes,
+        |lb AS (SELECT a2.cid, embeddings.label
+        |       FROM a2 JOIN embeddings ON a2.vec_id = embeddings.vec_id),
+        |pc AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n FROM lb GROUP BY 1, 2),
+        |mj AS (SELECT cid, label AS majority_label, n AS n_majority FROM (
+        |         SELECT cid, label, n,
+        |           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY n DESC, label) AS rn
+        |         FROM pc) WHERE rn = 1),
+        |ct AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS n_vecs FROM pc GROUP BY 1)
+        |SELECT ct.cid, n_vecs, CAST(majority_label AS BIGINT) AS majority_label,
+        |  n_majority, CAST((1000 * n_majority) // n_vecs AS BIGINT) AS purity_milli
+        |FROM ct JOIN mj ON ct.cid = mj.cid ORDER BY ct.cid""".stripMargin) { (s, d) =>
+      // Clustering-quality evaluation — the purity score read after every
+      // unsupervised run when SOME labels exist: per k-means cluster,
+      // the share held by its dominant label (ties broken by the
+      // smaller label, so the majority pick is deterministic). Shares
+      // the exact fixed-point assignment core with q_embed_kmeans (same
+      // CTE text in the oracle — the model cannot drift between the
+      // inertia report and this audit). Shape for 100 TB: assignments
+      // are map-side scoring against broadcast centroids; the label
+      // join is co-keyed on vec_id; everything after collapses to
+      // k×labels cells before the one exchange.
+      val asn = kmeansAssignments(s, d).select("vec_id", "cid")
+      val pc = asn.join(vecs(s, d).select(col("vec_id"), col("label")), "vec_id")
+        .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+      val mj = pc.groupBy("cid")
+        .agg(min_by(struct(col("label").as("majority_label"), col("n").as("n_majority")),
+          struct((-col("n")).as("neg"), col("label"))).as("m"))
+        .select(col("cid"), col("m.majority_label").as("majority_label"),
+          col("m.n_majority").as("n_majority"))
+      val ct = pc.groupBy("cid").agg(sum("n").as("n_vecs"))
+      ct.join(mj, "cid")
+        .select(col("cid"), col("n_vecs"),
+          col("majority_label").cast("bigint").as("majority_label"),
+          col("n_majority"),
+          expr("(1000 * n_majority) div n_vecs").as("purity_milli"))
+        .orderBy("cid")
     },
   )
 }
