@@ -238,4 +238,22 @@ object DocStreams {
       .select(explode(expr(tri)).as("sh")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
   }
+
+  /** Ingest-time encoding QA (streaming twin of the batch
+    * `q_text_mojibake` audit, same RE2-safe patterns over the REAL text
+    * — no derived corruption here; the batch audit injects its own to
+    * exercise branches): flag U+FFFD replacement characters, C0 control
+    * characters, and a >5% non-ASCII share, and carry the flags with the
+    * document so the sink can quarantine instead of ingesting garbage.
+    * Row-local, no state, append mode — runs at scan speed in the same
+    * select as the quality gate. */
+  def encodingFlags(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("text"),
+      (instr(col("text"), "\uFFFD") > 0).as("has_replacement"),
+      col("text").rlike("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]").as("has_control"),
+      (lit(1000) * (length(col("text"))
+          - length(regexp_replace(col("text"), "[^\\x01-\\x7f]", "")))
+        > lit(50) * length(col("text"))).as("high_nonascii"))
+      .withColumn("keep",
+        !col("has_replacement") && !col("has_control") && !col("high_nonascii"))
 }

@@ -821,4 +821,37 @@ class StreamingSpec extends GraftSuite {
       assert(streamedTop.toSeq == batchTop.toSeq)
     } finally q.stop()
   }
+
+  test("streaming encoding QA flags corrupt ingests, passes clean ones, equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    // clean corpus docs + hand-corrupted variants hitting each flag class
+    val clean = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text", "lang", "source", "n_chars").as[Doc]
+      .collect().take(20).toSeq
+    val corrupt = Seq(
+      Doc(9001L, "broken \uFFFD decode artifact here", "en", "srcX", 30),
+      Doc(9002L, "binary\u0007bleed in the middle", "en", "srcX", 25),
+      Doc(9003L, "short text " + ("é" * 40), "en", "srcX", 51))
+    val all = clean ++ corrupt
+    val in = MemoryStream[Doc]
+    val q = DocStreams.encodingFlags(in.toDF())
+      .writeStream.format("memory").queryName("enc_qa")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = all.splitAt(10)
+      Seq(b1, b2).foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = spark.sql("SELECT * FROM enc_qa ORDER BY doc_id").collect()
+      val batch = DocStreams.encodingFlags(all.toDF()).orderBy("doc_id").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+      val keep = streamed.map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      clean.foreach(d => assert(keep(d.doc_id), s"clean doc ${d.doc_id} quarantined"))
+      val flags = streamed.filter(_.getLong(0) >= 9001L)
+        .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+      assert(flags(9001L)._1 && !keep(9001L))
+      assert(flags(9002L)._2 && !keep(9002L))
+      assert(flags(9003L)._3 && !keep(9003L))
+    } finally q.stop()
+  }
 }
