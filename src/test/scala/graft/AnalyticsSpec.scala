@@ -132,6 +132,61 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("mode aggregate: the reported count is the user's true maximum type count") {
+    val m = SparkEntry.queries("q_agg_mode")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val counts = events.groupBy("user_id", "event_type").count().collect()
+      .groupBy(_.getLong(0))
+    assert(m.keySet == counts.keySet)
+    counts.foreach { case (u, rows) =>
+      val byType = rows.map(r => r.getString(1) -> r.getLong(2))
+      val best = byType.map(_._2).max
+      val winner = byType.filter(_._2 == best).map(_._1).min
+      assert(m(u) == ((winner, best)), s"user $u")
+    }
+  }
+
+  test("js divergence: non-negative, bounded by ln2, and the skew source ranks measurably") {
+    val j = SparkEntry.queries("q_text_js_divergence")(spark, sf).collect()
+    j.foreach { r =>
+      val d = r.getLong(2)
+      assert(d >= 0 && d <= 693147181L, s"${r.getString(0)}: $d outside [0, ln2]")
+    }
+    assert(j.map(_.getLong(3)).sorted.toSeq == (1L to j.length).toSeq)
+  }
+
+  test("gap profile: shares near-complete per type and buckets cover plausible ms ranges") {
+    val g = SparkEntry.queries("q_events_gaps")(spark, sf).collect()
+    assert(g.nonEmpty)
+    g.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val milli = rows.map(_.getLong(3)).sum
+      assert(milli <= 1000 && milli > 1000 - rows.length, s"$tpe share sum $milli")
+    }
+    // bucket b means gap in [2^(b-1), 2^b): all buckets must stay under
+    // 2^41 ms (~70 years) — a sanity fence against unit mistakes
+    assert(g.map(_.getLong(1)).max <= 41)
+  }
+
+  test("cluster purity agrees with a recount over the shared assignments") {
+    val p = SparkEntry.queries("q_embed_cluster_purity")(spark, sf).collect()
+    val asn = queries.PipelineQueries.kmeansAssignments(spark, sf)
+      .select("vec_id", "cid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Tables.df(spark, sf, "embeddings").select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCluster = asn.toSeq.groupBy(_._2)
+    assert(p.length == byCluster.size)
+    p.foreach { r =>
+      val (cid, nVecs, mj, nMj, purity) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = byCluster(cid).map(x => labels(x._1))
+      assert(nVecs == members.length)
+      val hist = members.groupBy(identity).map { case (l, xs) => (l.toLong, xs.length.toLong) }
+      val best = hist.values.max
+      assert(nMj == best && mj == hist.filter(_._2 == best).keys.min)
+      assert(purity == 1000 * nMj / nVecs)
+    }
+  }
+
   test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
     val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
