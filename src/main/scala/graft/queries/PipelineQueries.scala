@@ -5571,6 +5571,168 @@ object PipelineQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // --- timing-regularity (bot) detection ------------------------------
+    Q("q_events_regularity",
+      """WITH u AS (SELECT user_id, ts, event_id FROM events
+        |       UNION ALL
+        |       SELECT 1000000, epoch_ms(1700000000000 + i * 60000), 10000000 + i
+        |       FROM range(0, 101) t(i)
+        |       UNION ALL
+        |       SELECT 1000001,
+        |         epoch_ms(1700000000000 + CASE WHEN i < 99 THEN i * 1000
+        |                                       ELSE 1000000000 END),
+        |         10001000 + i
+        |       FROM range(0, 100) t(i)),
+        |x AS (SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |       FROM u),
+        |g AS (SELECT user_id,
+        |        CAST((epoch_ms(ts) - epoch_ms(prev)) // 1000 AS BIGINT) AS gs
+        |      FROM x WHERE prev IS NOT NULL),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(gs) AS HUGEINT) AS s, CAST(SUM(gs * gs) AS HUGEINT) AS q
+        |      FROM g GROUP BY 1)
+        |SELECT user_id, n, CAST(s // n AS BIGINT) AS mean_gap_s,
+        |  CAST((1000 * (n * q - s * s)) // (s * s) AS BIGINT) AS cv2_milli,
+        |  n >= 5 AND 25 * (n * q - s * s) < s * s AS regular,
+        |  n >= 5 AND (n * q - s * s) > 4 * s * s AS bursty
+        |FROM a WHERE s > 0 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Timing-regularity profiling — the bot/scraper tell: a human's
+      // inter-event gaps are bursty (CV ≳ 1), a cron job's are nearly
+      // constant (CV ≈ 0). The test is EXACT integer arithmetic on
+      // second-granular gaps: CV² = (n·Σg² − S²)/S², so `regular` ⇔
+      // 25·(nΣg² − S²) < S² (CV < 0.2) and `bursty` ⇔ nΣg² − S² > 4S²
+      // (CV > 2) — the q_events_anomaly multiply-through trick, no
+      // libm, no float variance merge; sums ride HUGEINT/DECIMAL(38)
+      // so g² accumulation can't overflow at any volume. Users with
+      // <5 gaps are never flagged (small-sample guard). The gate
+      // corpus is Poisson-ish (every real user lands in the CV middle
+      // band — measured), so two SYNTHETIC fixtures ride along to
+      // exercise both flags (the q_text_mojibake derived-column
+      // precedent, generated identically in both engines): user 1e6 =
+      // a metronome at exact 60 s spacing (CV = 0 → regular), user
+      // 1e6+1 = 99 one-second gaps then a ~11-day one (CV ≈ 9.9 →
+      // bursty). Shape for 100 TB: the shared (user)-keyed lag
+      // shuffle, then map-side collapse to one (n, S, Σg²) cell per
+      // user.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val metronome = s.range(0, 101).selectExpr(
+        "CAST(1000000 AS BIGINT) AS user_id",
+        "timestamp_millis(1700000000000 + id * 60000) AS ts",
+        "10000000 + id AS event_id")
+      val burst = s.range(0, 100).selectExpr(
+        "CAST(1000001 AS BIGINT) AS user_id",
+        "timestamp_millis(1700000000000 + CASE WHEN id < 99 THEN id * 1000 ELSE 1000000000 END) AS ts",
+        "10001000 + id AS event_id")
+      val g = t(s, d, "events")
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+        .unionAll(metronome).unionAll(burst)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"),
+          ((unix_millis(col("ts")) - unix_millis(col("prev"))) / 1000)
+            .cast("long").as("gs"))
+      g.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("gs").cast(DecimalType(38, 0))).as("s"),
+          sum((col("gs") * col("gs")).cast(DecimalType(38, 0))).as("q"))
+        .filter(col("s") > 0)
+        .select(col("user_id"), col("n"),
+          expr("CAST(s div n AS BIGINT)").as("mean_gap_s"),
+          expr("CAST((1000 * (n * q - s * s)) div (s * s) AS BIGINT)").as("cv2_milli"),
+          (col("n") >= 5 && expr("25 * (n * q - s * s) < s * s")).as("regular"),
+          (col("n") >= 5 && expr("(n * q - s * s) > 4 * (s * s)")).as("bursty"))
+        .orderBy("user_id")
+    },
+
+    // --- rate-limit / abuse audit ---------------------------------------
+    Q("q_events_rate_limit",
+      """WITH u AS (SELECT user_id, ts FROM events
+        |       UNION ALL
+        |       SELECT 1000002, epoch_ms(1700000000000 + i * 1500)
+        |       FROM range(0, 40) t(i)),
+        |m AS (SELECT user_id, epoch_ms(ts) // 60000 AS minute,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM u GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active_minutes,
+        |  MAX(n) AS max_per_minute,
+        |  CAST(SUM(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  SUM(CASE WHEN n > 5 THEN 1 ELSE 0 END) > 0 AS limited
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+      // Rate-limit audit — the abuse-detection rollup an API gateway
+      // runs offline to tune its limits: per-(user, minute) event
+      // counts against a 5/min ceiling, rolled up to violations per
+      // user. Pure integer bucketing (epoch-ms div 60000 — no calendar
+      // functions near the oracle hash). No real gate-corpus user
+      // breaches 5/min (measured), so a SYNTHETIC abuser rides along —
+      // 40 events at 1.5 s spacing, identically generated in both
+      // engines — to exercise the violation branch. Shape for 100 TB:
+      // the corpus collapses map-side to (user, minute) cells — then
+      // again to one row per user on the SAME user keying (no second
+      // corpus-wide exchange; AQE coalesces the tiny tail).
+      val abuser = s.range(0, 40).selectExpr(
+        "CAST(1000002 AS BIGINT) AS user_id",
+        "(1700000000000 + id * 1500) div 60000 AS minute")
+      t(s, d, "events")
+        .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 60000 AS minute")
+        .unionAll(abuser)
+        .groupBy("user_id", "minute").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_active_minutes"),
+          max("n").as("max_per_minute"),
+          sum(when(col("n") > 5, 1L).otherwise(0L)).as("n_violations"))
+        .select(col("user_id"), col("n_active_minutes"), col("max_per_minute"),
+          col("n_violations"), (col("n_violations") > 0).as("limited"))
+        .orderBy("user_id")
+    },
+
+    // --- seasonal-naive forecast backtest -------------------------------
+    Q("q_events_forecast",
+      """WITH dc AS (SELECT event_type, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |       FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, d, cnt,
+        |        lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY d) AS fc
+        |      FROM dc)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+        |  CAST((1000 * SUM(ABS(cnt - fc))) // COUNT(*) AS BIGINT) AS mae_milli,
+        |  CAST(SUM(cnt - fc) AS BIGINT) AS bias,
+        |  CAST((1000 * SUM(ABS(cnt - fc))) // SUM(cnt) AS BIGINT) AS wape_milli
+        |FROM f WHERE fc IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+      // Seasonal-naive forecast backtest — the baseline every
+      // capacity-planning forecast must beat before it ships:
+      // tomorrow's volume = the same weekday's volume last week
+      // (lag-7 on the per-(type, day) count frame), scored on MAE,
+      // signed bias, and WAPE over the whole observed history. All
+      // integer: errors are exact count differences, the reported
+      // metrics are milli-unit cross-multiplications. The lag-7 window
+      // runs AFTER the corpus collapses map-side to types×days cells
+      // (the q_events_anomaly shape) — day one of history scores
+      // nothing for a week, by construction, not by silent NULL
+      // arithmetic (fc IS NULL rows are excluded). A real forecaster
+      // (Holt-Winters, gradient-boosted) plugs into the same backtest
+      // frame; this operator IS the benchmark harness.
+      val dc = t(s, d, "events")
+        .selectExpr("event_type",
+          "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+        .groupBy("event_type", "d").agg(count(lit(1)).as("cnt"))
+      val f = dc.withColumn("fc",
+        lag(col("cnt"), 7).over(Window.partitionBy("event_type").orderBy("d")))
+        .filter(col("fc").isNotNull)
+      f.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days_scored"),
+          sum(abs(col("cnt") - col("fc"))).as("sae"),
+          sum(col("cnt") - col("fc")).as("bias"),
+          sum("cnt").as("sc"))
+        .select(col("event_type"), col("n_days_scored"),
+          expr("(1000 * sae) div n_days_scored").as("mae_milli"),
+          col("bias"),
+          expr("(1000 * sae) div sc").as("wape_milli"))
+        .orderBy("event_type")
+    },
+
     // --- cluster label purity (clustering-quality evaluation) -----------
     Q("q_embed_cluster_purity",
       s"""$KmeansAssignCtes,
