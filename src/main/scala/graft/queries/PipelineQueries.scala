@@ -5571,6 +5571,109 @@ object PipelineQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // --- kNN leave-one-out classification audit -------------------------
+    Q("q_embed_knn_classify",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS pid, label AS tl, v AS qv FROM e
+        |      WHERE vec_id % 100 = 0 AND vec_id < 5000),
+        |sc AS (SELECT pid, tl, e.vec_id, e.label,
+        |         ROUND(list_cosine_similarity(e.v, qv), 9) AS cs
+        |       FROM e, p WHERE e.vec_id <> pid),
+        |nn AS (SELECT pid, tl, label FROM (
+        |         SELECT pid, tl, label,
+        |           ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cs DESC, vec_id) AS r
+        |         FROM sc) WHERE r <= 5),
+        |vote AS (SELECT pid, tl, label, CAST(COUNT(*) AS BIGINT) AS nv
+        |         FROM nn GROUP BY 1, 2, 3),
+        |pred AS (SELECT pid, tl, label AS pl, nv FROM (
+        |           SELECT pid, tl, label, nv,
+        |             ROW_NUMBER() OVER (PARTITION BY pid ORDER BY nv DESC, label) AS r
+        |           FROM vote) WHERE r = 1)
+        |SELECT pid AS probe_id, CAST(tl AS BIGINT) AS true_label,
+        |  CAST(pl AS BIGINT) AS pred_label, nv AS n_votes, tl = pl AS correct
+        |FROM pred ORDER BY probe_id""".stripMargin) { (s, d) =>
+      // Embedding-quality evaluation by leave-one-out kNN — the probe
+      // every embedding-model refresh runs: if a vector's 5 nearest
+      // neighbors (self excluded) vote its own label, the space
+      // separates classes. Same bounded 50-probe panel and
+      // one-corpus-scan scoring as q_embed_matryoshka (norms
+      // precomputed row-local, one codegen'd dot per pair); majority
+      // vote ties break toward the smaller label, so predictions are
+      // deterministic. On THESE random-synthetic vectors accuracy is
+      // honest-low (the q_text_langid convention — the component under
+      // test is the score/top-k/vote plumbing a real model would
+      // reuse). At 100 TB the scale path swaps the exact scan for the
+      // IVF/PQ probe against the persisted index — the vote and audit
+      // stages are unchanged.
+      val e = vecs(s, d)
+        .withColumn("nf", sqrt(graft.functions.DotProduct.dot_product(col("v"), col("v"))))
+      val p = e.filter(col("vec_id") % 100 === 0 && col("vec_id") < 5000)
+        .select(col("vec_id").as("pid"), col("label").as("tl"),
+          col("v").as("qv"), col("nf").as("pnf"))
+      val sc = e.crossJoin(broadcast(p))
+        .filter(col("vec_id") =!= col("pid"))
+        .select(col("pid"), col("tl"), col("vec_id"), col("label"),
+          round(graft.functions.DotProduct.dot_product(col("v"), col("qv"))
+            / (col("nf") * col("pnf")), 9).as("cs"))
+      val nn = sc.withColumn("r", row_number().over(
+          Window.partitionBy("pid").orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("r") <= 5)
+      nn.groupBy("pid", "tl", "label").agg(count(lit(1)).as("nv"))
+        .groupBy("pid", "tl")
+        .agg(min_by(struct(col("label").as("pl"), col("nv").as("nv")),
+          struct((-col("nv")).as("neg"), col("label"))).as("m"))
+        .select(col("pid").as("probe_id"), col("tl").cast("bigint").as("true_label"),
+          col("m.pl").cast("bigint").as("pred_label"), col("m.nv").as("n_votes"),
+          (col("tl") === col("m.pl")).as("correct"))
+        .orderBy("probe_id")
+    },
+
+    // --- cohort LTV curves (retention's monetary sibling) ---------------
+    Q("q_events_cohort_ltv",
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk, event_type, value
+        |       FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cw FROM e GROUP BY 1),
+        |cell AS (SELECT cw AS cohort_week, wk - cw AS week_offset,
+        |           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+        |           SUM(CASE WHEN event_type = 'purchase'
+        |                    THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |             AS rev
+        |         FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        |FROM cell ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+      // Cohort lifetime-value curves — q_events_retention's monetary
+      // sibling and the unit-economics readout: per (cohort week,
+      // offset) cell, active users plus purchase revenue, with the
+      // running cumulative that IS the LTV curve. Revenue stays
+      // DECIMAL through the per-cell sum AND the cumulative window —
+      // exact at any parallelism and merge order — and casts to
+      // double only at output (Qh.dsum's rule extended through the
+      // window). Shape for 100 TB: identical to retention — one
+      // user-keyed exchange feeding co-partitioned first-week and
+      // activity frames, rollup bounded by weeks² cells, the window
+      // running on that model-sized frame.
+      val e = t(s, d, "events")
+        .selectExpr("user_id",
+          "unix_millis(CAST(ts AS TIMESTAMP)) div 604800000 AS wk",
+          "event_type", "value")
+      val c = e.groupBy("user_id").agg(min("wk").as("cw"))
+      val cell = e.join(c, "user_id")
+        .groupBy(col("cw").as("cohort_week"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(countDistinct("user_id").as("n_active"),
+          sum(when(col("event_type") === "purchase", col("value").cast(Qh.D12))
+            .otherwise(lit(0).cast(Qh.D12))).as("rev"))
+      Qh.materializedWith(e)(
+        cell.select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("rev").cast("double").as("revenue"),
+          sum(col("rev")).over(Window.partitionBy("cohort_week")
+            .orderBy("week_offset").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("cum_revenue"))
+          .orderBy("cohort_week", "week_offset"))
+    },
+
     // --- timing-regularity (bot) detection ------------------------------
     Q("q_events_regularity",
       """WITH u AS (SELECT user_id, ts, event_id FROM events
