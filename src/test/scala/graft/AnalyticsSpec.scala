@@ -187,6 +187,67 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("regularity: fixtures flag as designed, real users stay in the middle band") {
+    val r = SparkEntry.queries("q_events_regularity")(spark, sf).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(4), x.getBoolean(5)))).toMap
+    assert(r(1000000L) == ((true, false)), "metronome must read regular")
+    assert(r(1000001L) == ((false, true)), "burst fixture must read bursty")
+    r.filter(_._1 < 1000000L).foreach { case (u, (reg, bur)) =>
+      assert(!reg && !bur, s"real user $u unexpectedly flagged")
+    }
+  }
+
+  test("rate limit: only the synthetic abuser breaches, hit mass conserves") {
+    val r = SparkEntry.queries("q_events_rate_limit")(spark, sf).collect()
+    val limited = r.filter(_.getBoolean(4)).map(_.getLong(0))
+    assert(limited.toSeq == Seq(1000002L))
+    // 40 events at 1.5 s span exactly one full minute of 40+ counts split
+    // across 2 buckets: 1.7e12 ms isn't minute-aligned, so expect the max
+    // bucket between 21 and 40 but every violation >5/min
+    val ab = r.find(_.getLong(0) == 1000002L).get
+    assert(ab.getLong(2) > 5 && ab.getLong(3) >= 1)
+  }
+
+  test("forecast backtest agrees with a from-scratch seasonal-naive recount") {
+    val f = SparkEntry.queries("q_events_forecast")(spark, sf).collect()
+    val dc = events.selectExpr("event_type",
+        "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+      .groupBy("event_type", "d").count().collect()
+      .groupBy(_.getString(0))
+    f.foreach { r =>
+      val tpe = r.getString(0)
+      val byDay = dc(tpe).map(x => x.getLong(1) -> x.getLong(2)).toMap
+      val scored = byDay.keys.filter(d => byDay.contains(d - 7)).toSeq
+      // lag-7 over OBSERVED rows: the oracle lags the 7th previous row,
+      // not the day-minus-7 calendar cell — they agree only when the
+      // day sequence is dense, which this corpus is
+      assert(r.getLong(1) == scored.length, s"$tpe scored-day count")
+      val sae = scored.map(d => math.abs(byDay(d) - byDay(d - 7))).sum
+      assert(r.getLong(2) == 1000 * sae / scored.length, s"$tpe mae")
+    }
+  }
+
+  test("knn audit: correctness flag is consistent and votes are within k") {
+    val k = SparkEntry.queries("q_embed_knn_classify")(spark, sf).collect()
+    assert(k.nonEmpty)
+    k.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 5)
+      assert(r.getBoolean(4) == (r.getLong(1) == r.getLong(2)))
+    }
+  }
+
+  test("cohort LTV: cumulative curves are monotone and close at total purchase revenue") {
+    val l = SparkEntry.queries("q_events_cohort_ltv")(spark, sf).collect()
+    val total = events.filter(col("event_type") === "purchase")
+      .agg(queries.Qh.dsum(col("value"))).head.getDouble(0)
+    val finalCum = l.groupBy(_.getLong(0)).map(_._2.maxBy(_.getLong(1)).getDouble(4)).sum
+    assert(math.abs(finalCum - total) < 1e-6)
+    l.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cums = rows.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
   test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
     val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
