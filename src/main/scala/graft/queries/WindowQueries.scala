@@ -139,5 +139,61 @@ object WindowQueries {
           col("dr").cast("int").as("dr"), col("grp_sum"))
         .orderBy("o_orderkey")
     },
+
+    // --- frame EXCLUDE clauses (SQL:2011), emulated ---------------------
+    Q("q_window_exclude_emul",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |     EXCLUDE CURRENT ROW) AS DOUBLE) AS excl_row,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |     EXCLUDE GROUP) AS DOUBLE) AS excl_group,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |     EXCLUDE TIES) AS DOUBLE) AS excl_ties
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // Frame EXCLUDE clauses (SQL:2011) — unparseable in Spark 4.1.2,
+      // native in DuckDB (which makes the oracle the REAL spelling and
+      // this the emulation, the q_window_groups_emul pattern in
+      // reverse). Over a running ROWS frame ordered by (ts, event_id):
+      //   EXCLUDE CURRENT ROW = running_sum − current value;
+      //   EXCLUDE GROUP       = running_sum − (in-frame peer sum): with
+      //     the frame ending at the current row, the in-frame peers of
+      //     a row are exactly its same-ts rows with event_id ≤ its own
+      //     (peers order by the event_id tiebreak) — a second running
+      //     sum partitioned by (user, ts) ordered by event_id;
+      //   EXCLUDE TIES        = EXCLUDE GROUP + current value.
+      // All three ride the decimal cast end-to-end, so the subtractions
+      // are exact and both engines hash-match. Cost: the peer running
+      // sum partitions by (user, ts) — a refinement of the main
+      // partition key, so Catalyst plans ONE exchange on user_id and
+      // sorts once; no second corpus shuffle. NULL convention: an empty
+      // excluded frame yields NULL in the standard — emulated by
+      // nullifying a zero-row remainder via the peer/row counts, not by
+      // value comparison (a legitimate 0.0 sum survives).
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("value").cast(Qh.D12).as("v"))
+      val main = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val peers = Window.partitionBy("user_id", "ts").orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("run", sum(col("v")).over(main))
+        .withColumn("nrun", count(lit(1)).over(main))
+        .withColumn("prun", sum(col("v")).over(peers))
+        .withColumn("nprun", count(lit(1)).over(peers))
+        .select(col("event_id"), col("user_id"),
+          when(col("nrun") > 1, (col("run") - col("v")).cast("double")).as("excl_row"),
+          when(col("nrun") - col("nprun") > 0,
+            (col("run") - col("prun")).cast("double")).as("excl_group"),
+          // TIES keeps the current row, so its frame is never empty
+          (col("run") - col("prun") + col("v")).cast("double").as("excl_ties"))
+        .orderBy("event_id")
+    },
   )
 }
