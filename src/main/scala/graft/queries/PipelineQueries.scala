@@ -5571,6 +5571,48 @@ object PipelineQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // --- DAU / WAU / MAU active-user rollup -----------------------------
+    Q("q_events_active_users",
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT dau.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |        FROM dau JOIN ud ON ud.d BETWEEN dau.d - 6 AND dau.d GROUP BY 1),
+        |mau AS (SELECT dau.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+        |        FROM dau JOIN ud ON ud.d BETWEEN dau.d - 29 AND dau.d GROUP BY 1)
+        |SELECT dau.d, dau, wau, mau,
+        |  CAST((1000 * dau) // mau AS BIGINT) AS stickiness_milli
+        |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+        |ORDER BY dau.d""".stripMargin) { (s, d) =>
+      // DAU/WAU/MAU — the engagement topline: distinct users active
+      // each day / trailing week / trailing month, plus DAU/MAU
+      // stickiness in exact milli. The corpus collapses ONCE to the
+      // distinct (user, day) frame (map-side partials before the one
+      // exchange); the trailing-window distinct counts then run as an
+      // EXPLODE of each user-day into the ≤30 future window-end days
+      // it supports, re-distinct, count — map-side work bounded by
+      // 30×|user-days| with no range join and no per-day re-scan of
+      // events (the oracle's BETWEEN-join spelling is the same set,
+      // computed DuckDB's way). Only observed-activity days are
+      // reported (the dau join). At 100 TB the user-day frame is the
+      // persisted daily-activity artifact every growth dashboard
+      // already materializes; this is one more rollup over it.
+      val ud = t(s, d, "events")
+        .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+        .distinct()
+      Qh.materializedWith(ud) {
+        val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+        def trailing(n: Int, name: String) = ud
+          .select(col("user_id"), explode(sequence(col("d"), col("d") + (n - 1))).as("d2"))
+          .distinct()
+          .groupBy(col("d2").as("d")).agg(count(lit(1)).as(name))
+        dau.join(trailing(7, "wau"), "d")
+          .join(trailing(30, "mau"), "d")
+          .select(col("d"), col("dau"), col("wau"), col("mau"),
+            expr("(1000 * dau) div mau").as("stickiness_milli"))
+          .orderBy("d")
+      }
+    },
+
     // --- kNN leave-one-out classification audit -------------------------
     Q("q_embed_knn_classify",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -195,5 +195,45 @@ object WindowQueries {
           (col("run") - col("prun") + col("v")).cast("double").as("excl_ties"))
         .orderBy("event_id")
     },
+
+    // --- time-interval RANGE frames -------------------------------------
+    Q("q_window_range_time",
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_30m,
+        |  CAST(COUNT(*) OVER
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_30m
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      // Time-interval RANGE frames — the trailing-window aggregate AS A
+      // FRAME (the interval JOIN q_join_interval computes the same
+      // semantics as a pair join; the frame spelling is one window pass
+      // with no join at all, the right plan when every row needs its
+      // own trailing aggregate). RANGE over the timestamp order key
+      // includes ALL rows in [ts−30 min, ts] regardless of ties — no
+      // event_id tiebreak in the ORDER BY, because RANGE frames are
+      // value-based and a tiebreak column would make the frame
+      // ROWS-like. The Spark frame keys on unix_micros (a cast to
+      // long would truncate to SECONDS and shift boundary rows vs the
+      // oracle's microsecond-exact INTERVAL arithmetic — every ts in
+      // this corpus has a sub-second component). Decimal through the
+      // sum, cast at output. Shape for 100 TB: one user-keyed
+      // exchange + per-partition sort; the frame scan is the sliding
+      // two-pointer the engine implements — never a per-row re-scan.
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-30L * 60 * 1000000, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("value").cast(Qh.D12).as("v"))
+        .select(col("event_id"), col("user_id"),
+          sum(col("v")).over(w).cast("double").as("trailing_30m"),
+          count(lit(1)).over(w).cast("bigint").as("n_30m"))
+        .orderBy("event_id")
+    },
   )
 }
