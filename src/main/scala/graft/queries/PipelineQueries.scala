@@ -1057,6 +1057,32 @@ object PipelineQueries {
     * near-dup graph, with their induced-subgraph degree — see the
     * q_graph_kcore catalog entry. Exposed with the round count so
     * PipelineSpec can prove the fixpoint (rounds vs rounds+1). */
+  /** Multi-source BFS layer histogram over an (src, dst) edge frame:
+    * landmarks = the 3 smallest source ids, then `rounds` expansion
+    * rounds (assigned ⋈ edges, anti-join already-assigned), reporting
+    * (lm, dist, n_at_dist). The iterative core of q_graph_bfs_landmarks;
+    * PipelineSpec drives a synthetic path graph through it to prove the
+    * multi-hop layers (the gate corpus' near-dup components are cliques,
+    * so the catalog run exercises depth 1 only). */
+  private[graft] def bfsLayers(edges: DataFrame, rounds: Int): DataFrame = {
+    val lm = edges.select(col("src")).distinct().orderBy("src").limit(3)
+      .select(col("src").as("lm"))
+    var b = lm.select(col("lm"), col("lm").as("v"), lit(0L).as("dist"))
+    val perRound = Seq.newBuilder[DataFrame]
+    perRound += b
+    for (t <- 1 to rounds) {
+      val n = b.select(col("lm"), col("v"))
+        .join(edges, col("v") === col("src"))
+        .select(col("lm"), col("dst").as("v")).distinct()
+      val fresh = n.join(b.select(col("lm"), col("v")), Seq("lm", "v"), "left_anti")
+      b = b.unionAll(fresh.withColumn("dist", lit(t.toLong)))
+      perRound += b
+    }
+    Qh.materializedWith(perRound.result(): _*)(
+      b.groupBy("lm", "dist").agg(count(lit(1)).as("n_at_dist"))
+        .orderBy("lm", "dist"))
+  }
+
   private[graft] def kcoreSurvivors(s: SparkSession, d: String, rounds: Int): DataFrame = {
     val p = minhashPairsShared(s, d).select(col("i"), col("j"))
     var edges = p.select(col("i").as("src"), col("j").as("dst"))
@@ -5569,6 +5595,50 @@ object PipelineQueries {
         .select(col("event_type"), col("bucket"), col("n"),
           expr("(1000 * n) div tot").as("share_milli"))
         .orderBy("event_type", "bucket")
+    },
+
+    // --- landmark BFS distances over the near-dup graph -----------------
+    Q("q_graph_bfs_landmarks",
+      s"""WITH $ShingleOverlapCtes,
+         |e0 AS MATERIALIZED (SELECT i AS src, j AS dst FROM jpairs
+         |       UNION ALL SELECT j, i FROM jpairs),
+         |l AS (SELECT DISTINCT src AS lm FROM e0 ORDER BY 1 LIMIT 3),
+         |b0 AS (SELECT lm, lm AS v, CAST(0 AS BIGINT) AS dist FROM l),
+         |n1 AS (SELECT DISTINCT b.lm, e.dst AS v FROM b0 b JOIN e0 e ON e.src = b.v),
+         |a1 AS (SELECT n1.lm, n1.v FROM n1 LEFT JOIN b0 ON b0.lm = n1.lm AND b0.v = n1.v
+         |       WHERE b0.v IS NULL),
+         |b1 AS MATERIALIZED (SELECT * FROM b0
+         |       UNION ALL SELECT lm, v, CAST(1 AS BIGINT) FROM a1),
+         |n2 AS (SELECT DISTINCT b.lm, e.dst AS v FROM b1 b JOIN e0 e ON e.src = b.v),
+         |a2 AS (SELECT n2.lm, n2.v FROM n2 LEFT JOIN b1 ON b1.lm = n2.lm AND b1.v = n2.v
+         |       WHERE b1.v IS NULL),
+         |b2 AS MATERIALIZED (SELECT * FROM b1
+         |       UNION ALL SELECT lm, v, CAST(2 AS BIGINT) FROM a2),
+         |n3 AS (SELECT DISTINCT b.lm, e.dst AS v FROM b2 b JOIN e0 e ON e.src = b.v),
+         |a3 AS (SELECT n3.lm, n3.v FROM n3 LEFT JOIN b2 ON b2.lm = n3.lm AND b2.v = n3.v
+         |       WHERE b2.v IS NULL),
+         |b3 AS (SELECT * FROM b2
+         |       UNION ALL SELECT lm, v, CAST(3 AS BIGINT) FROM a3)
+         |SELECT lm, dist, CAST(COUNT(*) AS BIGINT) AS n_at_dist
+         |FROM b3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // Multi-source BFS — the graph family's missing primitive
+      // (pagerank/LPA/k-core/triangles are all degree- or
+      // fixpoint-shaped; BFS is the reachability/radius one): exact
+      // hop distances from 3 deterministic landmark vertices (the
+      // smallest ids in the edge set — the landmark-embedding trick
+      // for approximating all-pairs distances at scale), reported as
+      // the per-landmark distance histogram. Three unrolled rounds,
+      // the bounded-round oracle convention (k-core's); each round is
+      // ONE edge-keyed join of the assigned set against the edge list
+      // + an anti join against already-assigned — per-round shuffles
+      // carry (landmark, vertex) long pairs only, and the assigned
+      // frame is materialized per round exactly like k-core's peel
+      // rounds (at production scale: PipelineRunner checkpoints, and
+      // the frontier-only refinement cuts the join input further).
+      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val edges = p.select(col("i").as("src"), col("j").as("dst"))
+        .union(p.select(col("j").as("src"), col("i").as("dst")))
+      bfsLayers(edges, rounds = 3)
     },
 
     // --- DAU / WAU / MAU active-user rollup -----------------------------

@@ -248,6 +248,27 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("bfs layers walk a synthetic path graph to exact hop distances") {
+    // path 0-1-2-3-4-5 plus a disconnected pair 100-101: landmarks are
+    // the 3 smallest sources (0, 1, 2); from 0 the layers are exactly
+    // the path prefix; 100 is unreachable from all landmarks
+    val s = spark
+    import s.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = queries.PipelineQueries.bfsLayers(edges, rounds = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // from 0: {0}@0, {1}@1, {2}@2, {3}@3
+    assert(got((0L, 0L)) == 1 && got((0L, 1L)) == 1 &&
+      got((0L, 2L)) == 1 && got((0L, 3L)) == 1)
+    // from 1 (mid-path): dist1 = {0, 2} → 2 vertices
+    assert(got((1L, 1L)) == 2)
+    // vertex 100's component is never reached by landmarks 0/1/2
+    assert(!got.keys.exists { case (lm, _) => lm == 100L })
+    // total assigned from landmark 0 = 4 vertices in 3 rounds
+    assert(got.collect { case ((0L, _), n) => n }.sum == 4)
+  }
+
   test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
     val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
