@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Qh._
 
@@ -286,6 +287,87 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       t(s, d, "lineitem").select("l_returnflag", "l_linestatus")
         .distinct().orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // --- bag-semantics set ops (ALL variants) ---------------------------
+    Q("q_except_all",
+      """SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      // EXCEPT ALL — bag semantics: each nation key survives
+      // max(0, count_left − count_right) times, which the DISTINCT
+      // variant (q_except) collapses. Both engines implement the
+      // multiset subtraction natively; the rollup makes the
+      // multiplicities visible (and the output model-sized). Lowering:
+      // Spark plans a left-anti-style hash join on counted rows — no
+      // sort, map-side partials on both inputs.
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+
+    Q("q_intersect_all",
+      """SELECT nk, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |GROUP BY nk ORDER BY nk""".stripMargin) { (s, d) =>
+      // INTERSECT ALL — each key appears min(count_left, count_right)
+      // times; the DISTINCT variant (q_intersect) can't distinguish a
+      // 1:1 from a 100:7 overlap, which is exactly what a
+      // duplicate-aware reconciliation audit needs.
+      t(s, d, "customer").select(col("c_nationkey").as("nk"))
+        .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .groupBy("nk").agg(count(lit(1)).as("n"))
+        .orderBy("nk")
+    },
+
+    // --- DISTINCT ON emulation ------------------------------------------
+    Q("q_distinct_on_emul",
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey AS nk, c_custkey, c_acctbal
+        |FROM customer
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+        |""".stripMargin) { (s, d) =>
+      // DISTINCT ON (Postgres/DuckDB) — "the first row of each group
+      // under this ordering": unparseable in Spark, so the engine side
+      // is the min_by-over-ordering-struct composition (the exact
+      // lowering Spark WOULD do), while the ORACLE runs DuckDB's
+      // NATIVE DISTINCT ON — certifying the emulation against the real
+      // operator, the q_window_exclude_emul pattern. Richest-customer-
+      // per-nation with a custkey tiebreak so the pick is total-order
+      // deterministic. Shape: partial-aggregatable min_by, one
+      // nation-keyed exchange, no window sort.
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(min_by(
+          struct(col("c_custkey"), col("c_acctbal")),
+          struct((-col("c_acctbal")).as("neg"), col("c_custkey"))).as("m"))
+        .select(col("nk"), col("m.c_custkey").as("c_custkey"),
+          col("m.c_acctbal").as("c_acctbal"))
+        .orderBy("nk")
+    },
+
+    // --- QUALIFY emulation ----------------------------------------------
+    Q("q_qualify_emul",
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
+      // QUALIFY (Snowflake/DuckDB/BigQuery; not in Spark 4.1.2) — a
+      // WHERE for window functions. The engine side is the canonical
+      // lowering (window column + filter + projection drop), the oracle
+      // is DuckDB's NATIVE QUALIFY — the emulation certified against
+      // the real clause. Top-2 orders per customer, fully tiebroken.
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
     // --- sort / top-k / limit+offset (reference datafusion.proto:147-152,

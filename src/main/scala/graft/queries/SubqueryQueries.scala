@@ -145,6 +145,21 @@ object SubqueryQueries {
        |FROM ${p}supplier JOIN ${p}nation ON s_nationkey = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // Correlated EXISTS / NOT EXISTS in one statement: EXISTS lowers to a
+  // left-semi join on the correlation key, NOT EXISTS to a PLAIN anti
+  // join (no null-awareness needed — the correlation predicate can't be
+  // null-confused the way NOT IN can, which is why q22 and every
+  // 100 TB-scale anti pattern should prefer this spelling over NOT IN).
+  // Both branches share one orders scan per side, keyed on custkey.
+  private val existsSql: Sql = p =>
+    s"""SELECT c_custkey, c_name FROM ${p}customer c
+       |WHERE EXISTS (SELECT 1 FROM ${p}orders o
+       |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+       |  AND NOT EXISTS (SELECT 1 FROM ${p}orders o
+       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+       |                    AND o.o_totalprice < 50000)
+       |ORDER BY c_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_tpch_q4", q4(""))(run("orders", "lineitem")(q4)),
     Q("q_tpch_q17", q17(""))(run("lineitem", "part")(q17)),
@@ -152,6 +167,7 @@ object SubqueryQueries {
     Q("q_tpch_q22", q22(""))(run("customer", "orders")(q22)),
     Q("q_subq_in", inSql(""))(run("customer", "orders")(inSql)),
     Q("q_subq_not_in", notInSql(""))(run("supplier", "lineitem")(notInSql)),
-    Q("q_subq_scalar_proj", scalarProj(""))(run("supplier", "nation")(scalarProj))
+    Q("q_subq_scalar_proj", scalarProj(""))(run("supplier", "nation")(scalarProj)),
+    Q("q_subq_exists", existsSql(""))(run("customer", "orders")(existsSql))
   )
 }
