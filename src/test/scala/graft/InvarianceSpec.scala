@@ -41,8 +41,17 @@ class InvarianceSpec extends GraftSuite {
                             //   change the triangle set
     "q_cur_dsir",           // fixed-point model + integer score sums must
                             //   pick the same top-100 at any parallelism
-    "q_cur_split_leakfree") // label propagation + canonical-bucket join
+    "q_cur_split_leakfree", // label propagation + canonical-bucket join
                             //   across AQE/partition layouts
+    "q_embed_pca_power",    // round 9: decimal matvec accumulations +
+                            //   BigInt rescale must be bit-stable across
+                            //   merge orders and partition counts
+    "q_events_rfm",         // round 9: global tiebroken NTILEs over the
+                            //   one-partition window at any input layout
+    "q_text_dup_ngram",     // round 9: gram-df join + integer milli
+                            //   fractions across gram partitionings
+    "q_events_active_users")// round 9: explode + re-distinct trailing
+                            //   counts across layouts
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
