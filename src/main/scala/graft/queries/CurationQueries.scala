@@ -1493,6 +1493,57 @@ object CurationQueries {
         .withColumn("rank", row_number().over(
           Window.orderBy(col("shrunk_q_micro").desc, col("source"))).cast("bigint"))
         .orderBy("rank")
+    },
+
+    // --- preference-pair mining (DPO/RLHF data prep) --------------------
+    Q("q_cur_pref_pairs",
+      """WITH q AS (SELECT doc_id, lang, source,
+        |    LEAST(n_chars * 1250, 500000)
+        |      + LEAST((5000000 * len(list_filter(w, t -> t IN ('the', 'a', 'of', 'and', 'is'))))
+        |              // len(w), 500000) AS qm
+        |  FROM (SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w
+        |        FROM documents)),
+        |g AS (SELECT lang, source, doc_id, qm,
+        |        ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY qm DESC, doc_id) AS rb,
+        |        ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY qm ASC, doc_id) AS rw
+        |      FROM q),
+        |b AS (SELECT lang, source, doc_id AS chosen_id, qm AS qb FROM g WHERE rb = 1),
+        |w2 AS (SELECT lang, source, doc_id AS rejected_id, qm AS qw FROM g WHERE rw = 1)
+        |SELECT b.lang, b.source, chosen_id, rejected_id,
+        |  CAST(qb - qw AS BIGINT) AS margin_micro
+        |FROM b JOIN w2 ON b.lang = w2.lang AND b.source = w2.source
+        |WHERE qb > qw ORDER BY b.lang, b.source""".stripMargin) { (s, d) =>
+      // Preference-pair mining — the DPO/reward-model data-prep stage:
+      // per (lang, source) stratum, pair the highest-scoring document
+      // (chosen) against the lowest (rejected), with the margin carried
+      // so downstream can threshold weak pairs. Scores are the EXACT
+      // integer micro-unit quality (the q_cur_source_reputation
+      // recast), ties broken by doc_id on BOTH ends, degenerate
+      // all-equal strata dropped (a zero-margin pair teaches nothing).
+      // In production the scorer is a reward model and the stratum a
+      // prompt cluster — the pairing plumbing is identical. Shape for
+      // 100 TB: scores row-local; both extremes are partial-
+      // aggregatable min_by/max_by on ONE stratum-keyed exchange — no
+      // window sort over the corpus (the oracle's ROW_NUMBER spelling
+      // is DuckDB-side readability).
+      val q = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (least(col("n_chars") * 1250, lit(500000L)) +
+            least(expr(s"(5000000 * size(filter(w, t -> $Stop))) div size(w)"),
+              lit(500000L))).as("qm"))
+      q.groupBy("lang", "source")
+        .agg(
+          min_by(struct(col("doc_id").as("chosen_id"), col("qm").as("qb")),
+            struct((-col("qm")).as("neg"), col("doc_id"))).as("b"),
+          min_by(struct(col("doc_id").as("rejected_id"), col("qm").as("qw")),
+            struct(col("qm"), col("doc_id"))).as("w2"))
+        .filter(col("b.qb") > col("w2.qw"))
+        .select(col("lang"), col("source"),
+          col("b.chosen_id").as("chosen_id"), col("w2.rejected_id").as("rejected_id"),
+          (col("b.qb") - col("w2.qw")).as("margin_micro"))
+        .orderBy("lang", "source")
     }
   )
 }
