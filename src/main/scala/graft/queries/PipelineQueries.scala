@@ -97,6 +97,26 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** The winnowing fingerprint CTE chain (3-gram hash → w=4 window
+    * minima → distinct sorted selection), ending at `f`: (doc_id, fps).
+    * Shared by q_text_winnow (the fingerprint report) and
+    * q_dedup_winnow (the posting-list match) so the selection model
+    * can't drift between its consumers. */
+  private[queries] val WinnowCtes: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 6),
+      |g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t)),
+      |h AS (SELECT doc_id, i,
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          [CAST(ascii(s[c]) AS BIGINT) for c in range(1, length(s) + 1)]),
+      |          (a, b) -> (a * 31 + b) % 1000000007) AS gh
+      |      FROM g),
+      |a AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h GROUP BY doc_id),
+      |f AS (SELECT doc_id, list_sort(list_distinct(
+      |        [list_min(gs[j:j+3]) for j in range(1, len(gs) - 2)])) AS fps
+      |      FROM a)""".stripMargin
+
   /** The kmeans assignment CTE chain (quantize → seed → assign → update
     * → re-assign) shared by every oracle that consumes cluster
     * assignments (q_embed_kmeans, q_embed_cluster_purity) — one text, so
@@ -3764,19 +3784,7 @@ object PipelineQueries {
 
     // --- winnowing fingerprints (MOSS-style w-window minima) ------------
     Q("q_text_winnow",
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 6),
-        |g AS (SELECT doc_id, i, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        |      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM t)),
-        |h AS (SELECT doc_id, i,
-        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          [CAST(ascii(s[c]) AS BIGINT) for c in range(1, length(s) + 1)]),
-        |          (a, b) -> (a * 31 + b) % 1000000007) AS gh
-        |      FROM g),
-        |a AS (SELECT doc_id, list(gh ORDER BY i) AS gs FROM h GROUP BY doc_id),
-        |f AS (SELECT doc_id, list_sort(list_distinct(
-        |        [list_min(gs[j:j+3]) for j in range(1, len(gs) - 2)])) AS fps
-        |      FROM a)
+      s"""$WinnowCtes
         |SELECT doc_id, len(fps) AS n_fp, to_json(fps)::VARCHAR AS fps
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       // Winnowing (Schleimer/Wilkerson/Aiken, the MOSS fingerprint): hash
@@ -5595,6 +5603,63 @@ object PipelineQueries {
         .select(col("event_type"), col("bucket"), col("n"),
           expr("(1000 * n) div tot").as("share_milli"))
         .orderBy("event_type", "bucket")
+    },
+
+    // --- winnow-fingerprint overlap pairs (the MOSS matching half) ------
+    Q("q_dedup_winnow",
+      s"""$WinnowCtes,
+        |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |cap AS (SELECT fp, doc_id FROM (
+        |          SELECT fp, doc_id,
+        |            ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS r
+        |          FROM ex) WHERE r <= 50),
+        |pr AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |       FROM cap a JOIN cap b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM pr GROUP BY i, j HAVING COUNT(*) >= 3
+        |ORDER BY i, j""".stripMargin) { (s, d) =>
+      // The MATCHING half of winnowing (q_text_winnow builds the
+      // fingerprints; this is the MOSS posting-list join that finds
+      // overlapping documents from them): explode each document's
+      // selected minima, cap each posting list at the 50 smallest doc ids
+      // (the NgramDfCap convention — a boilerplate fingerprint shared
+      // by a million docs must not expand quadratically; the cap keeps
+      // clusters discoverable through their smallest members), pair
+      // within postings, and keep pairs sharing ≥3 fingerprints. The
+      // winnowing guarantee makes this sound: any shared passage ≥6
+      // words yields an IDENTICAL selected fingerprint in both docs,
+      // so real overlaps cannot be missed by selection — only
+      // deliberately bounded by the cap. ~40% of gram hashes are
+      // indexed instead of all of them (the whole point vs
+      // q_dedup_ngram_jaccard's full posting lists). Shape for 100 TB:
+      // one fp-keyed shuffle of (fp, doc_id) longs, windowed cap, pair
+      // counts collapse map-side on (i, j).
+      //
+      // The fingerprint frame is CHECKPOINTED before the explode — both
+      // because that is the real deployment shape (MOSS persists the
+      // fingerprint index once and matches against it many times) and
+      // because it is load-bearing for the plan: without the lineage
+      // cut, InferFiltersFromGenerate synthesizes `size(fps) > 0` and
+      // pushes it below the projections, inlining the whole nested
+      // fingerprint HOF into an interpreted per-row Filter where the
+      // inner hash transform re-evaluates per window position —
+      // O(words²) per document, measured 224 s vs 0.5 s at sf0.1.
+      val idx = winnowFps(t(s, d, "documents"))
+        .select(col("doc_id"), col("fps"))
+        .localCheckpoint(true)
+      val fps = idx.select(col("doc_id"), explode(col("fps")).as("fp"))
+      Qh.materializedWith(fps) {
+        val cap = fps.withColumn("r", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("r") <= 50)
+          .select(col("fp"), col("doc_id"))
+        cap.select(col("fp"), col("doc_id").as("i"))
+          .join(cap.select(col("fp"), col("doc_id").as("j")), "fp")
+          .filter(col("i") < col("j"))
+          .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .orderBy("i", "j")
+      }
     },
 
     // --- landmark BFS distances over the near-dup graph -----------------

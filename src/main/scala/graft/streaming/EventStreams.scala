@@ -234,6 +234,26 @@ object EventStreams {
     * grow unboundedly — the streaming face of the corpus-prep exact-dedup
     * operator (q_dedup_exact). Batch: plain dropDuplicates (the
     * within-watermark variant is streaming-only and would throw). */
+  /** Streaming rate-limit alerts — the live twin of the batch
+    * `q_events_rate_limit` audit: per-(user, minute-window) event
+    * counts under a watermark, emitting ONLY the buckets that breach
+    * `limit` (append mode — each violation finalizes exactly once as
+    * the watermark passes, so an enforcement sink can act on it
+    * without dedup). State is bounded by open windows × active users
+    * within the watermark horizon, not stream volume; the same code
+    * audits a batch frame (minus the watermark) for replay. */
+  def rateAlerts(
+      events: DataFrame,
+      limit: Int = 5,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > limit)
+      .select(col("window.start").as("minute_start"), col("user_id"), col("n"))
+
   /** Per-type frozen baseline for the streaming anomaly monitor: the
     * trailing-week integer stats (S = sum of daily counts, Q = sum of
     * squares) over each type's LAST 7 fully-observed days in a BATCH

@@ -822,6 +822,34 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming rate alerts fire only for the burst user, finalized once, equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    // user 7: 8 events inside one minute (breach); user 9: 3 events
+    // spread out (quiet); far-future pusher finalizes the windows
+    val events =
+      (0 until 8).map(i => Event(100 + i, ts(f"2024-01-01 10:00:${i * 7}%02d"), 7, "click", 0.0)) ++
+        Seq(Event(200, ts("2024-01-01 10:00:30"), 9, "view", 0.0),
+          Event(201, ts("2024-01-01 10:05:00"), 9, "view", 0.0),
+          Event(202, ts("2024-01-01 10:10:00"), 9, "view", 0.0),
+          Event(999, ts("2024-01-01 23:00:00"), 1, "click", 0.0))
+    val in = MemoryStream[Event]
+    in.addData(events: _*)
+    val q = EventStreams.rateAlerts(in.toDF(), limit = 5)
+      .writeStream.format("memory").queryName("rate_alerts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rate_alerts ORDER BY minute_start").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows(0).getLong(1) == 7L && rows(0).getLong(2) == 8L)
+      // identical code in batch over the same frame (watermark inert)
+      val batch = EventStreams.rateAlerts(events.toDF(), limit = 5).collect()
+      assert(batch.map(_.toString).toSeq == rows.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming encoding QA flags corrupt ingests, passes clean ones, equals batch") {
     val s = spark
     implicit val sq = s.sqlContext
