@@ -1025,6 +1025,57 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // --- CDC changelog apply (MERGE with deletes) -----------------------
+    Q("q_cur_merge_cdc",
+      """WITH del AS (SELECT doc_id, 'D' AS op FROM documents WHERE doc_id % 17 = 0),
+        |upd AS (SELECT doc_id, 'U' AS op, lang, source, text || ' patched' AS text
+        |        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 17 <> 0),
+        |ins AS (SELECT doc_id + 2000000 AS doc_id, 'I' AS op, lang, source,
+        |          'cdc insert ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
+        |        FROM documents WHERE doc_id % 23 = 0),
+        |keys AS (SELECT doc_id FROM del UNION ALL SELECT doc_id FROM upd
+        |         UNION ALL SELECT doc_id FROM ins),
+        |merged AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.text, 'kept' AS status FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM keys)
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, text, 'updated' FROM upd
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, text, 'inserted' FROM ins)
+        |SELECT doc_id, lang, source, status,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM merged ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Full CDC-changelog apply — MERGE with ALL THREE actions (the
+      // q_cur_upsert shape plus the one it lacks: DELETE tombstones).
+      // This is the batch face of a Debezium/binlog consumer: a
+      // changelog of I/U/D ops keyed by doc_id replaces, extends, and
+      // RETIRES rows of the base snapshot in one pass. Composition:
+      // base ANTI JOIN all-changed-keys (deletes simply never come
+      // back) ∪ updates ∪ inserts — still ONE broadcast anti join
+      // against the delta key set, so the 100 TB base never shuffles
+      // and a tombstone costs exactly as much as an update. Per-row
+      // lineage rides out as status + exact new length. GDPR-erasure
+      // note: the tombstoned rows are gone from the result snapshot,
+      // not masked.
+      val base = t(s, d, "documents").select("doc_id", "lang", "source", "text")
+      val del = base.filter(col("doc_id") % 17 === 0).select("doc_id")
+      val upd = base.filter(col("doc_id") % 5 === 0 && col("doc_id") % 17 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" patched")))
+        .withColumn("status", lit("updated"))
+      val ins = base.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("lang"), col("source"),
+          concat(lit("cdc insert "), col("doc_id").cast("string"), lit(" "),
+            col("text")).as("text"))
+        .withColumn("status", lit("inserted"))
+      val changedKeys = del.unionByName(upd.select("doc_id")).unionByName(ins.select("doc_id"))
+      base.withColumn("status", lit("kept"))
+        .join(broadcast(changedKeys), Seq("doc_id"), "left_anti")
+        .unionByName(upd).unionByName(ins)
+        .select(col("doc_id"), col("lang"), col("source"), col("status"),
+          length(col("text")).cast("bigint").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // --- SCD2 history-preserving upsert ---------------------------------
     Q("q_cur_scd2",
       """WITH v1 AS (SELECT doc_id, text, 1 AS vf FROM documents),
