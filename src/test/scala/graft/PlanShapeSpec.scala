@@ -68,6 +68,24 @@ class PlanShapeSpec extends GraftSuite {
       s"expected postings x2 + both verify-join sides on InMemoryTableScan:\n$p")
   }
 
+  test("hot paths run inside WholeStageCodegen spans (custom expressions included)") {
+    // The 100 TB rule: hot expressions live inside codegen, never
+    // interpreted eval. Formatted mode tags every codegen'd operator
+    // with its span id — assert the flagship agg pipeline carries
+    // spans, and that the custom Catalyst expressions (RollingHash,
+    // DotProduct) do NOT break the span they sit in (a doGenCode
+    // regression would silently de-codegen the whole stage).
+    for (q <- Seq("q1_pricing_summary", "q_text_fingerprint", "q_cur_ann_int8")) {
+      // AQE stamps codegen ids only on the FINAL adaptive plan — drive
+      // THIS DataFrame's own QueryExecution (a sink write would plan a
+      // separate one), then read the finalized plan back
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("[codegen id :"), s"$q lost codegen:\n${p.take(600)}")
+    }
+  }
+
   test("q_ann_bruteforce broadcasts the query vector (no shuffle of corpus)") {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
