@@ -325,6 +325,64 @@ object RelationalQueries {
         .orderBy("nk")
     },
 
+    // --- declarative data-quality constraint audit ----------------------
+    Q("q_audit_constraints",
+      """WITH u AS (SELECT 'orderkey_unique' AS check_name,
+        |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+        |       FROM orders),
+        |c AS (SELECT 'custname_complete',
+        |        CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      FROM customer),
+        |r AS (SELECT 'orders_custkey_ri',
+        |        CAST(COUNT(*) AS BIGINT)
+        |      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |g AS (SELECT 'discount_range',
+        |        CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+        |             AS BIGINT)
+        |      FROM lineitem),
+        |v AS (SELECT 'returnflag_domain',
+        |        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+        |             AS BIGINT)
+        |      FROM lineitem)
+        |SELECT check_name, n_violations, n_violations = 0 AS pass
+        |FROM (SELECT * FROM u UNION ALL SELECT * FROM c UNION ALL SELECT * FROM r
+        |      UNION ALL SELECT * FROM g UNION ALL SELECT * FROM v)
+        |ORDER BY check_name""".stripMargin) { (s, d) =>
+      // Declarative data-quality constraints (the Deequ/data-contract
+      // operator): uniqueness, completeness, referential integrity,
+      // numeric range, and categorical domain — each evaluated as an
+      // exact violation COUNT, assembled into one verdict frame in ONE
+      // plan (no driver-side count() round trips — the q_events_funnel
+      // assembly discipline). On the conformant gate corpus every check
+      // passes; the audit's value is the exact zero, not a boolean.
+      // Shape for 100 TB: every check is a map-side-collapsed aggregate
+      // over its own table scan; the RI check is the one join — a
+      // broadcast anti join against the dimension keys. A production
+      // deployment runs this frame nightly and alerts on pass=false —
+      // the operator IS the contract.
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val lineitem = t(s, d, "lineitem")
+      val u = orders.agg((count(lit(1)) - countDistinct(col("o_orderkey")))
+        .as("n_violations")).select(lit("orderkey_unique").as("check_name"), col("n_violations"))
+      val c = customer.agg(sum(when(col("c_name").isNull, 1L).otherwise(0L))
+        .as("n_violations")).select(lit("custname_complete").as("check_name"), col("n_violations"))
+      val r = orders.join(broadcast(customer.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_custkey_ri").as("check_name"), col("n_violations"))
+      val g = lineitem.agg(sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1L)
+        .otherwise(0L)).as("n_violations"))
+        .select(lit("discount_range").as("check_name"), col("n_violations"))
+      val v = lineitem.agg(sum(when(!col("l_returnflag").isInCollection(Seq("A", "N", "R")), 1L)
+        .otherwise(0L)).as("n_violations"))
+        .select(lit("returnflag_domain").as("check_name"), col("n_violations"))
+      u.unionByName(c).unionByName(r).unionByName(g).unionByName(v)
+        .select(col("check_name"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+        .orderBy("check_name")
+    },
+
     // --- DISTINCT ON emulation ------------------------------------------
     Q("q_distinct_on_emul",
       """SELECT DISTINCT ON (c_nationkey) c_nationkey AS nk, c_custkey, c_acctbal
