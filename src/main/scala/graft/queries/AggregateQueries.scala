@@ -486,6 +486,119 @@ object AggregateQueries {
           |ORDER BY rf, ls""".stripMargin)
     },
 
+    // --- Welch's two-sample t-test (A/B experimentation readout) --------
+    Q("q_agg_ttest",
+      """WITH g AS (SELECT event_type,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         SUM(CAST(value AS DECIMAL(12,2))) AS s,
+        |         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS q
+        |       FROM events WHERE event_type IN ('click', 'purchase')
+        |       GROUP BY 1),
+        |a AS (SELECT n AS n1, CAST(s AS DOUBLE) AS s1, CAST(q AS DOUBLE) AS q1
+        |      FROM g WHERE event_type = 'click'),
+        |b AS (SELECT n AS n2, CAST(s AS DOUBLE) AS s2, CAST(q AS DOUBLE) AS q2
+        |      FROM g WHERE event_type = 'purchase'),
+        |m AS (SELECT n1, n2,
+        |        s1 / n1 AS m1, s2 / n2 AS m2,
+        |        (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+        |        (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+        |      FROM a, b)
+        |SELECT n1, n2,
+        |  ROUND(m1 - m2, 9) AS mean_diff,
+        |  ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 9) AS t_stat,
+        |  ROUND(pow(v1 / n1 + v2 / n2, 2)
+        |        / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 9) AS df
+        |FROM m""".stripMargin) { (s, d) =>
+      // Welch's unequal-variance two-sample t-test — the A/B experiment
+      // readout: does the 'click' population's value differ from the
+      // 'purchase' population's? The DISTRIBUTED part is exact: per-arm
+      // (n, Σv, Σv²) ride decimal (values quantized once to the D12
+      // cent grid, so sums are merge-order-independent and
+      // engine-identical); the t statistic and Welch–Satterthwaite df
+      // are then a handful of double ops on those exact moments —
+      // identical IEEE arithmetic both engines, pinned at round 9. At
+      // 100 TB each arm collapses map-side to one 3-number cell; the
+      // test itself is free. (Significance thresholds are a caller
+      // lookup — the statistic is the operator.)
+      val g = t(s, d, "events")
+        .filter(col("event_type").isInCollection(Seq("click", "purchase")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Qh.D12)).as("s"),
+          sum(col("value").cast(Qh.D12) * col("value").cast(Qh.D12)).as("q"))
+      val a = g.filter(col("event_type") === "click")
+        .select(col("n").as("n1"), col("s").cast("double").as("s1"),
+          col("q").cast("double").as("q1"))
+      val b = g.filter(col("event_type") === "purchase")
+        .select(col("n").as("n2"), col("s").cast("double").as("s2"),
+          col("q").cast("double").as("q2"))
+      Qh.materializedWith(g)(
+        a.crossJoin(b)
+          .select(col("n1"), col("n2"),
+            (col("s1") / col("n1")).as("m1"), (col("s2") / col("n2")).as("m2"),
+            ((col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)).as("v1"),
+            ((col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)).as("v2"))
+          .select(col("n1"), col("n2"),
+            round(col("m1") - col("m2"), 9).as("mean_diff"),
+            round((col("m1") - col("m2"))
+              / sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 9).as("t_stat"),
+            round(pow(col("v1") / col("n1") + col("v2") / col("n2"), 2)
+              / (pow(col("v1") / col("n1"), 2) / (col("n1") - 1)
+                + pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 9).as("df")))
+    },
+
+    // --- chi-squared independence test ----------------------------------
+    Q("q_agg_chi2",
+      """WITH o AS (SELECT event_type, epoch_ms(ts) // 86400000 % 7 AS dow,
+        |         CAST(COUNT(*) AS BIGINT) AS obs
+        |       FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+        |ct AS (SELECT dow, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+        |n AS (SELECT CAST(SUM(obs) AS BIGINT) AS tot FROM o),
+        |x AS (SELECT o.event_type, o.dow, obs, r, c, tot,
+        |        CAST(r AS DOUBLE) * c / tot AS e
+        |      FROM o JOIN rt USING (event_type) JOIN ct USING (dow), n)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |  CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+        |    * ((SELECT COUNT(*) FROM ct) - 1) AS df,
+        |  CAST(SUM(CAST(ROUND((obs - e) * (obs - e) / e * 1e9) AS BIGINT)) AS DOUBLE)
+        |    / 1e9 AS chi2
+        |FROM x""".stripMargin) { (s, d) =>
+      // Chi-squared independence test (event type × weekday) — "does
+      // traffic mix depend on the day?", the categorical sibling of
+      // q_agg_ttest. Observed counts and both marginals are EXACT
+      // integers off one map-side-collapsed contingency pass (the
+      // weekday is the q_events_seasonality pure-integer bucket);
+      // per-cell terms are computed in double from those integers in a
+      // fixed expression order and fixed-pointed to nano-units BEFORE
+      // the sum (the q_text_js_divergence discipline — a float sum's
+      // low bits depend on merge order; an integer sum's don't). The
+      // contingency frame is model-sized (types×7), so the marginals
+      // join is trivially broadcast; at 100 TB only the first count
+      // pass touches the corpus.
+      val o = t(s, d, "events")
+        .selectExpr("event_type",
+          "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 % 7 AS dow")
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("obs"))
+      Qh.materializedWith(o) {
+        val rt = o.groupBy("event_type").agg(sum("obs").as("r"))
+        val ct = o.groupBy("dow").agg(sum("obs").as("c"))
+        val n = o.agg(sum("obs").as("tot"))
+        val nr = rt.agg(count(lit(1)).as("nrr"))
+        val nc = ct.agg(count(lit(1)).as("ncc"))
+        o.join(broadcast(rt), "event_type")
+          .join(broadcast(ct), "dow")
+          .crossJoin(broadcast(n))
+          .withColumn("e", col("r").cast("double") * col("c") / col("tot"))
+          .agg(count(lit(1)).as("n_cells"),
+            (sum(round((col("obs") - col("e")) * (col("obs") - col("e")) / col("e") * 1e9)
+              .cast("long")).cast("double") / 1e9).as("chi2"))
+          .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+          .select(col("n_cells"),
+            ((col("nrr") - 1) * (col("ncc") - 1)).as("df"), col("chi2"))
+      }
+    },
+
     // --- exact MODE aggregate (deterministic tiebreak) ------------------
     Q("q_agg_mode",
       """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
