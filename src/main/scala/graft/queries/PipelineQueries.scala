@@ -5561,6 +5561,64 @@ object PipelineQueries {
         .orderBy("touch")
     },
 
+    // --- peak session concurrency (interval stabbing) -------------------
+    Q("q_events_concurrency",
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, lag(ts) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM x),
+        |z AS (SELECT user_id, ts,
+        |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM y),
+        |sess AS (SELECT user_id, session_id, MIN(ts) AS st, MAX(ts) AS en
+        |         FROM z GROUP BY 1, 2),
+        |dl AS (SELECT st AS ts, 1 AS delta FROM sess
+        |       UNION ALL SELECT en, -1 FROM sess),
+        |r AS (SELECT ts, CAST(SUM(delta) OVER (ORDER BY ts, delta
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |      FROM dl)
+        |SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+        |  MAX(conc) AS peak_concurrency
+        |FROM r GROUP BY 1 ORDER BY d""".stripMargin) { (s, d) =>
+      // Peak concurrent sessions per day — the capacity gauge (license
+      // seats, connection pools, live-user dashboards) built by
+      // interval stabbing: each session contributes +1 at its start
+      // and −1 at its end, and the running sum of deltas ordered by
+      // (ts, delta) IS the concurrency curve; its per-day max is the
+      // answer. The (ts, delta) order puts an end BEFORE a start at
+      // the same instant (delta −1 < +1) — back-to-back sessions don't
+      // overlap, and the convention is pinned identically in both
+      // engines. Sessions come from the same lag-gap sessionizer as
+      // q_events_sessionize. The delta sweep is the gate spelling's
+      // one-partition window (2 rows per session); the 100 TB path is
+      // the two-pass day-partitioned prefix sum with carry-in — the
+      // q_cur_token_budget discipline — since day boundaries give the
+      // natural repartition key.
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = ev.withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_millis(col("ts")) - unix_millis(col("prev")) > 30L * 60 * 1000, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("st"), max("ts").as("en"))
+      val dl = sess.select(col("st").as("ts"), lit(1).as("delta"))
+        .unionAll(sess.select(col("en").as("ts"), lit(-1).as("delta")))
+      dl.withColumn("conc", sum("delta").over(
+          Window.orderBy(col("ts"), col("delta"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
+        .groupBy(expr("unix_millis(ts) div 86400000").as("d"))
+        .agg(max("conc").as("peak_concurrency"))
+        .orderBy("d")
+    },
+
     // --- inter-event gap profile (log2-bucketed, integer-exact) ---------
     Q("q_events_gaps",
       """WITH x AS (SELECT user_id, event_type, ts, event_id,
