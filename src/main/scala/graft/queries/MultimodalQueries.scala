@@ -119,6 +119,46 @@ object MultimodalQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // --- stub resize / downsample over the payload bytes ----------------
+    Q("q_mm_resize",
+      """WITH r AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INT) AS width,
+        |    CAST(16 + doc_id % 48 AS INT) AS height,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    array_to_string([text[i] for i in range(1, length(text) + 1, 4)], '') AS resized
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(width // 2 AS INT) AS new_width, CAST(height // 2 AS INT) AS new_height,
+        |  n_bytes, CAST(octet_length(encode(resized)) AS BIGINT) AS n_bytes_resized,
+        |  md5(resized) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // STUB resize — the brief's fourth multimodal verb (decode /
+      // feature-extract / RESIZE / frame-sample): halve each dimension,
+      // producing a payload with ~1/4 the bytes. A real implementation
+      // is a codec call per record (the q_mm_features mapPartitions
+      // slot); the stub keeps every 4th payload byte — deterministic,
+      // byte-count-faithful to a 2×2 downsample, and oracle-replicable
+      // (payloads are ascii text, char == byte). What's REAL and under
+      // test is the Spark-side plumbing a resize stage needs: binary
+      // in, binary out, metadata columns updated in the same row-local
+      // pass, content integrity pinned by hash — at 100 TB this is a
+      // map-only stage at scan speed with no shuffle at all.
+      t(s, d, "documents").select(
+        col("doc_id"),
+        (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+        (lit(16) + col("doc_id") % 48).cast("int").as("height"),
+        length(encode(col("text"), "utf-8")).cast("bigint").as("n_bytes"),
+        expr("""concat_ws('', transform(sequence(1, length(text), 4),
+          |  i -> substring(text, i, 1)))""".stripMargin).as("resized"))
+        .select(col("doc_id"), col("width"), col("height"),
+          expr("width div 2").cast("int").as("new_width"),
+          expr("height div 2").cast("int").as("new_height"),
+          col("n_bytes"),
+          length(encode(col("resized"), "utf-8")).cast("bigint").as("n_bytes_resized"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id")
+    },
+
     // --- batched partition-local "decode" + feature extraction ---------
     Q("q_mm_features", {
       // The stub decode is deterministic byte math over ascii payloads
