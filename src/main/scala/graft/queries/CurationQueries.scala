@@ -1546,6 +1546,33 @@ object CurationQueries {
         .orderBy("rank")
     },
 
+    // --- blocklist content filter ---------------------------------------
+    Q("q_cur_blocklist",
+      """WITH f AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         t -> t IN ('error', 'slow'))) AS BIGINT) AS n_hits
+        |  FROM documents)
+        |SELECT doc_id, lang, n_hits, n_hits >= 3 AS blocked
+        |FROM f WHERE n_hits > 0 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Blocklist/lexicon content filter — the moderation stage between
+      // PII scrubbing and quality gating: count occurrences of a
+      // blocked-term lexicon per document, block past a threshold (one
+      // stray term is context; repeated terms are the signal — the
+      // standard word-list moderation heuristic). The lexicon here is
+      // a 2-term stand-in; production lists are 10⁴-10⁵ terms and ride
+      // exactly the same way — a broadcast set membership inside one
+      // row-local HOF, no join, no shuffle, scan speed (a regex
+      // union would be slower and RE2-risky). Only hit documents are
+      // emitted — at 100 TB the clean majority never leaves the scan.
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("""CAST(size(filter(split(text, ' '),
+            |  t -> t IN ('error', 'slow'))) AS BIGINT)""".stripMargin).as("n_hits"))
+        .filter(col("n_hits") > 0)
+        .withColumn("blocked", col("n_hits") >= 3)
+        .orderBy("doc_id")
+    },
+
     // --- preference-pair mining (DPO/RLHF data prep) --------------------
     Q("q_cur_pref_pairs",
       """WITH q AS (SELECT doc_id, lang, source,

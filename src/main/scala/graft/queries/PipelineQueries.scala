@@ -5663,6 +5663,37 @@ object PipelineQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // --- cross-source duplication (syndication) matrix ------------------
+    Q("q_dedup_source_matrix",
+      s"""WITH $ShingleOverlapCtes,
+         |m AS (SELECT jp.i, jp.j, a.source AS si, b.source AS sj
+         |      FROM jpairs jp JOIN documents a ON jp.i = a.doc_id
+         |      JOIN documents b ON jp.j = b.doc_id)
+         |SELECT LEAST(si, sj) AS source_a, GREATEST(si, sj) AS source_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      // Cross-source duplication matrix — WHO copies from WHOM: the
+      // verified near-dup pairs (the shared LSH ground truth every
+      // graph/cluster operator consumes) joined to each endpoint's
+      // source and rolled up per unordered source pair. The diagonal
+      // (a source duplicating itself) separates internal
+      // re-publication from cross-source syndication — the signal that
+      // drives crawl de-prioritization and licensing review. Shape for
+      // 100 TB: the pair frame carries (i, j) longs; both source
+      // lookups are doc_id-keyed joins against the (doc_id, source)
+      // projection — at scale a broadcast of the dimension-sized
+      // source map — and the matrix is sources² cells, collapsed
+      // map-side.
+      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val srcs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      p.join(srcs.select(col("doc_id").as("i"), col("source").as("si")), Seq("i"))
+        .join(srcs.select(col("doc_id").as("j"), col("source").as("sj")), Seq("j"))
+        .groupBy(least(col("si"), col("sj")).as("source_a"),
+          greatest(col("si"), col("sj")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // --- winnow-fingerprint overlap pairs (the MOSS matching half) ------
     Q("q_dedup_winnow",
       s"""$WinnowCtes,
