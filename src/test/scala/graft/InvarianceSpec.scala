@@ -50,8 +50,12 @@ class InvarianceSpec extends GraftSuite {
                             //   one-partition window at any input layout
     "q_text_dup_ngram",     // round 9: gram-df join + integer milli
                             //   fractions across gram partitionings
-    "q_events_active_users")// round 9: explode + re-distinct trailing
+    "q_events_active_users",// round 9: explode + re-distinct trailing
                             //   counts across layouts
+    "q_agg_chi2",           // round 9: nano-fixed-point term sum must be
+                            //   merge-order-independent
+    "q_agg_ttest")          // round 9: decimal per-arm moments at any
+                            //   partition count
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
