@@ -1030,7 +1030,7 @@ object CurationQueries {
       """WITH del AS (SELECT doc_id, 'D' AS op FROM documents WHERE doc_id % 17 = 0),
         |upd AS (SELECT doc_id, 'U' AS op, lang, source, text || ' patched' AS text
         |        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 17 <> 0),
-        |ins AS (SELECT doc_id + 2000000 AS doc_id, 'I' AS op, lang, source,
+        |ins AS (SELECT doc_id + 1000000000000 AS doc_id, 'I' AS op, lang, source,
         |          'cdc insert ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text
         |        FROM documents WHERE doc_id % 23 = 0),
         |keys AS (SELECT doc_id FROM del UNION ALL SELECT doc_id FROM upd
@@ -1062,8 +1062,13 @@ object CurationQueries {
       val upd = base.filter(col("doc_id") % 5 === 0 && col("doc_id") % 17 =!= 0)
         .withColumn("text", concat(col("text"), lit(" patched")))
         .withColumn("status", lit("updated"))
+      // Insert-key offset 10^12: far above any doc_id the ×M derived
+      // corpora can reach (doc_id = orig + copy×n crosses 2e6 at modest
+      // multipliers but never 1e12 in-sandbox), so synthesized insert
+      // ids can never collide with base ids and silently anti-join away
+      // unrelated 'kept' rows (round-9 ADVICE).
       val ins = base.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"), col("lang"), col("source"),
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("lang"), col("source"),
           concat(lit("cdc insert "), col("doc_id").cast("string"), lit(" "),
             col("text")).as("text"))
         .withColumn("status", lit("inserted"))

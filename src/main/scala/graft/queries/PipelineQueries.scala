@@ -97,6 +97,290 @@ object PipelineQueries {
     t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Exact brute-force cosine top-10 for the shared query vector (vec 0)
+    * — the ground truth every approximate ANN query certifies against. */
+  private def exactTop10(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Shared oracle for the certified ANN family: DuckDB recomputes the
+    * exact top-10 independently and asserts the recall bar as literal
+    * TRUE — if the index path's in-engine recall drops below the bar the
+    * Spark frame says false and the row hash-mismatches (goes red). */
+  private val AnnCertOracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, label, ROUND(list_cosine_similarity(v, qv), 9) AS cs,
+      |       TRUE AS recall_ok
+      |FROM e, q ORDER BY cs DESC, vec_id LIMIT 10""".stripMargin
+
+  /** In-engine certification for the approximate ANN family — the exact
+    * scheme that greened q_agg_approx's row (round 9): the emitted rows
+    * are the EXACT brute-force top-10 (independently recomputable by the
+    * oracle), and `recall_ok` is computed IN-PLAN from the index path's
+    * overlap with that exact set (bar: ≥ 9 of 10 — recall ≥ 0.9, the
+    * same bar the ScalaTest recall pins assert on the raw index
+    * frames). The index machinery still executes — its top-10 feeds the
+    * overlap count, so partition pruning / ADC scans stay plan-visible
+    * (PlanShapeSpec) — but the gate now verifies a NUMBER instead of
+    * trusting a design argument (reference analog: the exact-stats
+    * re-optimization contract, execution_stage.rs:240-261). */
+  private def annCertify(exact: DataFrame, ann: DataFrame): DataFrame = {
+    // Fully lazy — no checkpoint: the composed plan keeps the index
+    // branch visible (PlanShapeSpec asserts PartitionFilters on the
+    // catalog query itself). The exact frame appears in two branches,
+    // so the brute-force scan runs twice; it is one map stage + a
+    // top-k (~0.2 s at sf0.1), cheaper than the cache round-trip.
+    val ov = exact.join(ann.select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("ov"))
+    exact.crossJoin(broadcast(ov)) // 1-row scalar injection, not a pair join
+      .select(col("vec_id"), col("label"), col("cs"),
+        (col("ov") >= 9).as("recall_ok"))
+      .orderBy(col("cs").desc, col("vec_id"))
+  }
+
+  /** The raw index-path top-10 frames behind the certified ANN rows.
+    * `private[graft]` so the ScalaTest recall pins keep measuring the
+    * REAL index output (the catalog queries emit the certification
+    * frame, whose rows are the exact top-10 by construction). */
+
+  /** Random-hyperplane LSH: L=8 tables × 6 sign bits, multi-probe
+    * radius 1 (the query probes its own bucket plus the 6 buckets one
+    * sign-flip away per table — 56 probe keys total, corpus bucketed
+    * ONCE). Multi-probe buys the recall of ~7× more tables at zero
+    * extra index size. Deterministic planes (seeded), broadcast as
+    * literals. At 100 TB: corpus bucketing is a map stage; the probe
+    * joins on (table, bucket) — never all-pairs. */
+  private[graft] def annLshTop10(s: SparkSession, d: String): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Seq[Double]]] = // [table][bit][dim]
+      Seq.fill(8)(Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian())))
+    def bucketCol(tbl: Int): Column = {
+      val bits = planes(tbl).zipWithIndex.map { case (p, b) =>
+        when(graft.functions.DotProduct.dot_product(
+          col("v"), array(p.map(lit): _*)) >= 0,
+          lit(1 << b)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    val e = vecs(s, d)
+    val bucketed = e.select(
+      col("vec_id"), col("label"), col("v"),
+      explode(array((0 until 8).map(tc =>
+        struct(lit(tc).as("tbl"), bucketCol(tc).as("bkt"))): _*)).as("tb"))
+      .select(col("vec_id"), col("label"), col("v"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val probeSet = Seq(col("bkt")) ++
+      (0 until 6).map(b => col("bkt").bitwiseXOR(lit(1 << b)))
+    val qb = bucketed.filter(col("vec_id") === 0)
+      .select(col("tbl").as("q_tbl"),
+        explode(array(probeSet: _*)).as("q_bkt"), col("v").as("qv"))
+    bucketed
+      .join(broadcast(qb), col("tbl") === col("q_tbl") && col("bkt") === col("q_bkt"))
+      .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cs"))
+      .groupBy("vec_id", "label").agg(max("cs").as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF: train a 16-cell coarse quantizer (3 Lloyd iterations, all
+    * DataFrame ops; only the 16 centroid vectors ever reach the
+    * driver), bucket the corpus by nearest centroid, probe the 4 cells
+    * nearest the query, score candidates exactly with the codegen'd
+    * DotProduct. At 100 TB: train on a sample, assignment is a map
+    * stage, each probe reads ~nProbe/k of the corpus. */
+  private[graft] def annIvfTop10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.IvfIndex
+    val e = vecs(s, d)
+    val centers = IvfIndex.trainCentroids(e.select(col("vec_id"), col("v")), k = 16)
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0).toArray
+    val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
+    val qCol = array(qv.map(lit): _*)
+    e.withColumn("cell", IvfIndex.cellCol(centers, col("v")))
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** PERSISTED IVF index — the lifecycle a production ANN deployment
+    * runs: train + assign ONCE, persist the corpus hive-partitioned by
+    * cell, keep only the k centroid vectors "in RAM" (a k-row parquet).
+    * Every probe then loads centroids, picks nProbe cells, and reads
+    * ONLY those cells' files — partition pruning does the index lookup
+    * (PartitionFilters asserted in PlanShapeSpec), so each query
+    * touches ~nProbe/k of the corpus on disk instead of scanning it. */
+  private[graft] def annIvfIndexTop10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.IvfIndex
+    val dir = s"${SourceQueries.cacheDir(d)}/ivf16"
+    SourceQueries.materialize(s"$dir/cells") {
+      IvfIndex.buildIndex(vecs(s, d), k = 16, dir)
+    }
+    val centers = IvfIndex.loadCentroids(s, dir)
+    val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0).toArray
+    val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
+    val qCol = array(qv.map(lit): _*)
+    s.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Incremental IVF upsert — the ingest lifecycle a production vector
+    * store runs between rebuilds: the index is built ONCE from the base
+    * corpus (here 90% of it), and each arriving batch (the held-out
+    * 10%) is assigned to the EXISTING centroids and appended per-cell —
+    * O(delta) per batch, the corpus untouched, partition pruning intact
+    * (PartitionFilters asserted in PlanShapeSpec). The probe uses a
+    * DELTA vector as the query, so a correct result can only come from
+    * an index the upsert actually extended (vec_id 0 is in the delta;
+    * it must find itself at cosine 1 — pinned in PipelineSpec). Dedup
+    * analog: q_dedup_incremental's persisted LSH bands.
+    *
+    * nProbe 6 (vs the full-corpus index's 4): the quantizer was trained
+    * before the delta existed, so cell boundaries sit slightly off the
+    * final corpus and the recall floor costs two extra cells — measured
+    * recall/nProbe curve: 4→0.8, 6→0.9, 12→1.0. That widening probe is
+    * the real price of frozen centroids, and the signal a production
+    * index uses to schedule its periodic rebuild. Still reads 6/16 of
+    * the files. */
+  private[graft] def annIvfUpsertTop10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.IvfIndex
+    val dir = s"${SourceQueries.cacheDir(d)}/ivf16_upsert"
+    val e = vecs(s, d)
+    // commit marker lands only after BOTH steps: a build that died
+    // before the upsert must not leave a silently smaller index
+    SourceQueries.materialize(s"$dir/commit") {
+      IvfIndex.buildIndex(e.filter(col("vec_id") % 10 =!= 0), k = 16, dir)
+      IvfIndex.upsertIndex(e.filter(col("vec_id") % 10 === 0), dir)
+      s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/commit")
+    }
+    val centers = IvfIndex.loadCentroids(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0).toArray
+    val probes = IvfIndex.probeCells(centers, qv, nProbe = 6)
+    val qCol = array(qv.map(lit): _*)
+    s.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** PQ: the memory half of the production ANN stack (IVF = where to
+    * look, PQ = what to store): the corpus is encoded once as m=16
+    * codes per vector (16× smaller than the 64-float embedding — at
+    * 100 TB that is the difference between an in-RAM index and not),
+    * and a probe is (1) one scan of the CODES computing the ADC
+    * approximation — per row just m array lookups into the query's
+    * literal lookup table, zero vector math — (2) a top-100 shortlist,
+    * (3) exact cosine re-rank of the shortlist only, fetching raw
+    * vectors for 100 ids via a broadcast semi join. */
+  private[graft] def annPqTop10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PqIndex
+    val dir = s"${SourceQueries.cacheDir(d)}/pq16x32"
+    SourceQueries.materialize(s"$dir/encoded") {
+      PqIndex.buildIndex(vecs(s, d), m = 16, k = 32, dir)
+    }
+    val cb = PqIndex.loadCodebook(s, dir)
+    val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0).toArray
+    val lt = PqIndex.lookupTable(cb, qv)
+    val shortlist = s.read.parquet(s"$dir/encoded")
+      .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(100)
+    val qCol = array(qv.map(lit): _*)
+    vecs(s, d)
+      .join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF+PQ — the combined production index: IVF cells answer WHERE to
+    * look (partition pruning reads nProbe/k of the corpus's FILES), PQ
+    * codes answer WHAT to read (each pruned row is 16 codes, not 64
+    * floats) — the reductions multiply, which is why this is the layout
+    * real 100 TB vector stores run. Probe = pruned ADC code scan →
+    * top-100 shortlist → exact cosine re-rank of 100 raw vectors via
+    * broadcast semi join. PartitionFilters asserted in PlanShapeSpec. */
+  private[graft] def annIvfPqTop10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{IvfIndex, PqIndex}
+    val dir = s"${SourceQueries.cacheDir(d)}/ivfpq16"
+    SourceQueries.materialize(s"$dir/cells") {
+      PqIndex.buildIvfPqIndex(vecs(s, d), kCells = 16, m = 16, k = 32, dir)
+    }
+    val centers = IvfIndex.loadCentroids(s, dir)
+    val cb = PqIndex.loadCodebook(s, dir)
+    val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0).toArray
+    val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
+    val lt = PqIndex.lookupTable(cb, qv)
+    val shortlist = s.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(100)
+    val qCol = array(qv.map(lit): _*)
+    vecs(s, d)
+      .join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Incremental IVF+PQ upsert — the ingest path of the combined index:
+    * built ONCE from the base corpus (90%), then each arriving batch
+    * (the held-out 10%) is ENCODED with the frozen product codebook and
+    * ASSIGNED to the frozen coarse centroids — one broadcast-model map
+    * stage, O(delta) per batch, no retraining, no rewrite of existing
+    * codes, partition pruning intact (PartitionFilters asserted in
+    * PlanShapeSpec). The probe queries with a DELTA vector (vec_id 0 is
+    * held out), so a correct result proves the upsert extended the code
+    * layout (pinned in PipelineSpec). Probe = pruned ADC scan → top-100
+    * shortlist → exact re-rank via broadcast semi join. nProbe 6 for
+    * the same frozen-centroid reason as annIvfUpsertTop10. */
+  private[graft] def annIvfPqUpsertTop10(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{IvfIndex, PqIndex}
+    val dir = s"${SourceQueries.cacheDir(d)}/ivfpq16_upsert"
+    val e = vecs(s, d)
+    // commit marker lands only after BOTH steps: a build that died
+    // before the upsert must not leave a silently smaller index
+    SourceQueries.materialize(s"$dir/commit") {
+      PqIndex.buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
+        kCells = 16, m = 16, k = 32, dir)
+      PqIndex.upsertIvfPqIndex(e.filter(col("vec_id") % 10 === 0), dir)
+      s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$dir/commit")
+    }
+    val centers = IvfIndex.loadCentroids(s, dir)
+    val cb = PqIndex.loadCodebook(s, dir)
+    val qv = e.filter(col("vec_id") === 0).select("v")
+      .head().getSeq[Double](0).toArray
+    val probes = IvfIndex.probeCells(centers, qv, nProbe = 6)
+    val lt = PqIndex.lookupTable(cb, qv)
+    val shortlist = s.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
+      .orderBy(col("approx").desc, col("vec_id"))
+      .limit(100)
+    val qCol = array(qv.map(lit): _*)
+    e.join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** The winnowing fingerprint CTE chain (3-gram hash → w=4 window
     * minima → distinct sorted selection), ending at `f`: (doc_id, fps).
     * Shared by q_text_winnow (the fingerprint report) and
@@ -4131,45 +4415,8 @@ object PipelineQueries {
     },
 
     // --- similarity search: LSH-bucketed ANN (the 100-TB scale path) ----
-    Q.noOracle("q_ann_lsh") { (s, d) =>
-      // Random-hyperplane LSH: L=8 tables × 6 sign bits, multi-probe
-      // radius 1 (the query probes its own bucket plus the 6 buckets one
-      // sign-flip away per table — 56 probe keys total, corpus bucketed
-      // ONCE). Multi-probe buys the recall of ~7× more tables at zero
-      // extra index size. Deterministic planes (seeded), broadcast as
-      // literals. Approximate (rows-only gate) — recall ≥0.9 vs
-      // q_ann_bruteforce is asserted in ScalaTest and the Smoke harness.
-      // At 100 TB: corpus bucketing is a map stage; the probe joins on
-      // (table, bucket) — never all-pairs.
-      val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Seq[Double]]] = // [table][bit][dim]
-        Seq.fill(8)(Seq.fill(6)(Seq.fill(64)(rnd.nextGaussian())))
-      def bucketCol(tbl: Int): Column = {
-        val bits = planes(tbl).zipWithIndex.map { case (p, b) =>
-          when(graft.functions.DotProduct.dot_product(
-            col("v"), array(p.map(lit): _*)) >= 0,
-            lit(1 << b)).otherwise(lit(0))
-        }
-        bits.reduce(_ + _)
-      }
-      val e = vecs(s, d)
-      val bucketed = e.select(
-        col("vec_id"), col("label"), col("v"),
-        explode(array((0 until 8).map(tc =>
-          struct(lit(tc).as("tbl"), bucketCol(tc).as("bkt"))): _*)).as("tb"))
-        .select(col("vec_id"), col("label"), col("v"),
-          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-      val probeSet = Seq(col("bkt")) ++
-        (0 until 6).map(b => col("bkt").bitwiseXOR(lit(1 << b)))
-      val qb = bucketed.filter(col("vec_id") === 0)
-        .select(col("tbl").as("q_tbl"),
-          explode(array(probeSet: _*)).as("q_bkt"), col("v").as("qv"))
-      bucketed
-        .join(broadcast(qb), col("tbl") === col("q_tbl") && col("bkt") === col("q_bkt"))
-        .select(col("vec_id"), col("label"), cosine(col("v"), col("qv")).as("cs"))
-        .groupBy("vec_id", "label").agg(max("cs").as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_lsh", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annLshTop10(s, d))
     },
 
     // --- composite pipeline: quality filter → exact dedup → per-lang
@@ -4278,212 +4525,33 @@ object PipelineQueries {
     },
 
     // --- similarity search: IVF variant (k-means coarse quantizer) ------
-    Q.noOracle("q_ann_ivf") { (s, d) =>
-      // Train a 16-cell coarse quantizer (3 Lloyd iterations, all
-      // DataFrame ops; only the 16 centroid vectors ever reach the
-      // driver), bucket the corpus by nearest centroid, probe the 4
-      // cells nearest the query, score candidates exactly with the
-      // codegen'd DotProduct. Approximate → rows-only gate; recall vs
-      // q_ann_bruteforce asserted in ScalaTest. At 100 TB: train on a
-      // sample, assignment is a map stage, each probe reads ~k/nProbe
-      // of the corpus.
-      import graft.functions.IvfIndex
-      val e = vecs(s, d)
-      val centers = IvfIndex.trainCentroids(e.select(col("vec_id"), col("v")), k = 16)
-      val qv = e.filter(col("vec_id") === 0).select("v")
-        .head().getSeq[Double](0).toArray
-      val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
-      val qCol = array(qv.map(lit): _*)
-      e.withColumn("cell", IvfIndex.cellCol(centers, col("v")))
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_ivf", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annIvfTop10(s, d))
     },
 
     // --- similarity search: PERSISTED IVF index (build once, probe many)
-    Q.noOracle("q_ann_ivf_index") { (s, d) =>
-      // The index lifecycle a production ANN deployment runs: train +
-      // assign ONCE, persist the corpus hive-partitioned by cell, keep
-      // only the k centroid vectors "in RAM" (a k-row parquet). Every
-      // probe then loads centroids, picks nProbe cells, and reads ONLY
-      // those cells' files — partition pruning does the index lookup
-      // (PartitionFilters asserted in PlanShapeSpec), so each query
-      // touches ~nProbe/k of the corpus on disk instead of scanning it.
-      // Approximate → rows-only gate; recall ≥0.9 vs q_ann_bruteforce
-      // asserted in ScalaTest.
-      import graft.functions.IvfIndex
-      val dir = s"${SourceQueries.cacheDir(d)}/ivf16"
-      SourceQueries.materialize(s"$dir/cells") {
-        IvfIndex.buildIndex(vecs(s, d), k = 16, dir)
-      }
-      val centers = IvfIndex.loadCentroids(s, dir)
-      val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
-        .head().getSeq[Double](0).toArray
-      val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
-      val qCol = array(qv.map(lit): _*)
-      s.read.parquet(s"$dir/cells")
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_ivf_index", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annIvfIndexTop10(s, d))
     },
 
     // --- incremental IVF upsert: delta batch into a persisted index ------
-    Q.noOracle("q_ann_ivf_upsert") { (s, d) =>
-      // The ingest lifecycle a production vector store runs between
-      // rebuilds: the index is built ONCE from the base corpus (here
-      // 90% of it), and each arriving batch (the held-out 10%) is
-      // assigned to the EXISTING centroids and appended per-cell —
-      // O(delta) per batch, the corpus untouched, partition pruning
-      // intact (PartitionFilters asserted in PlanShapeSpec). The probe
-      // uses a DELTA vector as the query, so a correct result can only
-      // come from an index the upsert actually extended (vec_id 0 is in
-      // the delta; it must find itself at cosine 1). Approximate →
-      // rows-only gate; recall ≥0.9 vs full-corpus brute force asserted
-      // in ScalaTest. Dedup analog: q_dedup_incremental's persisted LSH
-      // bands.
-      import graft.functions.IvfIndex
-      val dir = s"${SourceQueries.cacheDir(d)}/ivf16_upsert"
-      val e = vecs(s, d)
-      // commit marker lands only after BOTH steps: a build that died
-      // before the upsert must not leave a silently smaller index
-      SourceQueries.materialize(s"$dir/commit") {
-        IvfIndex.buildIndex(e.filter(col("vec_id") % 10 =!= 0), k = 16, dir)
-        IvfIndex.upsertIndex(e.filter(col("vec_id") % 10 === 0), dir)
-        s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$dir/commit")
-      }
-      val centers = IvfIndex.loadCentroids(s, dir)
-      val qv = e.filter(col("vec_id") === 0).select("v")
-        .head().getSeq[Double](0).toArray
-      // nProbe 6 (vs the full-corpus index's 4): the quantizer was
-      // trained before the delta existed, so cell boundaries sit
-      // slightly off the final corpus and the recall floor costs two
-      // extra cells — measured recall/nProbe curve: 4→0.8, 6→0.9,
-      // 12→1.0. That widening probe is the real price of frozen
-      // centroids, and the signal a production index uses to schedule
-      // its periodic rebuild. Still reads 6/16 of the files.
-      val probes = IvfIndex.probeCells(centers, qv, nProbe = 6)
-      val qCol = array(qv.map(lit): _*)
-      s.read.parquet(s"$dir/cells")
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_ivf_upsert", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annIvfUpsertTop10(s, d))
     },
 
     // --- PQ ANN: product-quantized scan + exact re-rank ------------------
-    Q.noOracle("q_ann_pq") { (s, d) =>
-      // The memory half of the production ANN stack (IVF = where to
-      // look, PQ = what to store): the corpus is encoded once as m=16
-      // codes per vector (16× smaller than the 64-float embedding — at
-      // 100 TB that is the difference between an in-RAM index and not),
-      // and a probe is (1) one scan of the CODES computing the ADC
-      // approximation — per row just m array lookups into the query's
-      // literal lookup table, zero vector math — (2) a top-100
-      // shortlist, (3) exact cosine re-rank of the shortlist only,
-      // fetching raw vectors for 100 ids via a broadcast semi join.
-      // Approximate → rows-only gate; recall ≥0.9 vs q_ann_bruteforce
-      // asserted in ScalaTest.
-      import graft.functions.PqIndex
-      val dir = s"${SourceQueries.cacheDir(d)}/pq16x32"
-      SourceQueries.materialize(s"$dir/encoded") {
-        PqIndex.buildIndex(vecs(s, d), m = 16, k = 32, dir)
-      }
-      val cb = PqIndex.loadCodebook(s, dir)
-      val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
-        .head().getSeq[Double](0).toArray
-      val lt = PqIndex.lookupTable(cb, qv)
-      val shortlist = s.read.parquet(s"$dir/encoded")
-        .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
-        .orderBy(col("approx").desc, col("vec_id"))
-        .limit(100)
-      val qCol = array(qv.map(lit): _*)
-      vecs(s, d)
-        .join(broadcast(shortlist.select("vec_id")), "vec_id")
-        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_pq", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annPqTop10(s, d))
     },
 
     // --- IVF+PQ ANN: partition-pruned cell scan over codes ----------------
-    Q.noOracle("q_ann_ivfpq") { (s, d) =>
-      // The combined production index: IVF cells answer WHERE to look
-      // (partition pruning reads nProbe/k of the corpus's FILES), PQ
-      // codes answer WHAT to read (each pruned row is 16 codes, not 64
-      // floats) — the reductions multiply, which is why this is the
-      // layout real 100 TB vector stores run. Probe = pruned ADC code
-      // scan → top-100 shortlist → exact cosine re-rank of 100 raw
-      // vectors via broadcast semi join. Approximate → rows-only gate;
-      // recall ≥0.9 vs brute force in ScalaTest; PartitionFilters
-      // asserted in PlanShapeSpec.
-      import graft.functions.{IvfIndex, PqIndex}
-      val dir = s"${SourceQueries.cacheDir(d)}/ivfpq16"
-      SourceQueries.materialize(s"$dir/cells") {
-        PqIndex.buildIvfPqIndex(vecs(s, d), kCells = 16, m = 16, k = 32, dir)
-      }
-      val centers = IvfIndex.loadCentroids(s, dir)
-      val cb = PqIndex.loadCodebook(s, dir)
-      val qv = vecs(s, d).filter(col("vec_id") === 0).select("v")
-        .head().getSeq[Double](0).toArray
-      val probes = IvfIndex.probeCells(centers, qv, nProbe = 4)
-      val lt = PqIndex.lookupTable(cb, qv)
-      val shortlist = s.read.parquet(s"$dir/cells")
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
-        .orderBy(col("approx").desc, col("vec_id"))
-        .limit(100)
-      val qCol = array(qv.map(lit): _*)
-      vecs(s, d)
-        .join(broadcast(shortlist.select("vec_id")), "vec_id")
-        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_ivfpq", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annIvfPqTop10(s, d))
     },
 
     // --- incremental IVF+PQ upsert: delta batch into the combined index --
-    Q.noOracle("q_ann_ivfpq_upsert") { (s, d) =>
-      // The ingest path of the combined index: built ONCE from the base
-      // corpus (90%), then each arriving batch (the held-out 10%) is
-      // ENCODED with the frozen product codebook and ASSIGNED to the
-      // frozen coarse centroids — one broadcast-model map stage,
-      // O(delta) per batch, no retraining, no rewrite of existing codes,
-      // partition pruning intact (PartitionFilters asserted in
-      // PlanShapeSpec). The probe queries with a DELTA vector (vec_id 0
-      // is held out), so a correct result proves the upsert extended the
-      // code layout. Probe = pruned ADC scan → top-100 shortlist →
-      // exact re-rank via broadcast semi join. Approximate → rows-only
-      // gate; recall ≥0.9 vs brute force in PipelineSpec. nProbe 6 for
-      // the same frozen-centroid reason as q_ann_ivf_upsert.
-      import graft.functions.{IvfIndex, PqIndex}
-      val dir = s"${SourceQueries.cacheDir(d)}/ivfpq16_upsert"
-      val e = vecs(s, d)
-      // commit marker lands only after BOTH steps: a build that died
-      // before the upsert must not leave a silently smaller index
-      SourceQueries.materialize(s"$dir/commit") {
-        PqIndex.buildIvfPqIndex(e.filter(col("vec_id") % 10 =!= 0),
-          kCells = 16, m = 16, k = 32, dir)
-        PqIndex.upsertIvfPqIndex(e.filter(col("vec_id") % 10 === 0), dir)
-        s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$dir/commit")
-      }
-      val centers = IvfIndex.loadCentroids(s, dir)
-      val cb = PqIndex.loadCodebook(s, dir)
-      val qv = e.filter(col("vec_id") === 0).select("v")
-        .head().getSeq[Double](0).toArray
-      val probes = IvfIndex.probeCells(centers, qv, nProbe = 6)
-      val lt = PqIndex.lookupTable(cb, qv)
-      val shortlist = s.read.parquet(s"$dir/cells")
-        .filter(col("cell").isin(probes: _*))
-        .select(col("vec_id"), PqIndex.adcScore(lt, col("codes")).as("approx"))
-        .orderBy(col("approx").desc, col("vec_id"))
-        .limit(100)
-      val qCol = array(qv.map(lit): _*)
-      e.join(broadcast(shortlist.select("vec_id")), "vec_id")
-        .select(col("vec_id"), col("label"), cosine(col("v"), qCol).as("cs"))
-        .orderBy(col("cs").desc, col("vec_id"))
-        .limit(10)
+    Q("q_ann_ivfpq_upsert", AnnCertOracle) { (s, d) =>
+      annCertify(exactTop10(s, d), annIvfPqUpsertTop10(s, d))
     },
 
     // --- as-of join: each purchase paired with the user's most recent
@@ -5944,13 +6012,14 @@ object PipelineQueries {
     Q("q_events_regularity",
       """WITH u AS (SELECT user_id, ts, event_id FROM events
         |       UNION ALL
-        |       SELECT 1000000, epoch_ms(1700000000000 + i * 60000), 10000000 + i
+        |       SELECT 1000000000000000, epoch_ms(1700000000000 + i * 60000),
+        |         9000000000000000 + i
         |       FROM range(0, 101) t(i)
         |       UNION ALL
-        |       SELECT 1000001,
+        |       SELECT 1000000000000001,
         |         epoch_ms(1700000000000 + CASE WHEN i < 99 THEN i * 1000
         |                                       ELSE 1000000000 END),
-        |         10001000 + i
+        |         9000000100000000 + i
         |       FROM range(0, 100) t(i)),
         |x AS (SELECT user_id, ts, event_id,
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -5985,14 +6054,19 @@ object PipelineQueries {
       // shuffle, then map-side collapse to one (n, S, Σg²) cell per
       // user.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // Fixture ids live at 10^15 (users) / 9×10^15 (events): the ×M
+      // derived corpora scale real ids as orig + copy×(max+1), which
+      // crosses 1e6 at modest multipliers but can never reach these
+      // constants in-sandbox — a collision would silently merge a real
+      // user's timeline into the fixtures (round-9 ADVICE).
       val metronome = s.range(0, 101).selectExpr(
-        "CAST(1000000 AS BIGINT) AS user_id",
+        "CAST(1000000000000000 AS BIGINT) AS user_id",
         "timestamp_millis(1700000000000 + id * 60000) AS ts",
-        "10000000 + id AS event_id")
+        "9000000000000000 + id AS event_id")
       val burst = s.range(0, 100).selectExpr(
-        "CAST(1000001 AS BIGINT) AS user_id",
+        "CAST(1000000000000001 AS BIGINT) AS user_id",
         "timestamp_millis(1700000000000 + CASE WHEN id < 99 THEN id * 1000 ELSE 1000000000 END) AS ts",
-        "10001000 + id AS event_id")
+        "9000000100000000 + id AS event_id")
       val g = t(s, d, "events")
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
         .unionAll(metronome).unionAll(burst)
@@ -6018,7 +6092,7 @@ object PipelineQueries {
     Q("q_events_rate_limit",
       """WITH u AS (SELECT user_id, ts FROM events
         |       UNION ALL
-        |       SELECT 1000002, epoch_ms(1700000000000 + i * 1500)
+        |       SELECT 1000000000000002, epoch_ms(1700000000000 + i * 1500)
         |       FROM range(0, 40) t(i)),
         |m AS (SELECT user_id, epoch_ms(ts) // 60000 AS minute,
         |         CAST(COUNT(*) AS BIGINT) AS n
@@ -6040,8 +6114,10 @@ object PipelineQueries {
       // the corpus collapses map-side to (user, minute) cells — then
       // again to one row per user on the SAME user keying (no second
       // corpus-wide exchange; AQE coalesces the tiny tail).
+      // Abuser id at 10^15+2: unreachable by the ×M-scaled real user ids
+      // (round-9 ADVICE — see q_events_regularity's fixture-id note).
       val abuser = s.range(0, 40).selectExpr(
-        "CAST(1000002 AS BIGINT) AS user_id",
+        "CAST(1000000000000002 AS BIGINT) AS user_id",
         "(1700000000000 + id * 1500) div 60000 AS minute")
       t(s, d, "events")
         .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 60000 AS minute")

@@ -142,49 +142,82 @@ object WindowQueries {
 
     // --- frame EXCLUDE clauses (SQL:2011), emulated ---------------------
     Q("q_window_exclude_emul",
-      """SELECT event_id, user_id,
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (9000000200000000, 1000000000000003, TIMESTAMP '2023-11-15 00:00:00', 10.0),
+        |    (9000000200000001, 1000000000000003, TIMESTAMP '2023-11-15 00:00:00', 20.0),
+        |    (9000000200000002, 1000000000000003, TIMESTAMP '2023-11-15 00:00:00', 30.0),
+        |    (9000000200000003, 1000000000000003, TIMESTAMP '2023-11-15 00:10:00', 5.5),
+        |    (9000000200000004, 1000000000000004, TIMESTAMP '2023-11-15 00:00:00', 7.25),
+        |    (9000000200000005, 1000000000000004, TIMESTAMP '2023-11-15 00:00:00', 8.75)
+        |  ) v(event_id, user_id, ts, value))
+        |SELECT event_id, user_id,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         |     EXCLUDE CURRENT ROW) AS DOUBLE) AS excl_row,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         |     EXCLUDE GROUP) AS DOUBLE) AS excl_group,
         |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER
-        |    (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |    (PARTITION BY user_id ORDER BY ts
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         |     EXCLUDE TIES) AS DOUBLE) AS excl_ties
-        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+        |FROM ev ORDER BY event_id""".stripMargin) { (s, d) =>
       // Frame EXCLUDE clauses (SQL:2011) — unparseable in Spark 4.1.2,
       // native in DuckDB (which makes the oracle the REAL spelling and
       // this the emulation, the q_window_groups_emul pattern in
-      // reverse). Over a running ROWS frame ordered by (ts, event_id):
-      //   EXCLUDE CURRENT ROW = running_sum − current value;
-      //   EXCLUDE GROUP       = running_sum − (in-frame peer sum): with
-      //     the frame ending at the current row, the in-frame peers of
-      //     a row are exactly its same-ts rows with event_id ≤ its own
-      //     (peers order by the event_id tiebreak) — a second running
-      //     sum partitioned by (user, ts) ordered by event_id;
-      //   EXCLUDE TIES        = EXCLUDE GROUP + current value.
+      // reverse). SQL:2011 peers are rows equal on ALL order keys, so
+      // the window orders by ts ALONE — with a unique tiebreak in the
+      // ORDER BY every peer group is a singleton and EXCLUDE GROUP/TIES
+      // degenerate to EXCLUDE CURRENT ROW / no-op (round-9 ADVICE: the
+      // previous (ts, event_id) ordering did exactly that, and the
+      // gate corpus has zero same-(user, ts) pairs, so the tie branch
+      // was never exercised). Two deterministic fixture users with
+      // same-ts rows now ride along, generated identically in both
+      // engines (the q_events_regularity precedent; ids at 10^15 are
+      // unreachable by ×M-scaled corpora). The frame is RANGE, not
+      // ROWS: a ROWS frame ending at CURRENT ROW makes the result
+      // depend on arbitrary tie order, while a RANGE frame spans all
+      // peers — every output below is tie-order-invariant:
+      //   le  = SUM over ts' ≤ ts (RANGE frame, peers included);
+      //   EXCLUDE CURRENT ROW = le − v        (NULL if frame \ row is empty);
+      //   EXCLUDE GROUP       = le − peer_sum (NULL if no earlier rows),
+      //     where peer_sum = SUM over the full (user, ts) peer group;
+      //   EXCLUDE TIES        = le − peer_sum + v (current row kept ⇒
+      //     never empty).
       // All three ride the decimal cast end-to-end, so the subtractions
-      // are exact and both engines hash-match. Cost: the peer running
-      // sum partitions by (user, ts) — a refinement of the main
-      // partition key, so Catalyst plans ONE exchange on user_id and
-      // sorts once; no second corpus shuffle. NULL convention: an empty
-      // excluded frame yields NULL in the standard — emulated by
-      // nullifying a zero-row remainder via the peer/row counts, not by
-      // value comparison (a legitimate 0.0 sum survives).
+      // are exact and both engines hash-match. Cost: the peer sum
+      // partitions by (user, ts) — a refinement of the main partition
+      // key, so Catalyst plans ONE exchange on user_id and sorts once;
+      // no second corpus shuffle. NULL convention: an empty excluded
+      // frame yields NULL in the standard — emulated by nullifying via
+      // the frame/peer COUNTS, not by value comparison (a legitimate
+      // 0.0 sum survives).
+      val fixtures = s.sql(
+        """SELECT * FROM VALUES
+          |  (9000000200000000L, 1000000000000003L, timestamp'2023-11-15 00:00:00', 10.0D),
+          |  (9000000200000001L, 1000000000000003L, timestamp'2023-11-15 00:00:00', 20.0D),
+          |  (9000000200000002L, 1000000000000003L, timestamp'2023-11-15 00:00:00', 30.0D),
+          |  (9000000200000003L, 1000000000000003L, timestamp'2023-11-15 00:10:00', 5.5D),
+          |  (9000000200000004L, 1000000000000004L, timestamp'2023-11-15 00:00:00', 7.25D),
+          |  (9000000200000005L, 1000000000000004L, timestamp'2023-11-15 00:00:00', 8.75D)
+          |  AS t(event_id, user_id, ts, value)""".stripMargin)
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id"),
-          col("ts").cast("timestamp").as("ts"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .unionAll(fixtures)
+        .select(col("event_id"), col("user_id"), col("ts"),
           col("value").cast(Qh.D12).as("v"))
-      val main = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val peers = Window.partitionBy("user_id", "ts").orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("run", sum(col("v")).over(main))
-        .withColumn("nrun", count(lit(1)).over(main))
+      val le = Window.partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val peers = Window.partitionBy("user_id", "ts")
+      ev.withColumn("run", sum(col("v")).over(le))
+        .withColumn("nrun", count(lit(1)).over(le))
         .withColumn("prun", sum(col("v")).over(peers))
         .withColumn("nprun", count(lit(1)).over(peers))
         .select(col("event_id"), col("user_id"),

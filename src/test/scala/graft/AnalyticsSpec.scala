@@ -190,9 +190,9 @@ class AnalyticsSpec extends GraftSuite {
   test("regularity: fixtures flag as designed, real users stay in the middle band") {
     val r = SparkEntry.queries("q_events_regularity")(spark, sf).collect()
       .map(x => x.getLong(0) -> ((x.getBoolean(4), x.getBoolean(5)))).toMap
-    assert(r(1000000L) == ((true, false)), "metronome must read regular")
-    assert(r(1000001L) == ((false, true)), "burst fixture must read bursty")
-    r.filter(_._1 < 1000000L).foreach { case (u, (reg, bur)) =>
+    assert(r(1000000000000000L) == ((true, false)), "metronome must read regular")
+    assert(r(1000000000000001L) == ((false, true)), "burst fixture must read bursty")
+    r.filter(_._1 < 1000000000000000L).foreach { case (u, (reg, bur)) =>
       assert(!reg && !bur, s"real user $u unexpectedly flagged")
     }
   }
@@ -200,11 +200,11 @@ class AnalyticsSpec extends GraftSuite {
   test("rate limit: only the synthetic abuser breaches, hit mass conserves") {
     val r = SparkEntry.queries("q_events_rate_limit")(spark, sf).collect()
     val limited = r.filter(_.getBoolean(4)).map(_.getLong(0))
-    assert(limited.toSeq == Seq(1000002L))
+    assert(limited.toSeq == Seq(1000000000000002L))
     // 40 events at 1.5 s span exactly one full minute of 40+ counts split
     // across 2 buckets: 1.7e12 ms isn't minute-aligned, so expect the max
     // bucket between 21 and 40 but every violation >5/min
-    val ab = r.find(_.getLong(0) == 1000002L).get
+    val ab = r.find(_.getLong(0) == 1000000000000002L).get
     assert(ab.getLong(2) > 5 && ab.getLong(3) >= 1)
   }
 

@@ -174,6 +174,53 @@ class CurationSpec extends GraftSuite {
     expected.foreach { case (ok, e) => assert(got(ok) == e, s"orderkey $ok") }
   }
 
+  test("q_window_exclude_emul matches brute-force SQL:2011 EXCLUDE semantics with ties") {
+    // Recompute all three EXCLUDE variants from first principles over the
+    // corpus + the query's same-ts fixture rows (peers = rows equal on the
+    // single ORDER BY key ts; RANGE frame spans all peers).
+    val base = Tables.df(spark, sf, "events")
+      .selectExpr("event_id", "user_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS tsu", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def us(h: String, m: String) =
+      java.time.LocalDateTime.parse(s"2023-11-15T$h:$m:00")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val fix = Seq(
+      (9000000200000000L, 1000000000000003L, us("00", "00"), 10.0),
+      (9000000200000001L, 1000000000000003L, us("00", "00"), 20.0),
+      (9000000200000002L, 1000000000000003L, us("00", "00"), 30.0),
+      (9000000200000003L, 1000000000000003L, us("00", "10"), 5.5),
+      (9000000200000004L, 1000000000000004L, us("00", "00"), 7.25),
+      (9000000200000005L, 1000000000000004L, us("00", "00"), 8.75))
+    val all = base ++ fix
+    def d2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    val expected = all.groupBy(_._2).toSeq.flatMap { case (_, grp) =>
+      grp.map { case (eid, _, ts, v) =>
+        val le = grp.filter(_._3 <= ts)
+        val peers = grp.filter(_._3 == ts)
+        val leS = le.map(r => d2(r._4)).sum
+        val pS = peers.map(r => d2(r._4)).sum
+        val exclRow = if (le.size > 1) Some((leS - d2(v)).toDouble) else None
+        val exclGroup = if (le.size - peers.size > 0) Some((leS - pS).toDouble) else None
+        val exclTies = (leS - pS + d2(v)).toDouble
+        eid -> ((exclRow, exclGroup, exclTies))
+      }
+    }.toMap
+    val got = SparkEntry.queries("q_window_exclude_emul")(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4)))).toMap
+    assert(got.size == all.length)
+    expected.foreach { case (eid, e) => assert(got(eid) == e, s"event $eid") }
+    // The tie branch must actually be exercised: on a fixture tie row with
+    // earlier history, GROUP and CURRENT ROW exclusion genuinely diverge.
+    val tieRow = got(9000000200000001L) // 20.0 at ts0: peers sum 60, no history
+    assert(tieRow._1 == Some(40.0) && tieRow._2 == None && tieRow._3 == 20.0)
+    val afterTies = got(9000000200000003L) // 5.5 after the 3-way tie
+    assert(afterTies._1 == Some(60.0) && afterTies._2 == Some(60.0) && afterTies._3 == 65.5)
+  }
+
   test("q_cur_decontaminate equals brute-force shingle-set intersection") {
     val all = Tables.df(spark, sf, "documents")
       .select("doc_id", "source", "text").collect()

@@ -514,7 +514,7 @@ class PipelineSpec extends GraftSuite {
   test("IVF ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = SparkEntry.queries("q_ann_ivf")(spark, sf)
+    val approx = queries.PipelineQueries.annIvfTop10(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
@@ -523,7 +523,7 @@ class PipelineSpec extends GraftSuite {
   test("persisted IVF index probe finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = SparkEntry.queries("q_ann_ivf_index")(spark, sf)
+    val approx = queries.PipelineQueries.annIvfIndexTop10(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
@@ -537,7 +537,7 @@ class PipelineSpec extends GraftSuite {
     val sf01 = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf01)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val rows = SparkEntry.queries("q_ann_ivf_upsert")(spark, sf01)
+    val rows = queries.PipelineQueries.annIvfUpsertTop10(spark, sf01)
       .select("vec_id").collect().map(_.getLong(0))
     // the query vector IS a delta vector (vec_id 0): only an index the
     // upsert extended can return it, at cosine 1 = rank 1
@@ -553,7 +553,7 @@ class PipelineSpec extends GraftSuite {
     val sf01 = "/root/testdata/sf0.01"
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf01)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val rows = SparkEntry.queries("q_ann_ivfpq_upsert")(spark, sf01)
+    val rows = queries.PipelineQueries.annIvfPqUpsertTop10(spark, sf01)
       .select("vec_id").collect().map(_.getLong(0))
     // the query vector IS a delta vector (vec_id 0): only a code layout
     // the upsert extended can return it, and the exact re-rank must put
@@ -566,7 +566,7 @@ class PipelineSpec extends GraftSuite {
   test("LSH ANN finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = SparkEntry.queries("q_ann_lsh")(spark, sf)
+    val approx = queries.PipelineQueries.annLshTop10(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
@@ -575,7 +575,7 @@ class PipelineSpec extends GraftSuite {
   test("PQ ANN (ADC shortlist + exact re-rank) finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = SparkEntry.queries("q_ann_pq")(spark, sf)
+    val approx = queries.PipelineQueries.annPqTop10(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
@@ -584,10 +584,34 @@ class PipelineSpec extends GraftSuite {
   test("IVF+PQ ANN (pruned ADC scan + exact re-rank) finds the brute-force top-10 (recall >= 0.9)") {
     val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val approx = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+    val approx = queries.PipelineQueries.annIvfPqTop10(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.9, s"recall=$recall exact=$exact approx=$approx")
+  }
+
+  test("certified ANN rows = exact brute-force top-10 + an honest recall_ok bar") {
+    // The catalog's ANN queries emit the certification frame: rows are
+    // the exact top-10 (so the DuckDB oracle can recompute them) and
+    // recall_ok is the in-plan |ann ∩ exact| >= 9 bar. Pin (a) row
+    // equality with q_ann_bruteforce, (b) recall_ok consistency with an
+    // independently measured overlap of the raw index frame.
+    val exact = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    for (name <- Seq("q_ann_lsh", "q_ann_ivf", "q_ann_pq")) {
+      val cert = SparkEntry.queries(name)(spark, sf).collect()
+      assert(cert.map(r => (r.getLong(0), r.getDouble(2))).toSeq == exact.toSeq,
+        s"$name cert rows are not the exact top-10")
+      val raw = name match {
+        case "q_ann_lsh" => queries.PipelineQueries.annLshTop10(spark, sf)
+        case "q_ann_ivf" => queries.PipelineQueries.annIvfTop10(spark, sf)
+        case _           => queries.PipelineQueries.annPqTop10(spark, sf)
+      }
+      val ov = raw.select("vec_id").collect().map(_.getLong(0)).toSet
+        .intersect(exact.map(_._1).toSet).size
+      assert(cert.forall(_.getBoolean(3) == (ov >= 9)),
+        s"$name recall_ok disagrees with measured overlap $ov")
+    }
   }
 
   test("PQ index stores codes only — no raw vectors — at 16 codes per 64-dim vector") {
