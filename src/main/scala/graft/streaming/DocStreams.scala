@@ -177,10 +177,20 @@ object DocStreams {
     * repeats across ≥ 2 distinct docs of the same source — the SAME
     * rule q_text_boilerplate oracle-verifies in batch. Keys encode as
     * "source|hash" text so the stream tests membership against one
-    * literal array; the set is template chrome, a tiny fraction of
-    * distinct segments (model state, like the DSIR ratios above). */
-  def boilerplateModel(corpus: DataFrame): Seq[String] =
-    corpus.select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    * literal array (model state, like the DSIR ratios above).
+    *
+    * The collect is BOUNDED (round-9 verdict: at 100 TB the df≥2
+    * segment set is not guaranteed "tiny"): keep the top `maxKeys` by
+    * (df DESC, key) — highest-df segments are the template chrome the
+    * stripper exists for; a dropped tail key was near the df threshold
+    * anyway — and report the engaged cap LOUDLY with the exact drop
+    * count (the capped-drop discipline of the LSH bucket caps; the
+    * TakeOrdered top-N never sorts the full key set). A dropped key
+    * means ingest under-strips until the next retrain, never that it
+    * corrupts: stripping is monotone in the model. */
+  def boilerplateModel(corpus: DataFrame, maxKeys: Int = 100000): Seq[String] = {
+    val keys = corpus
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(0, (size(w) + 7) div 8 - 1), " +
           "i -> concat_ws(' ', slice(w, i * 8 + 1, 8)))")).as("s"))
@@ -188,8 +198,22 @@ object DocStreams {
       .distinct()
       .groupBy("source", "hs").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
-      .select(concat_ws("|", col("source"), col("hs").cast("string")).as("k"))
-      .collect().map(_.getString(0)).toSeq.sorted
+      .select(concat_ws("|", col("source"), col("hs").cast("string")).as("k"),
+        col("df"))
+    keys.persist()
+    try {
+      val total = keys.count()
+      val kept = keys.orderBy(col("df").desc, col("k")).limit(maxKeys)
+        .select("k").collect().map(_.getString(0)).toSeq.sorted
+      val dropped = total - kept.size
+      if (dropped > 0)
+        System.err.println(
+          s"[graft] boilerplateModel cap ENGAGED: kept ${kept.size} of " +
+            s"$total df>=2 segment keys ($dropped lowest-df keys dropped; " +
+            "ingest under-strips those templates until the next retrain)")
+      kept
+    } finally keys.unpersist()
+  }
 
   /** Ingest-time boilerplate accounting against the frozen model:
     * segment the document ROW-LOCALLY (same 8-word windows), test each

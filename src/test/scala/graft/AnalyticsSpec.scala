@@ -68,6 +68,52 @@ class AnalyticsSpec extends GraftSuite {
     assert(a.forall(_.getString(0) != "purchase"))
   }
 
+  test("day-bucketed attribution equals brute force on a dense-timeline fixture") {
+    // Adversarial shape for the bucketed join: one power-user whose every
+    // 7-day window is packed (12 touches/day × 10 days, purchases daily,
+    // plus boundary probes exactly at/just inside the 7-day edge and
+    // same-ts ties resolved by touch event_id).
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000L
+    val touches = for {
+      day <- 0 until 10; i <- 0 until 12
+    } yield (1L, base + day * 86400000L + i * 3600000L,
+      (1000 + day * 100 + i).toLong, if (i % 3 == 0) "click" else "view", 0.0)
+    val purchases = for (day <- 1 until 10) yield
+      (1L, base + day * 86400000L + 13 * 3600000L, (9000 + day).toLong, "purchase", 10.0 + day)
+    // boundary probes: one touch EXACTLY 7 days before a purchase (must
+    // be excluded: tts >= pts - 7d includes it ... verify inclusivity),
+    // one just inside, with a same-ts tie pair
+    val pb = base + 20L * 86400000L
+    val extra = Seq(
+      (2L, pb - 7L * 86400000L, 8001L, "edge_incl", 0.0),      // == pts-7d: included
+      (2L, pb - 7L * 86400000L - 1L, 8000L, "edge_excl", 0.0), // 1 ms outside
+      (2L, pb - 1000L, 8002L, "tie_lo", 0.0),                  // same-ts tie:
+      (2L, pb - 1000L, 8003L, "tie_hi", 0.0),                  // higher tid wins
+      (2L, pb, 9999L, "purchase", 5.0))
+    val ev = (touches ++ purchases ++ extra)
+      .toDF("user_id", "ms", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val got = queries.PipelineQueries.lastTouchAttribution(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute force in Scala
+    val evs = (touches ++ purchases ++ extra)
+    val brute = evs.filter(_._4 == "purchase").map { case (u, pts, _, _, v) =>
+      val cands = evs.filter(t => t._1 == u && t._4 != "purchase" &&
+        t._2 < pts && t._2 >= pts - 7L * 86400000L)
+      val touch = if (cands.isEmpty) "_organic"
+        else cands.maxBy(t => (t._2, t._3))._4
+      touch -> v
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong,
+        vs.map(x => BigDecimal(x._2).setScale(2)).sum.toDouble))
+    }
+    assert(got == brute, s"got=$got brute=$brute")
+    // the tie must have resolved to the higher event_id at equal ts
+    assert(got.contains("tie_hi") && !got.contains("tie_lo"))
+  }
+
   test("duplicated-ngram fractions are consistent and symmetric across the dup relation") {
     val d = SparkEntry.queries("q_text_dup_ngram")(spark, sf).collect()
     d.foreach { r =>

@@ -301,6 +301,14 @@ class PlanShapeSpec extends GraftSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("q_embed_mutual_nn candidates come from cell-keyed joins, never a cartesian") {
+    // the round-9 verdict's scale-killer: the shipped query must not
+    // cross-join the two label-side corpora — candidates join on the
+    // IVF cell id (pass 1) and on the refinement cells (pass 2)
+    val p = graft.queries.PipelineQueries.mutualNnPlanProbe(spark, sf)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q_ann_ivf_index probe prunes cell partitions at planning time") {
     // the persisted-index story: the probe must read only the nProbe
     // cells' directories, which shows up as a partition filter on cell

@@ -666,6 +666,37 @@ class StreamingSpec extends GraftSuite {
     assert(sunk.values.exists(_._2 > 0), "stream must strip something")
   }
 
+  test("boilerplate model cap engages on a many-templates corpus, keeping highest-df keys") {
+    val s = spark
+    import s.implicits._
+    // 40 templates with distinct document frequencies df = 2+t; each doc
+    // is exactly one 8-word segment, so segment key = (source, hash(text))
+    val docs = (for {
+      t <- 0 until 40
+      c <- 0 until (2 + t)
+    } yield (t.toLong * 1000 + c, "srcA", s"tpl$t w1 w2 w3 w4 w5 w6 end$t"))
+      .toDF("doc_id", "source", "text")
+    val full = DocStreams.boilerplateModel(docs)
+    assert(full.size == 40, s"uncapped model must hold all templates, got ${full.size}")
+    val capped = DocStreams.boilerplateModel(docs, maxKeys = 10)
+    assert(capped.size == 10)
+    // the cap must keep the top-10 by (df DESC, key) — templates 30..39
+    val expected = docs.groupBy("source", "text")
+      .agg(org.apache.spark.sql.functions.countDistinct("doc_id").as("df"))
+      .selectExpr("concat_ws('|', source, cast(xxhash64(text) as string)) AS k", "df")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (k, df) => (-df, k) }.take(10).map(_._1).sorted.toSeq
+    assert(capped == expected)
+    // monotonicity: the capped model still strips what it kept — a doc of
+    // the highest-df template reads 100% boilerplate, a dropped-template
+    // doc reads 0% (under-strip, never corruption)
+    val flagged = DocStreams.stripBoilerplate(docs, capped)
+      .select("doc_id", "n_boiler").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged(39000L) == 1L, "kept template must strip")
+    assert(flagged(0L) == 0L, "dropped template must pass through unstripped")
+  }
+
   test("trending terms: watermarked token counts finalize once; top-k equals batch") {
     val s = spark
     implicit val sq = s.sqlContext
