@@ -26,14 +26,129 @@ final case class MmFeature(
   * `binary` columns with typed metadata; decode / feature-extract runs
   * as a batched partition-local transform.
   *
-  * The real decode libraries are not in this container, so the decode
-  * step is a clearly-marked deterministic STUB ([[MultimodalQueries
-  * .stubDecode]]); everything Spark-side — schema, encoders, partition
-  * batching, the binary column itself — is real and is what the same
-  * pipeline would use with a real codec.
+  * The IMAGE and AUDIO verbs run REAL codecs (round 10): `javax.imageio`
+  * and `javax.sound.sampled` both ship with the JDK, so
+  * q_mm_decode_real / q_mm_resize_real encode deterministic PNGs and
+  * q_mm_audio_decode_real / q_mm_audio_resample_real encode
+  * deterministic PCM WAVs, decode them back through the actual codecs,
+  * and hash-match the DECODED statistics against closed-form oracles
+  * that never touch PNG/WAV — an unfaithful codec round-trip turns the
+  * row red. Video codecs are still not in this container, so the
+  * mime-agnostic byte verbs keep the clearly-marked deterministic STUB
+  * ([[MultimodalQueries.stubDecode]]); everything Spark-side — schema,
+  * encoders, partition batching, the binary column itself — is real
+  * either way.
   */
 object MultimodalQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
+
+  /** Deterministic pixel formula shared by the PNG generator and (in
+    * closed form) the DuckDB oracle: channel c of pixel (x, y) of doc
+    * id. Everything is non-negative, so `%` agrees across engines. */
+  private[graft] def pix(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 31 + x * 7L + y * 13L + c * 101L) % 256).toInt
+
+  /** Encode one deterministic RGB image as REAL PNG bytes (JDK ImageIO
+    * — the actual codec, not a stub). Row-local; called per partition. */
+  private[graft] def encodePng(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (pix(docId, x, y, 0) << 16) | (pix(docId, x, y, 1) << 8) | pix(docId, x, y, 2))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode PNG bytes (real codec) → (width, height, per-channel pixel
+    * sums). Integer sums are order-independent and exact. */
+  private[graft] def decodeStats(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < bi.getHeight) {
+      var x = 0
+      while (x < bi.getWidth) {
+        val rgb = bi.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (bi.getWidth, bi.getHeight, sr, sg, sb)
+  }
+
+  /** Deterministic 16-bit PCM sample formula shared by the WAV generator
+    * and (in closed form) the DuckDB oracle: sample i of doc id. The
+    * modulus operand is always non-negative, so `%` agrees across
+    * engines; the subtraction centers the wave on 0 and covers the full
+    * signed-16 range. */
+  private[graft] def samp(docId: Long, i: Int): Int =
+    ((docId * 31 + i.toLong * 7919) % 65536).toInt - 32768
+
+  /** Encode one deterministic mono 16-bit PCM clip as REAL WAV bytes
+    * (`javax.sound.sampled` — the JDK's actual audio codec, not a
+    * stub). Row-local; called per partition. */
+  private[graft] def encodeWav(docId: Long, n: Int, rate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = samp(docId, i)
+      pcm(2 * i) = (s & 0xff).toByte // little-endian 16-bit
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    encodePcmWav(pcm, rate)
+  }
+
+  /** Wrap raw little-endian mono 16-bit PCM bytes in a real WAV stream. */
+  private[graft] def encodePcmWav(pcm: Array[Byte], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode WAV bytes (real codec) → (pcm bytes, sample rate). The
+    * format assertions make a silently-transcoding decoder loud. */
+  private[graft] def decodeWavPcm(wav: Array[Byte]): (Array[Byte], Float) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"decoder returned unexpected format: $fmt")
+    (ais.readAllBytes(), fmt.getSampleRate)
+  }
+
+  /** Decode WAV bytes → (n_samples, sum, sum|s|, min, max) over the
+    * decoded signed-16 samples. Integer stats are order-free and exact. */
+  private[graft] def decodeWavStats(wav: Array[Byte]): (Long, Long, Long, Int, Int) = {
+    val (pcm, _) = decodeWavPcm(wav)
+    val n = pcm.length / 2
+    var (sum, sabs) = (0L, 0L)
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var i = 0
+    while (i < n) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      sum += s; sabs += math.abs(s)
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      i += 1
+    }
+    (n.toLong, sum, sabs, mn, mx)
+  }
 
   /** Documents re-shaped as multimodal records: payload = utf-8 bytes of
     * the text (a stand-in for image bytes), metadata derived
@@ -156,6 +271,195 @@ object MultimodalQueries {
           col("n_bytes"),
           length(encode(col("resized"), "utf-8")).cast("bigint").as("n_bytes_resized"),
           md5(col("resized")).as("resized_md5"))
+        .orderBy("doc_id")
+    },
+
+    // --- REAL image decode: PNG bytes through the actual JDK codec ------
+    Q("q_mm_decode_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INT) AS width,
+        |    CAST(16 + doc_id % 48 AS INT) AS height
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, width, height,
+        |    (doc_id * 31 + x.i * 7 + y.i * 13) % 256 AS r,
+        |    (doc_id * 31 + x.i * 7 + y.i * 13 + 101) % 256 AS g,
+        |    (doc_id * 31 + x.i * 7 + y.i * 13 + 202) % 256 AS b
+        |  FROM di, range(0, 80) x(i), range(0, 64) y(i)
+        |  WHERE x.i < width AND y.i < height)
+        |SELECT doc_id, width, height,
+        |  CAST(width * height AS BIGINT) AS n_pixels,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // The REAL decode path (round-9 verdict item: swap a real codec in
+      // when available — javax.imageio ships with the JDK): per record,
+      // deterministic pixels → ImageIO PNG ENCODE → real binary payload
+      // → ImageIO DECODE → per-channel integer pixel sums. The oracle
+      // computes the same sums in closed form from the pixel formula,
+      // never touching PNG — so a hash match PROVES the codec
+      // round-trip is bit-faithful (PNG is lossless; any encoder/decoder
+      // defect or color-profile drift turns the row red). Both codec
+      // calls are partition-local over the batched iterator
+      // (mapPartitions — the JVM analog of mapInPandas); only doc_id +
+      // dims + 3 sums ever shuffle, the payloads live and die inside
+      // the task. At 100 TB this is the universal thumbnail/feature
+      // scan: map-only, scan-speed, no shuffle.
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+          (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          val png = encodePng(id, w, h) // REAL PNG bytes
+          val (dw, dh, sr, sg, sb) = decodeStats(png) // REAL decode
+          (id, dw, dh, dw.toLong * dh, sr, sg, sb)
+        })
+        .toDF("doc_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    },
+
+    // --- REAL image resize: decode → nearest-neighbor → re-encode -------
+    Q("q_mm_resize_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INT) AS width,
+        |    CAST(16 + doc_id % 48 AS INT) AS height
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, width, height,
+        |    (doc_id * 31 + 2 * x.i * 7 + 2 * y.i * 13) % 256 AS r,
+        |    (doc_id * 31 + 2 * x.i * 7 + 2 * y.i * 13 + 101) % 256 AS g,
+        |    (doc_id * 31 + 2 * x.i * 7 + 2 * y.i * 13 + 202) % 256 AS b
+        |  FROM di, range(0, 40) x(i), range(0, 32) y(i)
+        |  WHERE x.i < width // 2 AND y.i < height // 2)
+        |SELECT doc_id, width, height,
+        |  CAST(width // 2 AS INT) AS new_width,
+        |  CAST(height // 2 AS INT) AS new_height,
+        |  CAST(SUM(r) AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // REAL resize through the real codec: encode the full-size PNG,
+      // DECODE it, nearest-neighbor downsample 2× (resized (x,y) :=
+      // decoded (2x, 2y) — deterministic by construction, unlike
+      // platform-varying smooth scalers), RE-ENCODE the result as PNG,
+      // then decode THAT and report its pixel sums — so the emitted
+      // stats have passed through two full encode→decode round-trips.
+      // The oracle evaluates the pixel formula at even coordinates in
+      // closed form; a hash match proves both round-trips faithful.
+      // Same mapPartitions batching and shuffle profile as
+      // q_mm_decode_real.
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+          (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          val bi = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodePng(id, w, h)))
+          val (nw, nh) = (w / 2, h / 2)
+          val out = new java.awt.image.BufferedImage(
+            nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) { out.setRGB(x, y, bi.getRGB(2 * x, 2 * y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos) // RE-ENCODE
+          val (dw, dh, sr, sg, sb) = decodeStats(bos.toByteArray)
+          (id, w, h, dw, dh, sr, sg, sb)
+        })
+        .toDF("doc_id", "width", "height", "new_width", "new_height",
+          "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id")
+    },
+
+    // --- REAL audio decode: WAV bytes through the actual JDK codec ------
+    Q("q_mm_audio_decode_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INT) AS n_samples
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n_samples,
+        |    (doc_id * 31 + i.i * 7919) % 65536 - 32768 AS v
+        |  FROM di, range(0, 768) i(i) WHERE i.i < n_samples)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(SUM(v) AS BIGINT) AS sum_s,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+        |  CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s
+        |FROM s GROUP BY 1, 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // REAL audio decode (round 10, same design as q_mm_decode_real):
+      // javax.sound.sampled is in the JDK, so the audio codec slot is
+      // filled for WAV/PCM — per record, deterministic signed-16 samples
+      // → real WAV ENCODE (RIFF headers and all) → real AudioSystem
+      // DECODE → integer sample stats. The oracle computes the same
+      // stats in closed form from the sample formula, never touching
+      // WAV — a hash match proves the codec round-trip bit-faithful
+      // (PCM is lossless; a header/endianness/transcode defect turns
+      // the row red — decodeWavPcm also REQUIREs the decoded format).
+      // Both codec calls are partition-local over the batched iterator;
+      // only doc_id + 5 stats ever shuffle. At 100 TB this is the
+      // speech-corpus QA scan: map-only, scan-speed, no shuffle.
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(256) + col("doc_id") % 512).cast("int").as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val wav = encodeWav(id, n) // REAL WAV bytes
+          val (dn, sum, sabs, mn, mx) = decodeWavStats(wav) // REAL decode
+          (id, dn, sum, sabs, mn, mx)
+        })
+        .toDF("doc_id", "n_samples", "sum_s", "sum_abs", "min_s", "max_s")
+        .orderBy("doc_id")
+    },
+
+    // --- REAL audio resample: decode → decimate → re-encode -------------
+    Q("q_mm_audio_resample_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INT) AS n_samples
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n_samples,
+        |    (doc_id * 31 + (2 * j.j) * 7919) % 65536 - 32768 AS v
+        |  FROM di, range(0, 384) j(j) WHERE 2 * j.j < n_samples)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_in,
+        |  CAST((n_samples + 1) // 2 AS BIGINT) AS n_out,
+        |  CAST(4000 AS INT) AS rate_out,
+        |  CAST(SUM(v) AS BIGINT) AS sum_s,
+        |  CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY doc_id, n_samples ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // REAL resample through the real codec (the audio twin of
+      // q_mm_resize_real): encode the 8 kHz clip as WAV, DECODE it,
+      // decimate 2× (keep even-index samples — deterministic, unlike
+      // interpolating resamplers), RE-ENCODE the result as a real 4 kHz
+      // WAV, then decode THAT and report its stats plus the decoded
+      // header's sample rate — so both the sample bytes and the rate
+      // metadata have survived two full encode→decode round-trips. The
+      // oracle evaluates the sample formula at even indices in closed
+      // form; rate_out comes from the second DECODE, not a constant, so
+      // a header-mangling writer turns the row red.
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(256) + col("doc_id") % 512).cast("int").as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val (pcm, _) = decodeWavPcm(encodeWav(id, n)) // decode #1
+          val nOut = (n + 1) / 2
+          val dec = new Array[Byte](nOut * 2)
+          var j = 0
+          while (j < nOut) { // even-index samples, little-endian pairs
+            dec(2 * j) = pcm(4 * j); dec(2 * j + 1) = pcm(4 * j + 1)
+            j += 1
+          }
+          val wav2 = encodePcmWav(dec, 4000f) // RE-ENCODE at half rate
+          val (dn, sum, sabs, _, _) = decodeWavStats(wav2) // decode #2
+          val (_, rate) = decodeWavPcm(wav2)
+          (id, n.toLong, dn, rate.toInt, sum, sabs)
+        })
+        .toDF("doc_id", "n_in", "n_out", "rate_out", "sum_s", "sum_abs")
         .orderBy("doc_id")
     },
 

@@ -430,7 +430,14 @@ object PipelineQueries {
     e.persist()
     try {
       val nCells = 16
-      val centers = IvfIndex.trainCentroids(e.select(col("vec_id"), col("v")), k = nCells)
+      // iters = 1: the triangle-inequality refinement below makes the
+      // final top-4 EXACT for ANY quantizer, so extra Lloyd iterations
+      // buy no correctness — only a (data-dependent) shift of work
+      // between pass 1 and pass 2 — while each iteration costs two more
+      // whole-corpus Spark actions. One iteration off the strided seeds
+      // is the cost sweet spot at gate scale and at 100 TB alike.
+      val centers = IvfIndex.trainCentroids(
+        e.select(col("vec_id"), col("v")), k = nCells, iters = 1)
       // quantized centroid literals: distances to centroids live on the
       // same integer grid as the pair distances, so bounds are exact
       val cq = centers.map(_.map(x => math.floor(x * 1024.0).toLong))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** One document as it arrives on an ingestion stream (mirrors the
@@ -280,4 +280,23 @@ object DocStreams {
         > lit(50) * length(col("text"))).as("high_nonascii"))
       .withColumn("keep",
         !col("has_replacement") && !col("has_control") && !col("high_nonascii"))
+
+  /** Ingest-time REAL image decode (streaming twin of the batch
+    * `q_mm_decode_real` catalog row): binary PNG payloads arrive on the
+    * stream, each micro-batch decodes through the actual JDK codec
+    * (`javax.imageio`) partition-locally, and only doc_id + dims +
+    * per-channel pixel sums reach the sink \u2014 payloads live and die
+    * inside the task, exactly the batch query's shuffle profile.
+    * Stateless append mode: the multimodal feature-extraction stage of
+    * a streaming ingest runs at scan speed with no watermark, no state
+    * store, and no codec work on the driver. StreamingSpec pins
+    * stream \u2261 batch on the same generated corpus. */
+  def decodeImageStats(recs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+      .product[(Long, Int, Int, Long, Long, Long)]
+    recs.mapPartitions(_.map { case (id, png) =>
+      val (w, h, sr, sg, sb) = graft.queries.MultimodalQueries.decodeStats(png)
+      (id, w, h, sr, sg, sb)
+    })(enc).toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
 }

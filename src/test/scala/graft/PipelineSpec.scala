@@ -652,6 +652,50 @@ class PipelineSpec extends GraftSuite {
     assert(math.abs(f.mean_byte - (97 + 98 + 99 + 65 + 66 + 67) / 6.0) < 1e-12)
   }
 
+  test("real PNG codec round-trip: every pixel of a 3x2 image survives encode+decode") {
+    // the unit face of q_mm_decode_real's oracle claim: ImageIO PNG
+    // encode → decode is bit-faithful per pixel, not just in aggregate
+    val png = MultimodalQueries.encodePng(7L, 3, 2)
+    assert(png.length > 8 &&
+      (png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+      "payload must be a real PNG stream")
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(bi.getWidth == 3 && bi.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val rgb = bi.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == MultimodalQueries.pix(7L, x, y, 0), s"r($x,$y)")
+      assert(((rgb >> 8) & 0xff) == MultimodalQueries.pix(7L, x, y, 1), s"g($x,$y)")
+      assert((rgb & 0xff) == MultimodalQueries.pix(7L, x, y, 2), s"b($x,$y)")
+    }
+    // and the aggregate stats helper agrees with the direct pixel walk
+    val (w, h, sr, sg, sb) = MultimodalQueries.decodeStats(png)
+    val exp = for (c <- 0 until 3) yield
+      (for (y <- 0 until 2; x <- 0 until 3) yield MultimodalQueries.pix(7L, x, y, c).toLong).sum
+    assert((w, h) == ((3, 2)) && (sr, sg, sb) == ((exp(0), exp(1), exp(2))))
+  }
+
+  test("real WAV codec round-trip: every sample of a 5-sample clip survives encode+decode") {
+    // the unit face of q_mm_audio_decode_real's oracle claim: the JDK
+    // WAV encode → decode is bit-faithful per sample, not just in
+    // aggregate, and the header carries the rate
+    val wav = MultimodalQueries.encodeWav(7L, 5)
+    assert(new String(wav.take(4), "ascii") == "RIFF" &&
+      new String(wav.slice(8, 12), "ascii") == "WAVE",
+      "payload must be a real RIFF/WAVE stream")
+    val (pcm, rate) = MultimodalQueries.decodeWavPcm(wav)
+    assert(rate == 8000f && pcm.length == 10)
+    for (i <- 0 until 5) {
+      val s = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      assert(s == MultimodalQueries.samp(7L, i), s"sample $i")
+    }
+    // and the aggregate stats helper agrees with the direct sample walk
+    val exp = (0 until 5).map(MultimodalQueries.samp(7L, _))
+    val (n, sum, sabs, mn, mx) = MultimodalQueries.decodeWavStats(wav)
+    assert(n == 5L && sum == exp.map(_.toLong).sum &&
+      sabs == exp.map(v => math.abs(v).toLong).sum &&
+      mn == exp.min && mx == exp.max)
+  }
+
   test("weighted percentile sketch within 1% of the exact oracle query") {
     // the query certifies the sketch in-engine (wp_ok); pin the
     // certification AND that its exact side equals the oracle-verified

@@ -1,5 +1,6 @@
 package graft
 
+import graft.queries.MultimodalQueries
 import graft.streaming.{Doc, DocStreams, Event, EventStreams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
@@ -761,6 +762,45 @@ class StreamingSpec extends GraftSuite {
         assert(!r.getString(4).matches(".*[a-z0-9]+@[a-z.]+[a-z].*"))
         assert(!r.getString(4).matches(".*555-[0-9]{4}.*"))
       }
+    } finally q.stop()
+  }
+
+  test("streaming REAL image decode equals the closed-form pixel oracle and the batch twin") {
+    // the multimodal ingest stage: PNG payloads arrive on the stream,
+    // each micro-batch decodes through the ACTUAL JDK codec; the sink
+    // must match both the formula (engine-free ground truth) and the
+    // batch run of the same helper over the same corpus
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val ids = (0L until 60L).toSeq
+    def rec(id: Long): (Long, Array[Byte]) = {
+      val (w, h) = ((16 + id % 64).toInt, (16 + id % 48).toInt)
+      id -> MultimodalQueries.encodePng(id, w, h)
+    }
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = DocStreams.decodeImageStats(in.toDS())
+      .writeStream.format("memory").queryName("img_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (w1, w2) = ids.splitAt(30)
+      in.addData(w1.map(rec)); q.processAllAvailable()
+      in.addData(w2.map(rec)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM img_sink ORDER BY doc_id").collect()
+      assert(streamed.length == 60)
+      streamed.foreach { r =>
+        val id = r.getLong(0)
+        val (w, h) = ((16 + id % 64).toInt, (16 + id % 48).toInt)
+        assert(r.getInt(1) == w && r.getInt(2) == h, s"dims for doc $id")
+        val exp = (0 until 3).map(c =>
+          (for (y <- 0 until h; x <- 0 until w)
+            yield MultimodalQueries.pix(id, x, y, c).toLong).sum)
+        assert((r.getLong(3), r.getLong(4), r.getLong(5)) ==
+          ((exp(0), exp(1), exp(2))), s"pixel sums for doc $id")
+      }
+      val batch = DocStreams.decodeImageStats(ids.map(rec).toDS())
+        .orderBy("doc_id").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
     } finally q.stop()
   }
 
