@@ -633,5 +633,66 @@ object AggregateQueries {
           col("mt.n_mode").as("n_mode"))
         .orderBy("user_id")
     },
+
+    // --- two-sample Kolmogorov-Smirnov distribution test ----------------
+    Q("q_agg_ks",
+      """WITH s AS (SELECT n_chars AS x,
+        |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g
+        |      FROM documents WHERE source IN ('src0', 'src1')),
+        |n AS (SELECT CAST(SUM(g) AS BIGINT) AS n1,
+        |        CAST(SUM(1 - g) AS BIGINT) AS n2 FROM s),
+        |c AS (SELECT x, CAST(SUM(g) AS BIGINT) AS c1,
+        |        CAST(SUM(1 - g) AS BIGINT) AS c2 FROM s GROUP BY x),
+        |f AS (SELECT x, SUM(c1) OVER (ORDER BY x) AS f1,
+        |        SUM(c2) OVER (ORDER BY x) AS f2 FROM c),
+        |dd AS (SELECT x, ABS(n2 * f1 - n1 * f2) AS dn FROM f, n),
+        |mx AS (SELECT MAX(dn) AS d_num FROM dd),
+        |loc AS (SELECT MIN(x) AS d_at FROM dd, mx WHERE dn = d_num)
+        |SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
+        |  CAST(d_at AS BIGINT) AS d_at,
+        |  CAST((1000 * d_num) // (n1 * n2) AS BIGINT) AS d_milli,
+        |  (1000000 * d_num * d_num > 1844164 * n1 * n2 * (n1 + n2)) AS reject_95
+        |FROM n, mx, loc""".stripMargin) { (s, d) =>
+      // Two-sample Kolmogorov-Smirnov test — the DISTRIBUTION-shift gate
+      // a curation pipeline runs between two sources (here: src0 vs src1
+      // doc-length distributions; in production, any score column
+      // between a new crawl shard and the reference mix — the
+      // nonparametric sibling of q_agg_ttest's mean test and
+      // q_text_js_divergence's binned divergence). The statistic is
+      // EXACT end to end: D = max_x |F1 − F2| is computed on the common
+      // denominator n1·n2 so the sup runs over INTEGERS |n2·cum1(x) −
+      // n1·cum2(x)| — no float CDFs, no ties ambiguity (the sup over the
+      // pooled support is attained at sample points; per-x cumulative =
+      // all samples ≤ x in both engines). d_at = smallest x attaining
+      // the sup; reject_95 applies the asymptotic two-sided 5% bar
+      // (c(α)² = 1.358² scaled to ppm) squared into pure-integer form —
+      // BIGINT-safe up to ~1.4M pooled samples at the gate (the 100 TB
+      // run lifts these products to DECIMAL(38,0)/HUGEINT, same
+      // expressions). Shape for 100 TB: one map-side-collapsed count per
+      // distinct value, then the cumulative window runs over the
+      // VALUE-DISTINCT frame (bounded by the score's support, not the
+      // corpus — the q_agg_histogram economics); a production run on an
+      // unbounded-support score pre-buckets to fixed quantile cells
+      // first, which bounds the window frame by construction.
+      val s0 = t(s, d, "documents").filter(col("source").isin("src0", "src1"))
+        .select(col("n_chars").as("x"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("g"))
+      val n = s0.agg(sum("g").as("n1"), sum(expr("1 - g")).as("n2"))
+      val c = s0.groupBy("x").agg(sum("g").as("c1"), sum(expr("1 - g")).as("c2"))
+      val w = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select(col("x"), sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+        .crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"), col("x"),
+          abs(col("n2") * col("f1") - col("n1") * col("f2")).as("dn"))
+        .groupBy("n1", "n2")
+        .agg(max("dn").as("d_num"),
+          min_by(col("x"), struct((-col("dn")).as("a"), col("x").as("b"))).as("d_at"))
+        .select(col("n1"), col("n2"), col("d_num"), col("d_at"),
+          expr("(1000 * d_num) div (n1 * n2)").as("d_milli"),
+          (lit(1000000L) * col("d_num") * col("d_num") >
+            lit(1844164L) * col("n1") * col("n2") * (col("n1") + col("n2")))
+            .as("reject_95"))
+    },
   )
 }

@@ -429,6 +429,15 @@ object PipelineQueries {
           .as("q"))
     e.persist()
     try {
+      // k = 16 cells, NOT the customary √n: adaptive k was measured at
+      // the ×10 smoke (62 cells over 3.8k vectors: 59.3 s vs 47.3 s at
+      // k=16). On THIS corpus — 64-d near-uniform synthetic vectors —
+      // cell radii barely shrink with k (distance concentration), so
+      // pass-2 bounds stay loose regardless while the per-vector probe
+      // fan-out grows with k; small k wins. On a real clustered corpus
+      // the trade flips and k should scale ~√n — the constant is a
+      // data-profile decision, not a structural one (the result is
+      // EXACT either way; k only moves cost between the passes).
       val nCells = 16
       // iters = 1: the triangle-inequality refinement below makes the
       // final top-4 EXACT for ANY quantizer, so extra Lloyd iterations

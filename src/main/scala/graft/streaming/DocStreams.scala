@@ -281,6 +281,72 @@ object DocStreams {
       .withColumn("keep",
         !col("has_replacement") && !col("has_control") && !col("high_nonascii"))
 
+  /** Frozen reference length-distribution model for [[ksDriftAlerts]]:
+    * cumulative counts over 64 FIXED buckets (least(len div 64, 63)) of
+    * `length(text)` plus the total — 65 longs of driver model state,
+    * bounded BY CONSTRUCTION (the pre-bucketed production form the
+    * q_agg_ks batch comment prescribes for unbounded-support scores).
+    * One two-phase count pass over the reference corpus. */
+  def ksRefModel(corpus: DataFrame): (Array[Long], Long) = {
+    val counts = corpus
+      .select(expr("least(length(text) div 64, 63)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val cum = new Array[Long](64)
+    var acc = 0L
+    for (i <- 0 until 64) { acc += counts.getOrElse(i, 0L); cum(i) = acc }
+    (cum, acc)
+  }
+
+  /** Streaming distribution-drift monitor — the live twin of the batch
+    * `q_agg_ks` two-sample Kolmogorov-Smirnov gate: each finalized
+    * event-time window's length distribution is KS-tested against the
+    * FROZEN reference CDF (broadcast literal — the frozen-baseline
+    * lambda shape of `EventStreams.anomalies`). The window histogram is
+    * 64 conditional sums inside the ONE streaming aggregation (state =
+    * 64 longs per open window — bounded, no value lists); the sup and
+    * the asymptotic 95% reject bar are then ROW-LOCAL integer folds
+    * over the finalized histogram, exactly q_agg_ks's integer-sup form
+    * (D on the common refN·n denominator; reject bar squared to ppm).
+    * Append mode: a drift row finalizes exactly once per window —
+    * enforcement sinks can quarantine the window's shard without
+    * dedup. BIGINT-safe while refN·n·(refN+n) < 2^63/1.85. */
+  def ksDriftAlerts(
+      docs: DataFrame,
+      refCum: Array[Long],
+      refN: Long,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val refLit = refCum.mkString("array(", "L, ", "L)")
+    val hcols = (0 until 64).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"h$i"))
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("least(length(text) div 64, 63)").as("b"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(hcols.head, hcols.tail: _*)
+      .select(col("window.start").as("window_start"),
+        array((0 until 64).map(i => col(s"h$i")): _*).as("h"))
+      .withColumn("n", expr("aggregate(h, 0L, (a, x) -> a + x)"))
+      .withColumn("d_num", expr(
+        s"""aggregate(sequence(0, 63),
+           |  named_struct('cum', 0L, 'best', 0L),
+           |  (a, i) -> named_struct(
+           |    'cum', a.cum + element_at(h, i + 1),
+           |    'best', greatest(a.best,
+           |      abs(${refN}L * (a.cum + element_at(h, i + 1))
+           |          - n * element_at($refLit, i + 1)))),
+           |  a -> a.best)""".stripMargin))
+      .select(col("window_start"), col("n"), col("d_num"),
+        when(col("n") > 0, expr(s"(1000 * d_num) div (${refN}L * n)"))
+          .otherwise(lit(0L)).as("d_milli"),
+        (col("n") > 0 &&
+          lit(1000000L) * col("d_num") * col("d_num") >
+            lit(1844164L) * lit(refN) * col("n") * (lit(refN) + col("n")))
+          .as("drift"))
+  }
+
   /** Ingest-time REAL image decode (streaming twin of the batch
     * `q_mm_decode_real` catalog row): binary PNG payloads arrive on the
     * stream, each micro-batch decodes through the actual JDK codec

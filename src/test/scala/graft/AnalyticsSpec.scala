@@ -346,4 +346,77 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.map(_._2.abs).max == 65536)
     assert(evPpm >= 0 && evPpm <= 1000000)
   }
+
+  test("ks statistic equals a from-scratch sup over the pooled support") {
+    val r = SparkEntry.queries("q_agg_ks")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n1g, n2g, dNum, dAt, dMilli, rej) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getBoolean(5))
+    // independent recompute from the raw table
+    val samples = Tables.df(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select("source", "n_chars").collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1)))
+    val s1 = samples.filter(_._1 == "src0").map(_._2).sorted
+    val s2 = samples.filter(_._1 == "src1").map(_._2).sorted
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    assert((n1, n2) == ((n1g, n2g)))
+    val support = (s1 ++ s2).distinct.sorted
+    val ds = support.map(x =>
+      x -> math.abs(n2 * s1.count(_ <= x) - n1 * s2.count(_ <= x)))
+    val dMax = ds.map(_._2).max
+    assert(dNum == dMax)
+    assert(dAt == ds.filter(_._2 == dMax).map(_._1).min)
+    assert(dMilli == 1000 * dMax / (n1 * n2))
+    // reject bar against the real-valued criterion (no floor ambiguity:
+    // both sides are exact integers, compare as BigInt like the query)
+    val lhs = BigInt(1000000) * BigInt(dMax) * BigInt(dMax)
+    val rhs = BigInt(1844164) * n1 * n2 * (n1 + n2)
+    assert(rej == (lhs > rhs))
+  }
+
+  test("bradley-terry: exact wins/games recount and the MM fixed point ranks like a float fit") {
+    val r = SparkEntry.queries("q_cur_bradley_terry")(spark, sf).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.map(_._1).toSeq == (1 to r.length))
+    // wins/games from a from-scratch duel recount (+1 Laplace per
+    // ordered pair, games double-count both directions' smoothing)
+    val byUser = events.groupBy("user_id", "event_type").count().collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .groupBy(_._1)
+    val types = r.map(_._2).sorted
+    val wins = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    byUser.values.foreach { rows =>
+      val c = rows.map(x => x._2 -> x._3).toMap
+      for (a <- c.keys; b <- c.keys if a < b && c(a) != c(b)) {
+        val (w, l) = if (c(a) > c(b)) (a, b) else (b, a)
+        wins((w, l)) += 1
+      }
+    }
+    def smoothed(i: String, j: String) = wins((i, j)) + 1
+    r.foreach { case (_, i, w, g, p) =>
+      val others = types.filter(_ != i)
+      assert(w == others.map(j => smoothed(i, j)).sum, s"wins of $i")
+      assert(g == others.map(j => smoothed(i, j) + smoothed(j, i)).sum, s"games of $i")
+      assert(p > 0)
+    }
+    // the 2^20 fixed-point MM must rank identically to an independent
+    // double-precision MM run to convergence
+    val nij = (for (i <- types; j <- types if i != j)
+      yield (i, j) -> (smoothed(i, j) + smoothed(j, i)).toDouble).toMap
+    val wi = types.map(i => i -> types.filter(_ != i).map(j => smoothed(i, j)).sum.toDouble).toMap
+    var p = types.map(_ -> 1.0).toMap
+    for (_ <- 1 to 200) {
+      val next = types.map { i =>
+        i -> wi(i) / types.filter(_ != i).map(j => nij((i, j)) / (p(i) + p(j))).sum
+      }.toMap
+      val z = next.values.sum / types.length
+      p = next.map { case (k, v) => k -> v / z }
+    }
+    val floatRank = types.sortBy(i => (-p(i), i))
+    assert(r.sortBy(_._1).map(_._2).toSeq == floatRank.toSeq,
+      s"fixed-point ranking diverged from converged float MM: $p")
+  }
 }

@@ -548,4 +548,23 @@ class CurationSpec extends GraftSuite {
     assert(rows.exists(_._3) && rows.exists(!_._3),
       s"capped split degenerate: ${rows.count(_._3)} of ${rows.length}")
   }
+
+  test("q_cur_kanonymity equals a from-scratch equivalence-class recount at every k") {
+    val got = SparkEntry.queries("q_cur_kanonymity")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(2, 5, 10))
+    val classes = Tables.df(spark, sf, "documents")
+      .select("lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2) / 100))
+      .groupBy(identity).map(_._2.length.toLong).toSeq
+    val total = classes.sum
+    for (k <- Seq(2, 5, 10)) {
+      val atRisk = classes.filter(_ < k)
+      assert(got(k) == ((classes.length.toLong, classes.min,
+        atRisk.length.toLong, atRisk.sum, 1000000L * atRisk.sum / total)), s"k=$k")
+    }
+    // monotonicity: raising k can only widen the at-risk set
+    assert(got(2)._4 <= got(5)._4 && got(5)._4 <= got(10)._4)
+  }
 }

@@ -54,8 +54,12 @@ class InvarianceSpec extends GraftSuite {
                             //   counts across layouts
     "q_agg_chi2",           // round 9: nano-fixed-point term sum must be
                             //   merge-order-independent
-    "q_agg_ttest")          // round 9: decimal per-arm moments at any
+    "q_agg_ttest",          // round 9: decimal per-arm moments at any
                             //   partition count
+    "q_agg_ks",             // round 10: integer sup over the value-
+                            //   distinct cumulative frame at any layout
+    "q_cur_bradley_terry")  // round 10: duel recount + driver-model MM
+                            //   fit must not see partitioning
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY

@@ -733,6 +733,54 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("ks drift monitor: no alert on the reference mix, fires on a shifted window, stream equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val corpus = Tables.df(spark, sf, "documents")
+    val (refCum, refN) = DocStreams.ksRefModel(corpus)
+    assert(refCum.last == refN && refN > 0)
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // window 00: the exact reference mix (D = 0); window 01: every text
+    // padded +512 chars — the whole distribution shifts up 8 buckets
+    val w0 = texts.map { case (id, t) => Page(id, ts("2024-01-01 00:10:00"), t) }
+    val w1 = texts.map { case (id, t) =>
+      Page(id, ts("2024-01-01 01:10:00"), t + ("x" * 512)) }
+    val pusher = Page(-1, ts("2024-01-01 09:00:00"), "watermark pusher")
+    val in = MemoryStream[Page]
+    val q = DocStreams.ksDriftAlerts(in.toDF(), refCum, refN)
+      .writeStream.format("memory").queryName("ks_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(w0.toIndexedSeq); q.processAllAvailable()
+      in.addData(w1.toIndexedSeq); q.processAllAvailable()
+      in.addData(pusher); q.processAllAvailable()
+      val sunk = spark.sql("SELECT * FROM ks_sink ORDER BY window_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+      assert(sunk.length == 2, sunk.mkString(";"))
+      // reference window: identical distribution, sup exactly 0
+      assert(sunk(0)._2 == refN && sunk(0)._3 == 0L && !sunk(0)._5, sunk(0).toString)
+      // shifted window: drift must fire
+      assert(sunk(1)._5, s"shifted window did not alert: ${sunk(1)}")
+      // d_num recount from scratch for the shifted window
+      val lens = texts.map(_._2.length + 512)
+      val winCum = (0 until 64).map(b => lens.count(l => math.min(l / 64, 63) <= b).toLong)
+      val dExp = (0 until 64).map(i =>
+        math.abs(refN * winCum(i) - lens.length * refCum(i))).max
+      assert(sunk(1)._3 == dExp)
+      // batch twin over the on-time pages, finalized windows only
+      val batch = DocStreams.ksDriftAlerts((w0 ++ w1).toSeq.toDF(), refCum, refN)
+        .filter($"window_start" < ts("2024-01-01 08:30:00"))
+        .orderBy("window_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4)))
+      assert(sunk.toSeq == batch.toSeq,
+        s"stream=${sunk.mkString(";")} batch=${batch.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("redactPii at ingest: stream equals batch, nothing PII-shaped survives the sink") {
     val s = spark
     implicit val sq = s.sqlContext
