@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.RollingHash
+import graft.functions.{NfcNormalize, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -76,6 +76,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_strpos",
       "graft_strpos(s, sub) - 1-based position of sub in s, 0 if absent") {
       exprs => StringLocate(exprs(1), exprs.head, Literal(1))
+    }
+
+    register("graft_nfc_normalize",
+      "graft_nfc_normalize(str) - Unicode NFC canonical composition") {
+      exprs => NfcNormalize(exprs.head)
     }
   }
 }

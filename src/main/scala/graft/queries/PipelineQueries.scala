@@ -5435,6 +5435,55 @@ object PipelineQueries {
     },
 
     // --- encoding-artifact (mojibake) audit -----------------------------
+    // --- Unicode NFC normalization (canonical composition) --------------
+    Q("q_text_normalize",
+      """WITH base AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 1000000000000001, 'Cafe' || chr(769) || ' menu'
+        |  UNION ALL SELECT 1000000000000002,
+        |    'A' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |  UNION ALL SELECT 1000000000000003, 'caf' || chr(233) || ' fixed'),
+        |n AS (SELECT doc_id, text, nfc_normalize(text) AS norm FROM base)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+        |  CAST(length(norm) AS BIGINT) AS n_after,
+        |  (text <> norm) AS changed, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // Unicode NFC normalization — the canonical-composition hygiene
+      // pass that runs BEFORE any hash-keyed dedup/fingerprint stage:
+      // "é" and "e"+COMBINING ACUTE are the same text to a reader but
+      // different bytes to xxhash64/minhash, so an unnormalized corpus
+      // under-deduplicates in exactly the languages where it matters.
+      // Implemented as a codegen'd Catalyst expression wrapping the
+      // JDK's Normalizer ([[graft.functions.NfcNormalize]] — the
+      // RollingHash convention, UDF-free with an allocation-free
+      // NFC-clean fast path); the oracle runs DuckDB's NATIVE
+      // nfc_normalize, so the hash match certifies two independent
+      // Unicode implementations byte-identical. The gate corpus is
+      // ASCII (NFC = identity), so three fixture rows at unreachable
+      // ids (the 10^15 convention) inject decomposed sequences — acute,
+      // ring, diaeresis — plus an already-composed control; all BMP
+      // (Spark length counts UTF-16 units, DuckDB codepoints — equal
+      // only off the astral plane, which the fixtures respect). Shape
+      // for 100 TB: row-local map inside WholeStageCodegen, no shuffle
+      // — rides the ingest scan like q_text_clean.
+      val fixtures = Seq( // DECOMPOSED via explicit escapes — a raw
+        // source literal could be silently NFC'd by tooling, defusing
+        // the very branch the fixtures exist to exercise
+        (1000000000000001L, "Cafe\u0301 menu"),
+        (1000000000000002L, "A\u030Angstro\u0308m"),
+        (1000000000000003L, "caf\u00e9 fixed"))
+      import s.implicits._
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.toDF("doc_id", "text"))
+      base
+        .withColumn("norm", graft.functions.NfcNormalize.nfc_normalize(col("text")))
+        .select(col("doc_id"),
+          length(col("text")).cast("bigint").as("n_before"),
+          length(col("norm")).cast("bigint").as("n_after"),
+          (col("text") =!= col("norm")).as("changed"),
+          md5(col("norm").cast("binary")).as("norm_md5"))
+        .orderBy("doc_id")
+    },
+
     Q("q_text_mojibake",
       """WITH c AS (SELECT doc_id, lang, source,
         |    CASE WHEN doc_id % 7 = 0 THEN chr(65533) || chr(65533) || text

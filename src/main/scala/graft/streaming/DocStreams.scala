@@ -365,4 +365,18 @@ object DocStreams {
       (id, w, h, sr, sg, sb)
     })(enc).toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
+
+  /** Ingest-time REAL audio decode (streaming twin of the batch
+    * `q_mm_audio_decode_real` catalog row): WAV payloads decode through
+    * the actual JDK codec (`javax.sound.sampled`) per micro-batch,
+    * partition-local and stateless, emitting only doc_id + integer
+    * sample stats — the speech-corpus QA scan at ingest. */
+  def decodeAudioStats(recs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+      .product[(Long, Long, Long, Long, Int, Int)]
+    recs.mapPartitions(_.map { case (id, wav) =>
+      val (n, sum, sabs, mn, mx) = graft.queries.MultimodalQueries.decodeWavStats(wav)
+      (id, n, sum, sabs, mn, mx)
+    })(enc).toDF("doc_id", "n_samples", "sum_s", "sum_abs", "min_s", "max_s")
+  }
 }

@@ -86,6 +86,8 @@ class FunctionsSpec extends GraftSuite {
     assert(spark.sql("SELECT graft_digest('abc', 'md5') AS d").head().getString(0) ==
       "900150983cd24fb0d6963f7d28e17f72")
     assert(spark.sql("SELECT graft_strpos('hello', 'll') AS p").head().getInt(0) == 3)
+    assert(spark.sql("SELECT graft_nfc_normalize('Cafe\u0301') AS n")
+      .head().getString(0) == "Caf\u00e9") // decomposed in, composed out
   }
 
   test("nondeterministic scalars: rand/uuid/now/current_date/typeof are sane") {
@@ -156,6 +158,33 @@ class FunctionsSpec extends GraftSuite {
       val dp = va.zip(vb).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
       assert(got(id) == ((rh, ic, dp)), s"row $id text='$text' a=$a b=$b")
     }
+  }
+
+  test("NfcNormalize composes decomposed sequences, is idempotent, and agrees with the JDK") {
+    val s = spark
+    import s.implicits._
+    // codegen path (DataFrame scan) on the canonical trio + controls
+    val cases = Seq( // decomposed inputs via explicit escapes (tooling
+      // could silently NFC raw source literals)
+      "Cafe\u0301",  // e + combining acute -> e-acute
+      "A\u030A",     // A + combining ring  -> A-ring
+      "o\u0308",     // o + diaeresis       -> o-umlaut
+      "caf\u00e9",   // already composed    -> unchanged
+      "plain ascii", "")
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), graft.functions.NfcNormalize.nfc_normalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      val exp = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+      assert(got(i.toLong) == exp, s"case $i")
+      // idempotence: normalizing the normal form is the identity
+      assert(java.text.Normalizer.normalize(exp, java.text.Normalizer.Form.NFC) == exp)
+    }
+    assert(got(0L) == "Caf\u00e9" && got(1L) == "\u00c5" && got(2L) == "\u00f6")
+    // fast path: NFC-clean input returns the SAME UTF8String instance
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("ascii only")
+    assert(graft.functions.NfcNormalize.nfc(u) eq u)
   }
 
   test("FreqSketch: Misra-Gries bounds hold on an adversarial stream, any merge order") {

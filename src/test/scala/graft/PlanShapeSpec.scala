@@ -75,7 +75,8 @@ class PlanShapeSpec extends GraftSuite {
     // spans, and that the custom Catalyst expressions (RollingHash,
     // DotProduct) do NOT break the span they sit in (a doGenCode
     // regression would silently de-codegen the whole stage).
-    for (q <- Seq("q1_pricing_summary", "q_text_fingerprint", "q_cur_ann_int8")) {
+    for (q <- Seq("q1_pricing_summary", "q_text_fingerprint", "q_cur_ann_int8",
+        "q_text_normalize")) { // round 10: NfcNormalize doGenCode too
       // AQE stamps codegen ids only on the FINAL adaptive plan — drive
       // THIS DataFrame's own QueryExecution (a sink write would plan a
       // separate one), then read the finalized plan back

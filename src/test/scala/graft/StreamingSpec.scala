@@ -852,6 +852,38 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming REAL audio decode equals the closed-form sample oracle and the batch twin") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val ids = (0L until 40L).toSeq
+    def rec(id: Long): (Long, Array[Byte]) =
+      id -> MultimodalQueries.encodeWav(id, (256 + id % 512).toInt)
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = DocStreams.decodeAudioStats(in.toDS())
+      .writeStream.format("memory").queryName("wav_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (w1, w2) = ids.splitAt(20)
+      in.addData(w1.map(rec)); q.processAllAvailable()
+      in.addData(w2.map(rec)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM wav_sink ORDER BY doc_id").collect()
+      assert(streamed.length == 40)
+      streamed.foreach { r =>
+        val id = r.getLong(0)
+        val n = (256 + id % 512).toInt
+        val exp = (0 until n).map(MultimodalQueries.samp(id, _))
+        assert(r.getLong(1) == n.toLong, s"n for doc $id")
+        assert(r.getLong(2) == exp.map(_.toLong).sum, s"sum for doc $id")
+        assert(r.getLong(3) == exp.map(v => math.abs(v).toLong).sum, s"abs for doc $id")
+        assert((r.getInt(4), r.getInt(5)) == ((exp.min, exp.max)), s"minmax for doc $id")
+      }
+      val batch = DocStreams.decodeAudioStats(ids.map(rec).toDS())
+        .orderBy("doc_id").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming decontamination flags a superset of the per-eval-doc batch audit") {
     val s = spark
     implicit val sq = s.sqlContext
