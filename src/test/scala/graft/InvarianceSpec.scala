@@ -58,8 +58,10 @@ class InvarianceSpec extends GraftSuite {
                             //   partition count
     "q_agg_ks",             // round 10: integer sup over the value-
                             //   distinct cumulative frame at any layout
-    "q_cur_bradley_terry")  // round 10: duel recount + driver-model MM
+    "q_cur_bradley_terry",  // round 10: duel recount + driver-model MM
                             //   fit must not see partitioning
+    "q_audit_profile")      // round 10: exploded two-phase distinct +
+                            //   min/max renderings across layouts
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
