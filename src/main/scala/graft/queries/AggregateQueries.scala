@@ -694,5 +694,60 @@ object AggregateQueries {
             lit(1844164L) * col("n1") * col("n2") * (col("n1") + col("n2")))
             .as("reject_95"))
     },
+
+    // --- Mann-Whitney U rank-sum test + AUC effect size -----------------
+    Q("q_agg_mannwhitney",
+      """WITH s AS (SELECT n_chars AS x,
+        |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS g
+        |      FROM documents WHERE source IN ('src0', 'src1')),
+        |n AS (SELECT CAST(SUM(g) AS BIGINT) AS n1,
+        |        CAST(SUM(1 - g) AS BIGINT) AS n2 FROM s),
+        |c AS (SELECT x, CAST(SUM(g) AS BIGINT) AS c1,
+        |        CAST(COUNT(*) AS BIGINT) AS ct FROM s GROUP BY x),
+        |r AS (SELECT x, c1, ct,
+        |        COALESCE(SUM(ct) OVER (ORDER BY x
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM c),
+        |rk AS (SELECT CAST(SUM(c1 * (2 * cb + ct + 1)) AS BIGINT) AS r1x2 FROM r)
+        |SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+        |  CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+        |  CAST((1000 * (r1x2 - n1 * (n1 + 1))) // (2 * n1 * n2) AS BIGINT) AS auc_milli
+        |FROM n, rk""".stripMargin) { (s, d) =>
+      // Mann-Whitney U rank-sum test — the nonparametric A/B companion
+      // to q_agg_ks (KS asks "same distribution?"; U asks the DIRECTED
+      // "does src0 stochastically dominate src1?"). Everything is EXACT
+      // integer arithmetic in DOUBLED rank units: for a distinct value
+      // with ct pooled occurrences after cb predecessors, the tie-
+      // averaged rank ×2 is the integer 2·cb + ct + 1, so the rank sum,
+      // both U statistics, and the identity u1_x2 + u2_x2 = 2·n1·n2
+      // (pinned in AnalyticsSpec against a from-scratch all-pairs
+      // count, which is U's second definition) carry no float anywhere.
+      // auc_milli = U1/(n1·n2) in milli-units is the common-language
+      // effect size — P(random src0 doc > random src1 doc) + ½ties —
+      // the number a curation dashboard actually thresholds (500 ⇒ no
+      // dominance). Significance is downstream arithmetic on these
+      // exact pieces (the normal approximation needs only n1, n2, U and
+      // the tie spectrum); emitting the exact statistic instead of a
+      // baked z keeps the 100 TB row BIGINT-safe. Same shape as
+      // q_agg_ks: one map-side-collapsed count per distinct value, the
+      // rank window over the VALUE-DISTINCT frame only.
+      val s0 = t(s, d, "documents").filter(col("source").isin("src0", "src1"))
+        .select(col("n_chars").as("x"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("g"))
+      val n = s0.agg(sum("g").as("n1"), sum(expr("1 - g")).as("n2"))
+      val c = s0.groupBy("x")
+        .agg(sum("g").as("c1"), count(lit(1)).as("ct"))
+      val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+      c.select(col("c1"), col("ct"),
+          coalesce(sum("ct").over(w), lit(0L)).as("cb"))
+        .agg(sum(col("c1") * (lit(2) * col("cb") + col("ct") + 1)).as("r1x2"))
+        .crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"),
+          (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
+          (lit(2) * col("n1") * col("n2")
+            - (col("r1x2") - col("n1") * (col("n1") + 1))).as("u2_x2"),
+          expr("(1000 * (r1x2 - n1 * (n1 + 1))) div (2 * n1 * n2)").as("auc_milli"))
+    },
   )
 }

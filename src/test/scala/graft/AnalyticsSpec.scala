@@ -376,6 +376,28 @@ class AnalyticsSpec extends GraftSuite {
     assert(rej == (lhs > rhs))
   }
 
+  test("mann-whitney U equals the from-scratch all-pairs definition") {
+    val r = SparkEntry.queries("q_agg_mannwhitney")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n1g, n2g, u1, u2, auc) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    val samples = Tables.df(spark, sf, "documents")
+      .filter(col("source").isin("src0", "src1"))
+      .select("source", "n_chars").collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1)))
+    val s1 = samples.filter(_._1 == "src0").map(_._2)
+    val s2 = samples.filter(_._1 == "src1").map(_._2)
+    assert((s1.length.toLong, s2.length.toLong) == ((n1g, n2g)))
+    // U's second definition: pair-comparison count (doubled: wins*2 + ties)
+    var wins2 = 0L
+    for (a <- s1; b <- s2) wins2 += (if (a > b) 2L else if (a == b) 1L else 0L)
+    assert(u1 == wins2, s"rank-formula U1 != all-pairs U1")
+    assert(u1 + u2 == 2 * n1g * n2g, "U1 + U2 identity")
+    assert(auc == 1000L * wins2 / (2 * n1g * n2g))
+    assert(auc >= 0 && auc <= 1000)
+  }
+
   test("bradley-terry: exact wins/games recount and the MM fixed point ranks like a float fit") {
     val r = SparkEntry.queries("q_cur_bradley_terry")(spark, sf).collect()
       .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))

@@ -60,8 +60,10 @@ class InvarianceSpec extends GraftSuite {
                             //   distinct cumulative frame at any layout
     "q_cur_bradley_terry",  // round 10: duel recount + driver-model MM
                             //   fit must not see partitioning
-    "q_audit_profile")      // round 10: exploded two-phase distinct +
+    "q_audit_profile",      // round 10: exploded two-phase distinct +
                             //   min/max renderings across layouts
+    "q_agg_mannwhitney")    // round 10: doubled-rank integer sums over
+                            //   the value-distinct frame at any layout
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
