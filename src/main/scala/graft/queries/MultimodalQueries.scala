@@ -377,6 +377,116 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // --- REAL image feature extraction: decoded-pixel histogram ---------
+    Q("q_mm_features_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(16 + doc_id % 64 AS INT) AS width,
+        |    CAST(16 + doc_id % 48 AS INT) AS height
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, width, height,
+        |    ((doc_id * 31 + x.i * 7 + y.i * 13 + 101) % 256) // 16 AS b
+        |  FROM di, range(0, 80) x(i), range(0, 64) y(i)
+        |  WHERE x.i < width AND y.i < height),
+        |h AS (SELECT doc_id, width, height, b, COUNT(*) AS c
+        |      FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, CAST(width * height AS BIGINT) AS n_pixels,
+        |  '[' || array_to_string(list(CAST(c AS VARCHAR) ORDER BY b), ',') || ']'
+        |    AS g_hist
+        |FROM h GROUP BY doc_id, width, height ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // REAL feature extraction (the q_mm_features verb with the stub
+      // REPLACED by the actual codec): PNG encode → real ImageIO decode
+      // → 16-bin histogram of the decoded GREEN channel, computed
+      // row-locally inside the same mapPartitions batch as the decode —
+      // the canonical image-QA feature scan (dark/clipped/flat-image
+      // detection keys off exactly this histogram at ingest). The
+      // oracle bins the closed-form pixel formula without touching PNG;
+      // the histogram serializes to JSON text (the q_mm_features
+      // nested-output rule — the gate comparator can't sort raw array
+      // columns). Every populated bin count survives the codec
+      // round-trip exactly or the row goes red. Same 100 TB shape as
+      // q_mm_decode_real: map-only, payloads never shuffle.
+      // (Oracle note: dense 16-bin emission isn't needed — the pixel
+      // formula covers every residue class per image, so all 16 bins
+      // are populated on these dimensions; the Spark side still emits
+      // zeros defensively.)
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 64).cast("int").as("width"),
+          (lit(16) + col("doc_id") % 48).cast("int").as("height"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, h) =>
+          val bi = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(encodePng(id, w, h)))
+          val hist = new Array[Long](16)
+          var y = 0
+          while (y < bi.getHeight) {
+            var x = 0
+            while (x < bi.getWidth) {
+              hist(((bi.getRGB(x, y) >> 8) & 0xff) / 16) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (id, w.toLong * h, hist.mkString("[", ",", "]"))
+        })
+        .toDF("doc_id", "n_pixels", "g_hist")
+        .orderBy("doc_id")
+    },
+
+    // --- REAL audio feature extraction: energy / crossings / peak -------
+    Q("q_mm_audio_features_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(256 + doc_id % 512 AS INT) AS n_samples
+        |  FROM documents WHERE doc_id < 200),
+        |s AS (SELECT doc_id, n_samples, i.i AS i,
+        |    (doc_id * 31 + i.i * 7919) % 65536 - 32768 AS v
+        |  FROM di, range(0, 768) i(i) WHERE i.i < n_samples),
+        |p AS (SELECT doc_id, n_samples, v,
+        |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+        |  CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND pv * v < 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS zero_crossings,
+        |  CAST(MAX(ABS(v)) AS INT) AS peak
+        |FROM p GROUP BY 1, 2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // REAL audio feature extraction over the decoded stream: WAV
+      // encode → real AudioSystem decode → energy (exact integer sum of
+      // squares — the loudness/silence gate), sign-change count (the
+      // classic cheap voiced/unvoiced & frequency proxy), and peak
+      // amplitude (clipping detection) — the features a speech-corpus
+      // QA pass computes at ingest. All three are exact integers
+      // computed in one pass over the decoded PCM inside the decode's
+      // own mapPartitions batch; the oracle evaluates the closed-form
+      // sample formula (windowed LAG for crossings) without touching
+      // WAV. sum_sq ≤ n·2^30 stays far inside BIGINT. Map-only at
+      // 100 TB; payloads never leave the task.
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(256) + col("doc_id") % 512).cast("int").as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val (pcm, _) = decodeWavPcm(encodeWav(id, n)) // REAL decode
+          var (sq, zc) = (0L, 0L)
+          var peak = 0
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+            sq += v.toLong * v
+            if (i > 0 && prev.toLong * v < 0) zc += 1
+            if (math.abs(v) > peak) peak = math.abs(v)
+            prev = v
+            i += 1
+          }
+          (id, n.toLong, sq, zc, peak)
+        })
+        .toDF("doc_id", "n_samples", "sum_sq", "zero_crossings", "peak")
+        .orderBy("doc_id")
+    },
+
     // --- REAL audio decode: WAV bytes through the actual JDK codec ------
     Q("q_mm_audio_decode_real",
       """WITH di AS (SELECT doc_id,

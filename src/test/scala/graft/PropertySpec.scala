@@ -129,4 +129,30 @@ class PropertySpec extends GraftSuite {
       (d1(a) intersect d1(b)).nonEmpty
     })
   }
+
+  test("NfcNormalize: idempotent, JDK-law-abiding, concat-stable on random combining streams") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // strings mixing ascii, precomposed latin-1, and combining marks —
+    // the regime where NFC actually rewrites bytes
+    val unit = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "å", "ö", "ñ", "é", "Å", "ö"),
+      1 -> Gen.oneOf("́", "̈", "̊")) // bare marks (after anything)
+    val gen = for {
+      n <- Gen.choose(0, 24)
+      parts <- Gen.listOfN(n, unit)
+    } yield parts.mkString
+    def nfc(s: String): String =
+      graft.functions.NfcNormalize.nfc(UTF8String.fromString(s)).toString
+    check(Prop.forAll(gen) { s =>
+      val once = nfc(s)
+      // agreement with the JDK reference + idempotence + normal-form law
+      once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC) &&
+        nfc(once) == once &&
+        java.text.Normalizer.isNormalized(once, java.text.Normalizer.Form.NFC) &&
+        // canonical equivalence preserved: NFD of both sides agrees
+        java.text.Normalizer.normalize(once, java.text.Normalizer.Form.NFD) ==
+          java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    })
+  }
 }
