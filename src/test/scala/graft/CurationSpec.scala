@@ -549,6 +549,31 @@ class CurationSpec extends GraftSuite {
       s"capped split degenerate: ${rows.count(_._3)} of ${rows.length}")
   }
 
+  test("q_cur_quantile_norm: reference fixed-point, monotone, and ref-valued") {
+    val rows = SparkEntry.queries("q_cur_quantile_norm")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val refVals = rows.filter(_._2 == "src0").map(_._3).toSet
+    assert(refVals.nonEmpty, "gate corpus must contain the reference source")
+    // 1. the reference source is a fixed point: normalizing src0 onto
+    //    itself must be the identity (idx = c_lt lands in its own bin)
+    rows.filter(_._2 == "src0").foreach { case (id, _, qm, nq) =>
+      assert(nq == qm, s"src0 doc $id moved: $qm -> $nq")
+    }
+    // 2. every normalized value is an actual reference order statistic
+    rows.foreach { case (id, s0, _, nq) =>
+      assert(refVals.contains(nq), s"$s0 doc $id mapped off the reference grid")
+    }
+    // 3. within a source, normalization is monotone in the raw score
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      rs.sortBy(r => (r._3, r._1)).sliding(2).foreach {
+        case Array((_, _, q1, n1), (id2, _, q2, n2)) =>
+          assert(q1 > q2 || n1 <= n2, s"$src doc $id2 breaks monotonicity")
+        case _ =>
+      }
+    }
+  }
+
   test("q_cur_kanonymity equals a from-scratch equivalence-class recount at every k") {
     val got = SparkEntry.queries("q_cur_kanonymity")(spark, sf).collect()
       .map(r => r.getInt(0) ->
