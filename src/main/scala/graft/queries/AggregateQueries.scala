@@ -695,6 +695,72 @@ object AggregateQueries {
             .as("reject_95"))
     },
 
+    // --- per-source KS drift matrix vs the reference source -------------
+    Q("q_agg_ks_bysource",
+      """WITH s AS (SELECT source, n_chars AS x FROM documents),
+        |xs AS (SELECT DISTINCT x FROM s),
+        |src AS (SELECT DISTINCT source FROM s),
+        |cnt AS (SELECT source, x, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+        |grid AS (SELECT src.source, xs.x, COALESCE(cnt.c, 0) AS c
+        |      FROM src CROSS JOIN xs
+        |      LEFT JOIN cnt ON cnt.source = src.source AND cnt.x = xs.x),
+        |cum AS (SELECT source, x, SUM(c) OVER (PARTITION BY source ORDER BY x) AS f
+        |      FROM grid),
+        |n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |r AS (SELECT x, f AS f0 FROM cum WHERE source = 'src0'),
+        |n0 AS (SELECT n AS n0 FROM n WHERE source = 'src0'),
+        |j AS (SELECT cum.source, ABS(n0.n0 * cum.f - n.n * r.f0) AS dn, n.n, n0.n0
+        |      FROM cum JOIN r USING (x) JOIN n ON cum.source = n.source, n0
+        |      WHERE cum.source <> 'src0')
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(MAX(dn) AS BIGINT) AS d_num,
+        |  CAST((1000 * MAX(dn)) // (n0 * n) AS BIGINT) AS d_milli,
+        |  (1000000 * MAX(dn) * MAX(dn) > 1844164 * n0 * n * (n0 + n)) AS drifted_95
+        |FROM j GROUP BY source, n, n0 ORDER BY source""".stripMargin) { (s, d) =>
+      // Per-source KS drift MATRIX — q_agg_ks industrialized into the
+      // nightly dashboard: every source's length distribution KS-tested
+      // against the reference source in ONE pass, emitting D, its
+      // milli-unit share, and the integer-squared 95% drift verdict per
+      // source (the row a crawl-ops rotation actually pages on). The
+      // pooled-support subtlety: each source's CDF must be evaluated on
+      // the GLOBAL support (the sup is attained there), so the counts
+      // densify onto a sources × distinct-values grid — both frames
+      // model-sized (the value-distinct economics of q_agg_ks; the
+      // grid is |sources|·|support|, broadcast-built, never
+      // corpus-sized) — before per-source cumulative windows and one
+      // grouped max. Same BIGINT bound as q_agg_ks, per pair.
+      val s0 = t(s, d, "documents").select(col("source"), col("n_chars").as("x"))
+      Qh.materializedWith(s0) {
+        val xs = s0.select("x").distinct()
+        val src = s0.select("source").distinct()
+        val cnt = s0.groupBy("source", "x").agg(count(lit(1)).as("c"))
+        val grid = src.crossJoin(xs)
+          .join(cnt, Seq("source", "x"), "left")
+          .select(col("source"), col("x"), coalesce(col("c"), lit(0L)).as("c"))
+        val wcum = Window.partitionBy("source").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = grid.select(col("source"), col("x"), sum("c").over(wcum).as("f"))
+        val n = s0.groupBy("source").agg(count(lit(1)).as("n"))
+        val r = cum.filter(col("source") === "src0").select(col("x"), col("f").as("f0"))
+        val nn0 = n.filter(col("source") === "src0").select(col("n").as("n0"))
+        cum.filter(col("source") =!= "src0")
+          .join(r, "x")
+          .join(broadcast(n), "source")
+          .crossJoin(broadcast(nn0))
+          .select(col("source"), col("n"), col("n0"),
+            abs(col("n0") * col("f") - col("n") * col("f0")).as("dn"))
+          .groupBy("source", "n", "n0")
+          .agg(max("dn").as("d_num"))
+          .select(col("source"), col("n").as("n_docs"), col("d_num"),
+            expr("(1000 * d_num) div (n0 * n)").as("d_milli"),
+            (lit(1000000L) * col("d_num") * col("d_num") >
+              lit(1844164L) * col("n0") * col("n") * (col("n0") + col("n")))
+              .as("drifted_95"))
+          .orderBy("source")
+          .localCheckpoint(eager = true)
+      }
+    },
+
     // --- Mann-Whitney U rank-sum test + AUC effect size -----------------
     Q("q_agg_mannwhitney",
       """WITH s AS (SELECT n_chars AS x,

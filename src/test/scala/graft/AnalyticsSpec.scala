@@ -376,6 +376,28 @@ class AnalyticsSpec extends GraftSuite {
     assert(rej == (lhs > rhs))
   }
 
+  test("ks drift matrix: src1 row equals the dedicated two-sample query; flags internally consistent") {
+    val m = SparkEntry.queries("q_agg_ks_bysource")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(!m.contains("src0"), "reference must not test against itself")
+    assert(m.nonEmpty)
+    // cross-query consistency: the matrix's src1 row IS q_agg_ks
+    val ks = SparkEntry.queries("q_agg_ks")(spark, sf).collect().head
+    val (n2, dNum, dMilli, rej) =
+      (ks.getLong(1), ks.getLong(2), ks.getLong(4), ks.getBoolean(5))
+    assert(m("src1") == ((n2, dNum, dMilli, rej)),
+      s"matrix src1 row ${m("src1")} != two-sample query ($n2, $dNum, $dMilli, $rej)")
+    // every row's flag agrees with its own integer criterion
+    val n0 = Tables.df(spark, sf, "documents")
+      .filter(col("source") === "src0").count()
+    m.foreach { case (src, (n, d, _, flag)) =>
+      val lhs = BigInt(1000000) * BigInt(d) * BigInt(d)
+      val rhs = BigInt(1844164) * n0 * n * (n0 + n)
+      assert(flag == (lhs > rhs), s"$src flag inconsistent")
+    }
+  }
+
   test("mann-whitney U equals the from-scratch all-pairs definition") {
     val r = SparkEntry.queries("q_agg_mannwhitney")(spark, sf).collect()
     assert(r.length == 1)
