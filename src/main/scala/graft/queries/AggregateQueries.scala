@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Qh._
 
 /** Aggregation parity (SURVEY.md §2.5): two-phase hash aggregation, the
@@ -651,7 +652,8 @@ object AggregateQueries {
         |SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
         |  CAST(d_at AS BIGINT) AS d_at,
         |  CAST((1000 * d_num) // (n1 * n2) AS BIGINT) AS d_milli,
-        |  (1000000 * d_num * d_num > 1844164 * n1 * n2 * (n1 + n2)) AS reject_95
+        |  (CAST(1000000 AS HUGEINT) * d_num * d_num
+        |     > CAST(1844164 AS HUGEINT) * n1 * n2 * (n1 + n2)) AS reject_95
         |FROM n, mx, loc""".stripMargin) { (s, d) =>
       // Two-sample Kolmogorov-Smirnov test — the DISTRIBUTION-shift gate
       // a curation pipeline runs between two sources (here: src0 vs src1
@@ -665,10 +667,11 @@ object AggregateQueries {
       // pooled support is attained at sample points; per-x cumulative =
       // all samples ≤ x in both engines). d_at = smallest x attaining
       // the sup; reject_95 applies the asymptotic two-sided 5% bar
-      // (c(α)² = 1.358² scaled to ppm) squared into pure-integer form —
-      // BIGINT-safe up to ~1.4M pooled samples at the gate (the 100 TB
-      // run lifts these products to DECIMAL(38,0)/HUGEINT, same
-      // expressions). Shape for 100 TB: one map-side-collapsed count per
+      // (c(α)² = 1.358² scaled to ppm) squared into pure-integer form,
+      // its products carried in 128-bit (DECIMAL(38,0) ≙ the oracle's
+      // HUGEINT — the BIGINT spelling overflows past ~1.4M pooled
+      // samples, which the ×50 per-source-matrix smoke hit in practice).
+      // Shape for 100 TB: one map-side-collapsed count per
       // distinct value, then the cumulative window runs over the
       // VALUE-DISTINCT frame (bounded by the score's support, not the
       // corpus — the q_agg_histogram economics); a production run on an
@@ -690,8 +693,17 @@ object AggregateQueries {
           min_by(col("x"), struct((-col("dn")).as("a"), col("x").as("b"))).as("d_at"))
         .select(col("n1"), col("n2"), col("d_num"), col("d_at"),
           expr("(1000 * d_num) div (n1 * n2)").as("d_milli"),
-          (lit(1000000L) * col("d_num") * col("d_num") >
-            lit(1844164L) * col("n1") * col("n2") * (col("n1") + col("n2")))
+          // the flag's products in 128-bit (DECIMAL(38,0) ≙ the
+          // oracle's HUGEINT): 10^6·d² overflows BIGINT once the pooled
+          // sample passes ~1.4M — the ×50 smoke caught exactly that in
+          // the per-source matrix before this lift
+          (lit(1000000L).cast(DecimalType(38, 0)) *
+            col("d_num").cast(DecimalType(38, 0)) *
+            col("d_num").cast(DecimalType(38, 0)) >
+            lit(1844164L).cast(DecimalType(38, 0)) *
+              col("n1").cast(DecimalType(38, 0)) *
+              col("n2").cast(DecimalType(38, 0)) *
+              (col("n1") + col("n2")).cast(DecimalType(38, 0)))
             .as("reject_95"))
     },
 
@@ -715,7 +727,8 @@ object AggregateQueries {
         |SELECT source, CAST(n AS BIGINT) AS n_docs,
         |  CAST(MAX(dn) AS BIGINT) AS d_num,
         |  CAST((1000 * MAX(dn)) // (n0 * n) AS BIGINT) AS d_milli,
-        |  (1000000 * MAX(dn) * MAX(dn) > 1844164 * n0 * n * (n0 + n)) AS drifted_95
+        |  (CAST(1000000 AS HUGEINT) * MAX(dn) * MAX(dn)
+        |     > CAST(1844164 AS HUGEINT) * n0 * n * (n0 + n)) AS drifted_95
         |FROM j GROUP BY source, n, n0 ORDER BY source""".stripMargin) { (s, d) =>
       // Per-source KS drift MATRIX — q_agg_ks industrialized into the
       // nightly dashboard: every source's length distribution KS-tested
@@ -753,8 +766,15 @@ object AggregateQueries {
           .agg(max("dn").as("d_num"))
           .select(col("source"), col("n").as("n_docs"), col("d_num"),
             expr("(1000 * d_num) div (n0 * n)").as("d_milli"),
-            (lit(1000000L) * col("d_num") * col("d_num") >
-              lit(1844164L) * col("n0") * col("n") * (col("n0") + col("n")))
+            // 128-bit flag products (≙ oracle HUGEINT) — the ×50 smoke
+            // overflowed the BIGINT spelling at 12.5k×12.5k samples
+            (lit(1000000L).cast(DecimalType(38, 0)) *
+              col("d_num").cast(DecimalType(38, 0)) *
+              col("d_num").cast(DecimalType(38, 0)) >
+              lit(1844164L).cast(DecimalType(38, 0)) *
+                col("n0").cast(DecimalType(38, 0)) *
+                col("n").cast(DecimalType(38, 0)) *
+                (col("n0") + col("n")).cast(DecimalType(38, 0)))
               .as("drifted_95"))
           .orderBy("source")
           .localCheckpoint(eager = true)

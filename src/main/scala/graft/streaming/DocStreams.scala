@@ -310,7 +310,8 @@ object DocStreams {
     * (D on the common refN·n denominator; reject bar squared to ppm).
     * Append mode: a drift row finalizes exactly once per window —
     * enforcement sinks can quarantine the window's shard without
-    * dedup. BIGINT-safe while refN·n·(refN+n) < 2^63/1.85. */
+    * dedup. Flag products run in 128-bit (the q_agg_ks convention) so
+    * no pooled-sample scale overflows them. */
   def ksDriftAlerts(
       docs: DataFrame,
       refCum: Array[Long],
@@ -341,10 +342,15 @@ object DocStreams {
       .select(col("window_start"), col("n"), col("d_num"),
         when(col("n") > 0, expr(s"(1000 * d_num) div (${refN}L * n)"))
           .otherwise(lit(0L)).as("d_milli"),
-        (col("n") > 0 &&
-          lit(1000000L) * col("d_num") * col("d_num") >
-            lit(1844164L) * lit(refN) * col("n") * (lit(refN) + col("n")))
-          .as("drift"))
+        (col("n") > 0 && {
+          // 128-bit flag products, the q_agg_ks convention — BIGINT
+          // overflows past ~1.4M pooled samples
+          val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+          lit(1000000L).cast(d38) * col("d_num").cast(d38) *
+            col("d_num").cast(d38) >
+            lit(1844164L).cast(d38) * lit(refN).cast(d38) *
+              col("n").cast(d38) * (lit(refN) + col("n")).cast(d38)
+        }).as("drift"))
   }
 
   /** Ingest-time REAL image decode (streaming twin of the batch
