@@ -651,7 +651,7 @@ object AggregateQueries {
         |loc AS (SELECT MIN(x) AS d_at FROM dd, mx WHERE dn = d_num)
         |SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
         |  CAST(d_at AS BIGINT) AS d_at,
-        |  CAST((1000 * d_num) // (n1 * n2) AS BIGINT) AS d_milli,
+        |  CAST((1000 * CAST(d_num AS HUGEINT)) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS d_milli,
         |  (CAST(1000000 AS HUGEINT) * d_num * d_num
         |     > CAST(1844164 AS HUGEINT) * n1 * n2 * (n1 + n2)) AS reject_95
         |FROM n, mx, loc""".stripMargin) { (s, d) =>
@@ -692,7 +692,13 @@ object AggregateQueries {
         .agg(max("dn").as("d_num"),
           min_by(col("x"), struct((-col("dn")).as("a"), col("x").as("b"))).as("d_at"))
         .select(col("n1"), col("n2"), col("d_num"), col("d_at"),
-          expr("(1000 * d_num) div (n1 * n2)").as("d_milli"),
+          // d_milli's numerator lifted to 128-bit like the flag products:
+          // d_num can reach n1·n2, so 1000·d_num overflows BIGINT past
+          // ~9.2e15 (~1e8 docs/side); IntegralDivide on DECIMAL(38,0)
+          // returns BIGINT, and the quotient is ≤ 1000 by construction.
+          // dn itself (≤ n1·n2) stays 64-bit — safe to ~3e9 docs/side.
+          expr("""(CAST(1000 AS DECIMAL(38,0)) * d_num)
+                 | div (CAST(n1 AS DECIMAL(38,0)) * n2)""".stripMargin).as("d_milli"),
           // the flag's products in 128-bit (DECIMAL(38,0) ≙ the
           // oracle's HUGEINT): 10^6·d² overflows BIGINT once the pooled
           // sample passes ~1.4M — the ×50 smoke caught exactly that in
@@ -726,7 +732,7 @@ object AggregateQueries {
         |      WHERE cum.source <> 'src0')
         |SELECT source, CAST(n AS BIGINT) AS n_docs,
         |  CAST(MAX(dn) AS BIGINT) AS d_num,
-        |  CAST((1000 * MAX(dn)) // (n0 * n) AS BIGINT) AS d_milli,
+        |  CAST((1000 * CAST(MAX(dn) AS HUGEINT)) // (CAST(n0 AS HUGEINT) * n) AS BIGINT) AS d_milli,
         |  (CAST(1000000 AS HUGEINT) * MAX(dn) * MAX(dn)
         |     > CAST(1844164 AS HUGEINT) * n0 * n * (n0 + n)) AS drifted_95
         |FROM j GROUP BY source, n, n0 ORDER BY source""".stripMargin) { (s, d) =>
@@ -765,7 +771,10 @@ object AggregateQueries {
           .groupBy("source", "n", "n0")
           .agg(max("dn").as("d_num"))
           .select(col("source"), col("n").as("n_docs"), col("d_num"),
-            expr("(1000 * d_num) div (n0 * n)").as("d_milli"),
+            // 128-bit numerator like q_agg_ks — 1000·d_num overflows
+            // BIGINT once a source pair reaches ~1e8 docs/side
+            expr("""(CAST(1000 AS DECIMAL(38,0)) * d_num)
+                   | div (CAST(n0 AS DECIMAL(38,0)) * n)""".stripMargin).as("d_milli"),
             // 128-bit flag products (≙ oracle HUGEINT) — the ×50 smoke
             // overflowed the BIGINT spelling at 12.5k×12.5k samples
             (lit(1000000L).cast(DecimalType(38, 0)) *

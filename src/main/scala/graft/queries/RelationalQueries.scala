@@ -465,7 +465,10 @@ object RelationalQueries {
       // COUNT(DISTINCT) excludes NULLs, so filter them the same way
       val nd = o.select(posexplode(array(
           col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
-          col("o_orderstatus"), col("o_totalprice").cast("string"),
+          // + 0.0 folds IEEE -0.0 into 0.0 BEFORE the string render:
+          // the oracle's COUNT(DISTINCT) on native doubles sees one
+          // value where "-0.0"/"0.0" would string-render as two
+          col("o_orderstatus"), (col("o_totalprice") + lit(0.0)).cast("string"),
           col("o_orderdate").cast("string"), col("o_orderpriority")))
           .as(Seq("pos", "v")))
         .filter(col("v").isNotNull)

@@ -340,7 +340,12 @@ object DocStreams {
            |          - n * element_at($refLit, i + 1)))),
            |  a -> a.best)""".stripMargin))
       .select(col("window_start"), col("n"), col("d_num"),
-        when(col("n") > 0, expr(s"(1000 * d_num) div (${refN}L * n)"))
+        // 128-bit numerator (q_agg_ks convention): d_num ≤ refN·n, so
+        // 1000·d_num overflows BIGINT past ~9.2e15 — decimal div
+        // returns BIGINT and the quotient is ≤ 1000 by construction
+        when(col("n") > 0, expr(
+          s"""(CAST(1000 AS DECIMAL(38,0)) * d_num)
+             | div (CAST($refN AS DECIMAL(38,0)) * n)""".stripMargin))
           .otherwise(lit(0L)).as("d_milli"),
         (col("n") > 0 && {
           // 128-bit flag products, the q_agg_ks convention — BIGINT

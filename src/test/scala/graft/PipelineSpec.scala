@@ -1307,4 +1307,28 @@ class PipelineSpec extends GraftSuite {
     // differs from the plain top-5 (which near-dup hits would dominate)
     assert(got.map(_._2).toSet != shortlist.take(5).map(_._1).toSet)
   }
+
+  test("probeCellsCol matches driver-side probeCells per row, probe #1 == cellCol") {
+    // The in-plan multi-probe column is the row-as-query face of the
+    // driver-side probeCells (every corpus row probing the IVF index
+    // for itself, e.g. batch candidate generation). Pin the two faces
+    // identical row-by-row over real embeddings, and pin that the
+    // nearest-probe choice equals cellCol's single-cell assignment —
+    // ties can't occur on 64-d double dot products of distinct vectors.
+    import graft.functions.IvfIndex
+    val e = Tables.df(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+    val centers = IvfIndex.trainCentroids(e.select("vec_id", "v"), k = 8, iters = 1)
+    val nProbe = 3
+    val rows = e
+      .withColumn("pc", IvfIndex.probeCellsCol(centers, col("v"), nProbe))
+      .withColumn("c1", IvfIndex.cellCol(centers, col("v")))
+      .select("vec_id", "v", "pc", "c1").collect()
+    assert(rows.length > 50)
+    rows.foreach { r =>
+      val want = IvfIndex.probeCells(centers, r.getSeq[Double](1).toArray, nProbe)
+      assert(r.getSeq[Int](2) == want, s"vec ${r.getLong(0)}")
+      assert(r.getInt(3) == want.head, s"vec ${r.getLong(0)}: cellCol != probe #1")
+    }
+  }
 }

@@ -38,9 +38,15 @@ def main():
     runs = [json.load(open(p))["queries"] for p in sys.argv[1:]]
     assert runs, "need at least one co-run bench json"
     wall = {}
-    for q in runs[0]:
+    # union of keys across ALL runs: a query present only in later
+    # co-runs (added mid-round) must still get a row
+    for q in sorted(set().union(*[set(r) for r in runs])):
         vals = [r[q] for r in runs if q in r and r[q] >= 0]
-        assert vals, f"no valid reading for {q}"
+        if not vals:
+            # same keep-as-is convention as a missing bench reading —
+            # don't abort the whole rewrite over one errored query
+            print(f"WARNING: no valid reading for {q} in any run; skipped")
+            continue
         wall[q] = max(vals)
 
     lines = open(FILE).read().split("\n")
@@ -69,7 +75,7 @@ def main():
     # new queries get fresh rows (alphabetical insertion not required; append)
     missing = sorted(set(wall) - seen)
     for name in missing:
-        note = NEW_ROWS.get(name, "round 10: new query, co-run record")
+        note = NEW_ROWS.get(name, "new query, co-run record")
         out.append(f"| {name} | 0.1 | {wall[name]:.2f} | {CONFIG} | {note} |")
         print(f"added row: {name} = {wall[name]:.2f}")
     out.extend(lines[end:])
