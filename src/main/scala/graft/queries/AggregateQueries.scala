@@ -807,7 +807,8 @@ object AggregateQueries {
         |SELECT n1, n2,
         |  CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
         |  CAST(2 * n1 * n2 - (r1x2 - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
-        |  CAST((1000 * (r1x2 - n1 * (n1 + 1))) // (2 * n1 * n2) AS BIGINT) AS auc_milli
+        |  CAST((1000 * CAST(r1x2 - n1 * (n1 + 1) AS HUGEINT))
+        |       // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_milli
         |FROM n, rk""".stripMargin) { (s, d) =>
       // Mann-Whitney U rank-sum test — the nonparametric A/B companion
       // to q_agg_ks (KS asks "same distribution?"; U asks the DIRECTED
@@ -842,7 +843,12 @@ object AggregateQueries {
           (col("r1x2") - col("n1") * (col("n1") + 1)).as("u1_x2"),
           (lit(2) * col("n1") * col("n2")
             - (col("r1x2") - col("n1") * (col("n1") + 1))).as("u2_x2"),
-          expr("(1000 * (r1x2 - n1 * (n1 + 1))) div (2 * n1 * n2)").as("auc_milli"))
+          // 128-bit numerator, the q_agg_ks d_milli convention: U1 can
+          // reach 2·n1·n2, so 1000·U1 overflows BIGINT past ~7e7
+          // docs/side; the quotient is ≤ 1000 by construction
+          expr("""(CAST(1000 AS DECIMAL(38,0)) * (r1x2 - n1 * (n1 + 1)))
+                 | div (CAST(2 AS DECIMAL(38,0)) * n1 * n2)""".stripMargin)
+            .as("auc_milli"))
     },
   )
 }

@@ -358,6 +358,106 @@ object DocStreams {
         }).as("drift"))
   }
 
+  /** Frozen reference model for [[mwDriftAlerts]]: PER-BUCKET counts
+    * (not the CDF — the rank fold needs both the count at each bucket
+    * and the cumulative before it) over the same 64 fixed length
+    * buckets as [[ksRefModel]], plus the total. 65 longs of bounded
+    * driver model state; one two-phase count pass over the reference
+    * corpus. */
+  def mwRefModel(corpus: DataFrame): (Array[Long], Long) = {
+    val counts = corpus
+      .select(expr("least(length(text) div 64, 63)").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val cnt = Array.tabulate(64)(i => counts.getOrElse(i, 0L))
+    (cnt, cnt.sum)
+  }
+
+  /** Streaming stochastic-dominance monitor — the live twin of the
+    * batch `q_agg_mannwhitney` rank-sum test, in the same
+    * frozen-baseline lambda shape as [[ksDriftAlerts]]: each finalized
+    * window's length distribution is Mann-Whitney-tested against the
+    * FROZEN reference histogram (broadcast literals). Where KS asks
+    * "same distribution?", this asks the DIRECTED question a crawl-ops
+    * rotation actually pages on: "are the new window's documents
+    * stochastically LONGER/SHORTER than the reference mix?".
+    *
+    * The statistic is the batch query's exact tie-averaged doubled-rank
+    * form evaluated over the 64-bucket pooled support: for bucket b
+    * with pooled count ct = ref(b) + h(b) after cb pooled predecessors,
+    * each window doc in b contributes the integer 2·cb + ct + 1, so
+    * r1x2 folds row-locally over the finalized histogram with ZERO new
+    * stream state (the same 64-long window state as the KS monitor;
+    * u1_x2 + u2_x2 = 2·n·refN by the batch identity). r1x2 ≤ 2·n·N
+    * stays BIGINT-safe to ~2e9 pooled samples; auc_milli's numerator is
+    * lifted to DECIMAL(38,0), the q_agg_ks d_milli convention.
+    * dominant_95 applies the two-sided 5% normal approximation WITH the
+    * tie correction (binned data is all ties); unlike the exact integer
+    * statistics it is computed in double — the 1.96 bar is itself an
+    * asymptotic truncation, and the pure-integer spelling of the
+    * tie-corrected variance needs ~n1·n2·N³ digits, past DECIMAL(38)
+    * at window scales the integer KS bar still handles. Append mode:
+    * one row per finalized window, quarantine-ready without dedup. */
+  def mwDriftAlerts(
+      docs: DataFrame,
+      refCnt: Array[Long],
+      refN: Long,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val refLit = refCnt.mkString("array(", "L, ", "L)")
+    val refCumB = refCnt.scanLeft(0L)(_ + _).dropRight(1) // pooled-before, ref side
+      .mkString("array(", "L, ", "L)")
+    val hcols = (0 until 64).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"h$i"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), expr("least(length(text) div 64, 63)").as("b"))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(hcols.head, hcols.tail: _*)
+      .select(col("window.start").as("window_start"),
+        array((0 until 64).map(i => col(s"h$i")): _*).as("h"))
+      .withColumn("n", expr("aggregate(h, 0L, (a, x) -> a + x)"))
+      // doubled tie-averaged rank sum of the window group over the
+      // pooled 64-bucket support: one row-local integer fold
+      .withColumn("r1x2", expr(
+        s"""aggregate(sequence(0, 63),
+           |  named_struct('cw', 0L, 'acc', 0L),
+           |  (a, i) -> named_struct(
+           |    'cw', a.cw + element_at(h, i + 1),
+           |    'acc', a.acc + element_at(h, i + 1) *
+           |      (2 * (element_at($refCumB, i + 1) + a.cw)
+           |       + element_at($refLit, i + 1) + element_at(h, i + 1) + 1)),
+           |  a -> a.acc)""".stripMargin))
+      // tie spectrum sum T = sum over buckets of (ct^3 - ct), for the
+      // tie-corrected variance (every bucket is one tie group)
+      .withColumn("tie_t", expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+           |  (a, i) -> a + CAST(element_at($refLit, i + 1) + element_at(h, i + 1) AS DOUBLE)
+           |              * (element_at($refLit, i + 1) + element_at(h, i + 1))
+           |              * (element_at($refLit, i + 1) + element_at(h, i + 1))
+           |            - (element_at($refLit, i + 1) + element_at(h, i + 1)))""".stripMargin))
+      .withColumn("u1_x2", col("r1x2") - col("n") * (col("n") + 1))
+      .select(col("window_start"), col("n"),
+        col("u1_x2"),
+        (lit(2L) * col("n") * lit(refN) - col("u1_x2")).as("u2_x2"),
+        when(col("n") > 0, expr(
+          s"""(CAST(1000 AS DECIMAL(38,0)) * u1_x2)
+             | div (CAST(2 AS DECIMAL(38,0)) * n * ${refN}L)""".stripMargin))
+          .otherwise(lit(0L)).as("auc_milli"),
+        (col("n") > 0 && {
+          // two-sided 5% bar, tie-corrected: (u1_x2 - n·refN)^2 =
+          // 4·(U1 - mean)^2 > 4·1.96²·Var(U1), with Var = n·refN/12 ·
+          // ((N+1) - T/(N(N-1))), N = n + refN
+          val bigN = col("n").cast("double") + lit(refN.toDouble)
+          val dev2 = (col("u1_x2") - col("n") * lit(refN)).cast("double")
+          val varU = col("n").cast("double") * lit(refN.toDouble) / 12.0 *
+            ((bigN + 1.0) - col("tie_t") / (bigN * (bigN - 1.0)))
+          dev2 * dev2 > lit(4.0 * 1.96 * 1.96) * varU
+        }).as("dominant_95"))
+  }
+
   /** Ingest-time REAL image decode (streaming twin of the batch
     * `q_mm_decode_real` catalog row): binary PNG payloads arrive on the
     * stream, each micro-batch decodes through the actual JDK codec

@@ -1308,6 +1308,30 @@ class PipelineSpec extends GraftSuite {
     assert(got.map(_._2).toSet != shortlist.take(5).map(_._1).toSet)
   }
 
+  test("animated-GIF round-trip: frame count, dims, and every pixel survive") {
+    // Direct codec pin under the catalog query: the real GIF writer
+    // must store exactly nFrames frames (getNumImages re-counts them
+    // from the container) and the indexed-gray encode must be lossless
+    // pixel-for-pixel — stronger than the gate's stats match.
+    import graft.queries.MultimodalQueries.{encodeGif, decodeGifFrames, gifPix}
+    val (id, w, h, nf) = (42L, 11, 9, 4)
+    val frames = decodeGifFrames(encodeGif(id, w, h, nf))
+    assert(frames.length == nf)
+    frames.foreach { case (f, dw, dh, sum, mn, mx) =>
+      assert((dw, dh) == (w, h), s"frame $f dims")
+      val pix = for { y <- 0 until h; x <- 0 until w } yield gifPix(id, f, x, y)
+      assert(sum == pix.map(_.toLong).sum, s"frame $f sum")
+      assert(mn == pix.min && mx == pix.max, s"frame $f min/max")
+    }
+    // and the catalog query emits one row per (doc, frame) with the
+    // formula's frame count
+    val got = SparkEntry.queries("q_mm_video_frames_real")(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("rows"), max("n_frames").as("nf"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong, s"doc ${r.get(0)}"))
+  }
+
   test("probeCellsCol matches driver-side probeCells per row, probe #1 == cellCol") {
     // The in-plan multi-probe column is the row-as-query face of the
     // driver-side probeCells (every corpus row probing the IVF index

@@ -781,6 +781,72 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("mann-whitney drift monitor: AUC exactly 500 on the reference mix, dominance fires on a shifted window, stream equals batch and both definitions of U") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val corpus = Tables.df(spark, sf, "documents")
+    val (refCnt, refN) = DocStreams.mwRefModel(corpus)
+    assert(refCnt.sum == refN && refN > 0)
+    val texts = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // window 00: the exact reference multiset — by symmetry U1 = n·refN/2,
+    // so u1_x2 == n·refN and auc_milli == 500 exactly; window 01: every
+    // text +512 chars — the window stochastically dominates the reference
+    val w0 = texts.map { case (id, t) => Page(id, ts("2024-01-01 00:10:00"), t) }
+    val w1 = texts.map { case (id, t) =>
+      Page(id, ts("2024-01-01 01:10:00"), t + ("x" * 512)) }
+    val pusher = Page(-1, ts("2024-01-01 09:00:00"), "watermark pusher")
+    val in = MemoryStream[Page]
+    val q = DocStreams.mwDriftAlerts(in.toDF(), refCnt, refN)
+      .writeStream.format("memory").queryName("mw_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(w0.toIndexedSeq); q.processAllAvailable()
+      in.addData(w1.toIndexedSeq); q.processAllAvailable()
+      in.addData(pusher); q.processAllAvailable()
+      val sunk = spark.sql("SELECT * FROM mw_sink ORDER BY window_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      assert(sunk.length == 2, sunk.mkString(";"))
+      // reference window: u1_x2 == n·refN, AUC exactly 500, no dominance
+      assert(sunk(0)._2 == refN && sunk(0)._3 == refN * refN &&
+        sunk(0)._5 == 500L && !sunk(0)._6, sunk(0).toString)
+      // identity from the batch query: u1_x2 + u2_x2 == 2·n·refN
+      sunk.foreach(t => assert(t._3 + t._4 == 2 * t._2 * refN, t.toString))
+      // shifted window: dominance fires, AUC well above 500
+      assert(sunk(1)._6 && sunk(1)._5 > 900L, sunk(1).toString)
+      // recount u1_x2 for the shifted window BOTH ways q_agg_mannwhitney
+      // defines it: (a) tie-averaged doubled ranks over the pooled
+      // 64-bucket support, (b) the all-pairs 2·wins + ties count
+      val wb = texts.map { case (_, t) => math.min((t.length + 512) / 64, 63) }
+      val winCnt = Array.tabulate(64)(b => wb.count(_ == b).toLong)
+      var (cbPool, r1x2) = (0L, 0L)
+      for (b <- 0 until 64) {
+        val ct = refCnt(b) + winCnt(b)
+        r1x2 += winCnt(b) * (2 * cbPool + ct + 1)
+        cbPool += ct
+      }
+      val n1 = wb.length.toLong
+      val rankU = r1x2 - n1 * (n1 + 1)
+      val pairsU = (for (bw <- 0 until 64; br <- 0 until 64) yield {
+        if (bw > br) 2 * winCnt(bw) * refCnt(br)
+        else if (bw == br) winCnt(bw) * refCnt(br)
+        else 0L
+      }).sum
+      assert(rankU == pairsU, s"rank-form $rankU != all-pairs $pairsU")
+      assert(sunk(1)._3 == rankU, s"stream u1_x2 ${sunk(1)._3} != recount $rankU")
+      // batch twin over the on-time pages, finalized windows only
+      val batch = DocStreams.mwDriftAlerts((w0 ++ w1).toSeq.toDF(), refCnt, refN)
+        .filter($"window_start" < ts("2024-01-01 08:30:00"))
+        .orderBy("window_start").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      assert(sunk.toSeq == batch.toSeq,
+        s"stream=${sunk.mkString(";")} batch=${batch.mkString(";")}")
+    } finally q.stop()
+  }
+
   test("redactPii at ingest: stream equals batch, nothing PII-shaped survives the sink") {
     val s = spark
     implicit val sq = s.sqlContext
