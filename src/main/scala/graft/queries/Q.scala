@@ -70,6 +70,17 @@ object Qh {
     * candidate pairs / top-k / scalar rollups — orders of magnitude
     * smaller than the corpus passes they retire).
     *
+    * FAULT-TOLERANCE CAVEAT (round-11 decision, recorded in PARITY.md):
+    * localCheckpoint truncates lineage WITHOUT durability — the blocks
+    * live in executor storage only, so on a cluster a lost executor
+    * fails the query (nothing remains to recompute from) and Spark's
+    * recovery is a query retry from the table scans. That is the right
+    * trade ONLY for small, single-query, recomputable frames like
+    * these. Expensive many-consumer state (the LSH pair set, IVF/PQ
+    * indexes, pipeline stage outputs) must instead live as on-disk
+    * artifacts under an atomic _SUCCESS commit — see ensureLshIndex /
+    * SourceQueries.materialize / PipelineRunner.
+    *
     * Persist DERIVED corpus-pass frames (shingles, exploded tokens,
     * recounts) — the ones whose recomputation repeats real CPU work.
     * Do NOT point this at a raw table scan: caching text-heavy rows to

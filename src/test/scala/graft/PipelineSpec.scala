@@ -855,6 +855,53 @@ class PipelineSpec extends GraftSuite {
     assert(metrics.getLong(1) > 0, s"no dropped ids observed: $metrics")
   }
 
+  test("skewed corpus: caps fire on the mega-bucket, recall on non-capped pairs stays 1.0") {
+    // The round-10 verdict's adversarial skew shape: a corpus that mixes
+    // one mega-cluster (200 boilerplate variants = 25× the cap, all in
+    // the same band buckets / posting lists) with 30 ORDINARY near-dup
+    // pairs on disjoint vocabularies. The cap must fire loudly on the
+    // mega-bucket — AND must not cost a single ordinary pair: capping
+    // drops ids only from oversized buckets, and no ordinary pair's
+    // bucket is anywhere near the cap. Both candidate generators
+    // (banded MinHash, df-capped inverted index) under the same test.
+    val dir = "/tmp/graft_test_skewmix"
+    val boiler = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mega = spark.range(200).selectExpr(
+      "id + 1 AS doc_id",
+      s"concat('$boiler', ' unique', CAST(id AS STRING)) AS text")
+    // pair k: 12 shared words pwK_1..pwK_12 + one extra word on the B
+    // side -> 10 vs 11 shingles, 10 shared, jaccard 10/11 ≈ 0.909
+    val normal = spark.range(30).selectExpr("id AS k").selectExpr(
+      "10001 + k * 2 AS a_id", "10002 + k * 2 AS b_id",
+      "concat_ws(' ', transform(sequence(1, 12), i -> concat('pw', k, '_', i))) AS a_text")
+      .selectExpr("a_id", "b_id", "a_text",
+        "concat(a_text, ' pextra') AS b_text")
+    val docs = mega.unionByName(
+        normal.selectExpr("a_id AS doc_id", "a_text AS text"))
+      .unionByName(normal.selectExpr("b_id AS doc_id", "b_text AS text"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val cap = 8
+    val truth = (0 until 30).map(k => (10001L + k * 2, 10002L + k * 2)).toSet
+    for ((name, frame) <- Seq(
+        "minhash" -> graft.queries.PipelineQueries.minhashPairs(spark, dir, cap),
+        "ngram" -> graft.queries.PipelineQueries.ngramJaccardPairs(spark, dir, cap))) {
+      val rows = frame.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // recall 1.0 on the pairs no cap ever touched
+      val found = rows.filter(p => p._1 > 10000L).toSet
+      assert(truth.subsetOf(found),
+        s"$name lost ordinary pairs under skew: missing ${(truth -- found).take(5)}")
+      // mega-cluster expansion bounded by the cap, not by 200²
+      val megaPairs = rows.count(_._1 <= 10000L)
+      assert(megaPairs <= 16 * cap * (cap - 1) / 2,
+        s"$name mega expansion unbounded: $megaPairs pairs")
+      // and the drops are published, never silent
+      val key = if (name == "minhash") "graft_lsh_bucket_cap" else "graft_ngram_df_cap"
+      val m = frame.queryExecution.observedMetrics(key)
+      assert(m.getLong(0) > 0 && m.getLong(1) > 0, s"$name drop counters silent: $m")
+    }
+  }
+
   test("heavy hitters fails loudly when the sketch cannot certify exact top-k") {
     // 400 distinct tokens at ~equal frequency: every top-20 recount is
     // ~N/400 < N/101, so the MG candidate set may have silently dropped
