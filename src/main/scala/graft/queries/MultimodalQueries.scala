@@ -101,32 +101,53 @@ object MultimodalQueries {
   private[graft] def encodeGif(docId: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
     val grays = Array.tabulate[Byte](256)(_.toByte)
     val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    encodeGifFrom((0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gifPix(docId, f, x, y)); x += 1 }
+        y += 1
+      }
+      img
+    })
+  }
+
+  /** Write a frame sequence as one animated GIF through the real writer
+    * (writeToSequence). Indexed-color frames (as built above, or as the
+    * GIF reader returns them) keep their palette verbatim — lossless. */
+  private[graft] def encodeGifFrom(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
-      var f = 0
-      while (f < nFrames) {
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-        val raster = img.getRaster
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { raster.setSample(x, y, 0, gifPix(docId, f, x, y)); x += 1 }
-          y += 1
-        }
-        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-        f += 1
-      }
+      frames.foreach(img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
       writer.endWriteSequence()
     } finally {
       writer.dispose()
       ios.close()
     }
     bos.toByteArray
+  }
+
+  /** Decode every stored frame of a multi-frame GIF as raw images (the
+    * input form [[encodeGifFrom]] re-encodes for the sampling verb). */
+  private[graft] def decodeGifImages(payload: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false, true)
+      (0 until reader.getNumImages(true)).map(reader.read)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
   }
 
   /** Decode a multi-frame GIF through the real ImageReader: one
@@ -703,6 +724,55 @@ object MultimodalQueries {
           }
         })
         .toDF("doc_id", "n_frames", "frame_idx", "n_pixels", "sum_v", "min_v", "max_v")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // --- REAL video frame sampling: decode → keep every 2nd → re-encode -
+    Q("q_mm_video_sample_real",
+      """WITH di AS (SELECT doc_id,
+        |    CAST(8 + doc_id % 16 AS INT) AS width,
+        |    CAST(8 + doc_id % 12 AS INT) AS height,
+        |    CAST(2 + doc_id % 4 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id < 200),
+        |px AS (SELECT doc_id, n_frames, width, height, f.f AS fi,
+        |    (doc_id * 31 + (2 * f.f) * 17 + x.i * 7 + y.i * 13) % 256 AS v
+        |  FROM di, range(0, 3) f(f), range(0, 24) x(i), range(0, 20) y(i)
+        |  WHERE 2 * f.f < n_frames AND x.i < width AND y.i < height)
+        |SELECT doc_id, CAST(n_frames AS INT) AS n_in,
+        |  CAST((n_frames + 1) // 2 AS INT) AS n_out,
+        |  CAST(fi AS INT) AS frame_idx,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(MIN(v) AS INT) AS min_v, CAST(MAX(v) AS INT) AS max_v
+        |FROM px GROUP BY doc_id, n_frames, fi
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      // The video twin of q_mm_audio_resample_real — temporal
+      // downsampling through the real container: decode the animated
+      // GIF, KEEP EVERY 2ND FRAME (I-frame-style sampling,
+      // deterministic unlike motion-interpolating resamplers),
+      // RE-ENCODE the kept frames as a new animated GIF, then decode
+      // THAT and report per-kept-frame stats — so frame count, order,
+      // and every pixel have survived two full container round-trips.
+      // The oracle evaluates the pixel formula at even frame indices in
+      // closed form; output frame_idx is the SAMPLED stream's index
+      // (sampled frame f shows original frame 2f). Same map-only
+      // 100 TB shape as q_mm_video_frames_real.
+      import s.implicits._
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 16).cast("int").as("w"),
+          (lit(8) + col("doc_id") % 12).cast("int").as("h"),
+          (lit(2) + col("doc_id") % 4).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+        .mapPartitions(_.flatMap { case (id, w, h, nf) =>
+          val gif = encodeGif(id, w, h, nf) // decode #1 input
+          val frames = decodeGifImages(gif)
+          val kept = frames.zipWithIndex.collect { case (img, f) if f % 2 == 0 => img }
+          val gif2 = encodeGifFrom(kept) // RE-ENCODE the sampled stream
+          decodeGifFrames(gif2).map { case (f, _, _, sum, mn, mx) =>
+            (id, nf, (nf + 1) / 2, f, sum, mn, mx)
+          }
+        })
+        .toDF("doc_id", "n_in", "n_out", "frame_idx", "sum_v", "min_v", "max_v")
         .orderBy("doc_id", "frame_idx")
     },
 

@@ -2013,7 +2013,10 @@ object PipelineQueries {
       // whole-stage codegen — the HOF formulation is interpreted and
       // ~10x slower), one aggregation per band-bucket for candidates
       // (never a self-join that would recompute the pipeline), exact
-      // jaccard verification on candidates only.
+      // jaccard verification on candidates only. Served from the
+      // persisted pair ARTIFACT (round 11, see minhashPairsShared):
+      // the build runs once per corpus into lsh_idx2/pairs; this and
+      // its seven sibling consumers read the tiny edge-list parquet.
       minhashPairsShared(s, d).orderBy("i", "j")
     },
 

@@ -32,6 +32,7 @@ NEW_ROWS = {
     "q_mm_audio_decode_real": "round 10: REAL audio decode — deterministic PCM -> real WAV encode -> real AudioSystem decode -> integer sample stats, partition-local; oracle is the closed-form sample formula, so the hash match certifies the codec round-trip",
     "q_mm_audio_resample_real": "round 10: REAL audio resample — decode -> 2x decimate -> re-encode at 4 kHz -> decode again; sample stats and the rate header survive two full codec round-trips",
     "q_mm_video_frames_real": "round 11: REAL multi-frame video decode — deterministic gray frames -> real animated-GIF encode (writeToSequence) -> real per-frame ImageReader decode -> per-frame pixel stats; hash match certifies frame count + dims + pixels",
+    "q_mm_video_sample_real": "round 11: REAL video frame sampling — decode -> keep every 2nd frame -> re-encode as a new animated GIF -> decode again; frame count/order/pixels survive two container round-trips",
 }
 
 
