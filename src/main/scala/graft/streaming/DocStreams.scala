@@ -477,6 +477,25 @@ object DocStreams {
     })(enc).toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Ingest-time REAL multi-frame video decode (streaming twin of the
+    * batch `q_mm_video_frames_real` catalog row): animated-GIF payloads
+    * arrive on the stream, each micro-batch decodes EVERY stored frame
+    * through the actual JDK ImageReader partition-locally, and one row
+    * per (doc, frame) with integer pixel stats reaches the sink — the
+    * per-record fan-out (rows = frames) happens inside the same narrow
+    * stage, payloads never shuffle. Stateless append mode, same
+    * scan-speed profile as the image/audio ingest twins. */
+  def decodeVideoFrames(recs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders
+      .product[(Long, Int, Int, Long, Long, Int, Int)]
+    recs.mapPartitions(_.flatMap { case (id, gif) =>
+      val frames = graft.queries.MultimodalQueries.decodeGifFrames(gif)
+      frames.map { case (f, w, h, sum, mn, mx) =>
+        (id, frames.length, f, w.toLong * h, sum, mn, mx)
+      }
+    })(enc).toDF("doc_id", "n_frames", "frame_idx", "n_pixels", "sum_v", "min_v", "max_v")
+  }
+
   /** Ingest-time REAL audio decode (streaming twin of the batch
     * `q_mm_audio_decode_real` catalog row): WAV payloads decode through
     * the actual JDK codec (`javax.sound.sampled`) per micro-batch,

@@ -918,6 +918,44 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming REAL video decode: per-frame rows equal the pixel formula and the batch twin") {
+    // animated-GIF payloads on the stream: every stored frame decodes
+    // through the real ImageReader per micro-batch, one row per frame
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val ids = (0L until 40L).toSeq
+    def dims(id: Long) = ((8 + id % 16).toInt, (8 + id % 12).toInt, (2 + id % 4).toInt)
+    def rec(id: Long): (Long, Array[Byte]) = {
+      val (w, h, nf) = dims(id)
+      id -> MultimodalQueries.encodeGif(id, w, h, nf)
+    }
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = DocStreams.decodeVideoFrames(in.toDS())
+      .writeStream.format("memory").queryName("vid_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (w1, w2) = ids.splitAt(20)
+      in.addData(w1.map(rec)); q.processAllAvailable()
+      in.addData(w2.map(rec)); q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM vid_sink ORDER BY doc_id, frame_idx").collect()
+      assert(streamed.length == ids.map(id => dims(id)._3).sum)
+      streamed.foreach { r =>
+        val id = r.getLong(0)
+        val (w, h, nf) = dims(id)
+        val f = r.getInt(2)
+        assert(r.getInt(1) == nf && r.getLong(3) == w.toLong * h, s"doc $id frame $f")
+        val pix = for (y <- 0 until h; x <- 0 until w)
+          yield MultimodalQueries.gifPix(id, f, x, y)
+        assert((r.getLong(4), r.getInt(5), r.getInt(6)) ==
+          ((pix.map(_.toLong).sum, pix.min, pix.max)), s"doc $id frame $f stats")
+      }
+      val batch = DocStreams.decodeVideoFrames(ids.map(rec).toDS())
+        .orderBy("doc_id", "frame_idx").collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("streaming REAL audio decode equals the closed-form sample oracle and the batch twin") {
     val s = spark
     implicit val sq = s.sqlContext
