@@ -574,6 +574,46 @@ class CurationSpec extends GraftSuite {
     }
   }
 
+  test("sequence packing equals a from-scratch sequential chunker; manifest is gap-free") {
+    // independent ground truth: a driver-side sequential walk over the
+    // doc_id-ordered token stream (the thing the distributed two-pass
+    // prefix sum must equal exactly)
+    val toks = Tables.df(spark, sf, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong)
+      .sortBy(_._1)
+    var off = 0L
+    val want = toks.map { case (id, n) =>
+      val row = (id, n, off, off / 256, (off + n - 1) / 256,
+        (off + n - 1) / 256 - off / 256 + 1)
+      off += n
+      row
+    }
+    val got = SparkEntry.queries("q_cur_pack_sequences")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want.toSeq)
+    // stream invariants: offsets are exactly contiguous (zero padding
+    // waste), and window spans cover [0, total) with no holes
+    assert(want.zip(want.drop(1)).forall { case (a, b) => a._3 + a._2 == b._3 })
+    // manifest: doc counts per window match the map; every window
+    // gap-free; segment resets sum to |docs| (every doc starts once)
+    val stats = SparkEntry.queries("q_cur_pack_stats")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val spans = want.flatMap(w => (w._4 to w._5).map(_ -> w._1))
+    val byWin = spans.groupBy(_._1)
+    val total = toks.map(_._2).sum
+    stats.foreach { case (seq, nDocs, nStart, firstDoc, filled) =>
+      assert(nDocs == byWin(seq).length, s"win $seq n_docs")
+      assert(firstDoc == byWin(seq).map(_._2).min, s"win $seq first_doc")
+      assert(nStart == want.count(w => w._4 == seq && w._3 >= seq * 256), s"win $seq resets")
+      // gap-free: every window fills to exactly 256 tokens (the final
+      // window to the stream remainder)
+      assert(filled == math.min(256L, total - seq * 256), s"win $seq fill $filled")
+    }
+    assert(stats.map(_._3).sum == toks.length.toLong || stats.length == 500,
+      "segment resets must sum to |docs| on an un-truncated manifest")
+  }
+
   test("q_cur_kanonymity equals a from-scratch equivalence-class recount at every k") {
     val got = SparkEntry.queries("q_cur_kanonymity")(spark, sf).collect()
       .map(r => r.getInt(0) ->

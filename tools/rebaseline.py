@@ -33,6 +33,8 @@ NEW_ROWS = {
     "q_mm_audio_resample_real": "round 10: REAL audio resample — decode -> 2x decimate -> re-encode at 4 kHz -> decode again; sample stats and the rate header survive two full codec round-trips",
     "q_mm_video_frames_real": "round 11: REAL multi-frame video decode — deterministic gray frames -> real animated-GIF encode (writeToSequence) -> real per-frame ImageReader decode -> per-frame pixel stats; hash match certifies frame count + dims + pixels",
     "q_mm_video_sample_real": "round 11: REAL video frame sampling — decode -> keep every 2nd frame -> re-encode as a new animated GIF -> decode again; frame count/order/pixels survive two container round-trips",
+    "q_cur_pack_sequences": "round 11: sequence packing (concat-and-chunk into 256-token windows) — one distributed two-pass prefix sum over doc_id order, the q_cur_token_budget machinery",
+    "q_cur_pack_stats": "round 11: packed-window manifest — per-window doc counts / segment resets / gap-free certification; per-doc explode into only overlapped windows + one seq_id agg",
 }
 
 
