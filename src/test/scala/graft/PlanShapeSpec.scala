@@ -106,6 +106,16 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("hashpartitioning(c_mktsegment"), p)
   }
 
+  test("pack_sequences prefix sum: range exchange on doc_id, corpus window keyed on pid") {
+    // the distributed two-pass prefix sum must never funnel the corpus
+    // through one window task: the data-scale window partitions on pid
+    // (co-located by the preceding range exchange); the only
+    // unpartitioned window runs over the <=|partitions|-row offset frame
+    val p = graft.queries.CurationQueries.packPlanProbe(spark, sf)
+    assert(p.contains("rangepartitioning(doc_id"), p)
+    assert(p.contains("hashpartitioning(pid"), p)
+  }
+
   test("q_bucketed_join: neither side shuffles on the join key") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
