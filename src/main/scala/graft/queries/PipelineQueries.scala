@@ -4672,7 +4672,7 @@ object PipelineQueries {
         |         CAST(SUM(c) AS BIGINT) AS tot FROM kc)
         |SELECT CAST(rn AS BIGINT) AS rn, k, c AS cnt,
         |       CAST((1000000 * c) // tot AS BIGINT) AS share_ppm,
-        |       CAST((1000 * c * nk) // tot AS BIGINT) AS ratio_mean_milli
+        |       CAST((1000 * CAST(c AS HUGEINT) * nk) // tot AS BIGINT) AS ratio_mean_milli
         |FROM (SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS rn
         |      FROM kc), st
         |WHERE rn <= 10 ORDER BY rn""".stripMargin) { (s, d) =>
@@ -4699,8 +4699,15 @@ object PipelineQueries {
           .withColumn("rn", row_number().over(
             Window.orderBy(col("c").desc, col("k"))).cast("bigint"))
           .select(col("rn"), col("k"), col("c").as("cnt"),
+            // share_ppm's 10^6·c stays BIGINT-safe to ~9e12 rows; the
+            // ratio's c·nk reaches ~rows² on a heavy key (both factors
+            // scale with the table), so its numerator runs in 128-bit
+            // (DECIMAL(38,0) ≙ the oracle's HUGEINT, the d_milli
+            // convention)
             expr(s"(1000000 * c) div $tot").as("share_ppm"),
-            expr(s"(1000 * c * $nk) div $tot").as("ratio_mean_milli"))
+            expr(s"""(CAST(1000 AS DECIMAL(38,0)) * c * ${nk}L)
+                    | div CAST($tot AS DECIMAL(38,0))""".stripMargin)
+              .as("ratio_mean_milli"))
           .orderBy("rn")
           .localCheckpoint(eager = true)
       } finally kc.unpersist()
@@ -5148,7 +5155,11 @@ object PipelineQueries {
       // (bucket 0 = Thursdays; no locale-dependent dayofweek()
       // function anywhere near the oracle hash). All integer: profile
       // means in milli via (1000·s) div n, per-day ratio (1000·c·n)
-      // div s, hot/cold gates at ±20%. Shape for 100 TB: map-side
+      // div s, hot/cold gates at ±20%. Overflow bound: n is CALENDAR-
+      // bounded (days of one weekday in the observed range — a decade
+      // is 522), so 1000·cnt·n overflows BIGINT only past ~1.8e13
+      // events per (type, day) — not a data-scale product like the
+      // lifted d_milli/ratio_mean numerators. Shape for 100 TB: map-side
       // collapse to types×days, then a types×7 profile joined back
       // broadcast — the profile is the model artifact a monitoring
       // deployment persists and refreshes on its own cadence.
