@@ -5841,6 +5841,84 @@ object PipelineQueries {
       }
     },
 
+    // --- per-source PSI drift matrix vs the reference source ------------
+    Q("q_text_psi_bysource",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS g FROM documents),
+        |tb AS (SELECT source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(ascii(g[i]) AS BIGINT) for i in range(1, length(g) + 1)]),
+        |           (h, c) -> (h * 31 + c) % 1000000007) % 256 AS b
+        |       FROM w),
+        |sc AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n FROM tb GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |r0 AS (SELECT b, n AS n0 FROM sc WHERE source = 'src0'),
+        |n0t AS (SELECT ns AS n0s FROM st WHERE source = 'src0'),
+        |ref AS (SELECT sp.b, COALESCE(r0.n0, 0) AS n0
+        |        FROM range(0, 256) sp(b) LEFT JOIN r0 ON r0.b = sp.b),
+        |spine AS (SELECT st.source, st.ns, ref.b, ref.n0, n0s
+        |          FROM st, ref, n0t WHERE st.source <> 'src0'),
+        |j AS (SELECT spine.source, ns,
+        |        (COALESCE(sc.n, 0) + 1.0) / (ns + 256.0) AS p,
+        |        (n0 + 1.0) / (n0s + 256.0) AS q
+        |      FROM spine LEFT JOIN sc ON sc.source = spine.source AND sc.b = spine.b),
+        |t AS (SELECT source, ns,
+        |        CAST(ROUND((p - q) * ln(p / q) * 1e9) AS BIGINT) AS tn
+        |      FROM j)
+        |SELECT source, MAX(ns) AS n_tokens,
+        |  CAST(SUM(tn) AS BIGINT) AS psi_nano,
+        |  SUM(tn) > 100000000 AS moderate_shift,
+        |  SUM(tn) > 250000000 AS major_shift,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY SUM(tn) DESC, source) AS BIGINT) AS rank
+        |FROM t GROUP BY source ORDER BY rank""".stripMargin) { (s, d) =>
+      // Population Stability Index per source vs the REFERENCE source —
+      // the industry-standard drift score a model-ops dashboard pages
+      // on (PSI > 0.10 = moderate shift, > 0.25 = major — the classic
+      // credit-scoring thresholds, here in nano-units), completing the
+      // drift tier: KS asks about the LENGTH distribution, JS scores
+      // each source against the corpus MIX, PSI scores content against
+      // a FIXED reference source — the directed pairwise question the
+      // ks_bysource matrix asks, on content features. Same
+      // engine-independent features as q_text_js_divergence (rolling
+      // hash → 256 buckets, Laplace +1/+B), same nano fixed-point
+      // discipline: per-bucket terms (p−q)·ln(p/q) are integerized on
+      // the sources×256 model grid BEFORE summing, so the per-source
+      // sum is merge-order-independent integer math. Shape for 100 TB:
+      // one map-side-collapsed (source, bucket) count pass; everything
+      // downstream — reference row, spine, terms, rollup — runs on the
+      // model-sized grid.
+      val tb = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("g"))
+        .select(col("source"),
+          (graft.functions.RollingHash.rolling_hash(col("g")) % 256).as("b"))
+      val sc = tb.groupBy("source", "b").agg(count(lit(1)).as("n"))
+      Qh.materializedWith(sc) {
+        val st = sc.groupBy("source").agg(sum("n").as("ns"))
+        val r0 = sc.filter(col("source") === "src0")
+          .select(col("b"), col("n").as("n0"))
+        val n0t = st.filter(col("source") === "src0").select(col("ns").as("n0s"))
+        val spine = s.range(0, 256).toDF("b")
+        val grid = st.filter(col("source") =!= "src0")
+          .crossJoin(spine)
+          .join(broadcast(r0), Seq("b"), "left")
+          .crossJoin(broadcast(n0t))
+          .join(sc, Seq("source", "b"), "left")
+          .select(col("source"), col("ns"),
+            ((coalesce(col("n"), lit(0L)) + 1.0) / (col("ns") + 256.0)).as("p"),
+            ((coalesce(col("n0"), lit(0L)) + 1.0) / (col("n0s") + 256.0)).as("q"))
+        grid.select(col("source"), col("ns"),
+            round((col("p") - col("q")) * log(col("p") / col("q")) * 1e9)
+              .cast("long").as("tn"))
+          .groupBy("source")
+          .agg(max("ns").as("n_tokens"), sum("tn").as("psi_nano"))
+          .select(col("source"), col("n_tokens"), col("psi_nano"),
+            (col("psi_nano") > 100000000L).as("moderate_shift"),
+            (col("psi_nano") > 250000000L).as("major_shift"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("psi_nano").desc, col("source"))).cast("bigint"))
+          .orderBy("rank")
+      }
+    },
+
     // --- last-touch revenue attribution ---------------------------------
     Q("q_events_attribution",
       s"""WITH p AS (SELECT user_id, ts, event_id, value FROM events

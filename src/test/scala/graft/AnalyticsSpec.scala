@@ -463,4 +463,37 @@ class AnalyticsSpec extends GraftSuite {
     assert(r.sortBy(_._1).map(_._2).toSeq == floatRank.toSeq,
       s"fixed-point ranking diverged from converged float MM: $p")
   }
+
+  test("q_cur_mad_outliers equals a from-scratch median/MAD recount per source") {
+    val docs = Tables.df(spark, sf, "documents").select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val got = SparkEntry.queries("q_cur_mad_outliers")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, xs0) =>
+      val xs = xs0.map(_._2).sorted
+      val n = xs.length
+      // sum of the two central order statistics = 2*median, exact
+      val med2 = xs((n - 1) / 2) + xs(n / 2)
+      val dv = xs.map(x => (2 * x - med2).abs).sorted
+      val mad4 = dv((n - 1) / 2) + dv(n / 2)
+      val nOut = dv.count(d => 2 * d > 3 * mad4).toLong
+      assert(got(src) == ((n.toLong, med2, mad4, nOut, 1000000L * nOut / n)), s"source $src")
+    }
+  }
+
+  test("q_text_psi_bysource: non-negative, reference excluded, ranks total") {
+    // each PSI term (p−q)·ln(p/q) is ≥ 0 (factors share sign), so the
+    // nano sum must be ≥ 0 for every source; src0 scores everyone else
+    val rows = SparkEntry.queries("q_text_psi_bysource")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getBoolean(3), r.getBoolean(4), r.getLong(5)))
+    assert(rows.nonEmpty && !rows.exists(_._1 == "src0"))
+    rows.foreach { case (src, psi, mod, maj, _) =>
+      assert(psi >= 0L, s"$src psi negative")
+      assert(mod == (psi > 100000000L) && maj == (psi > 250000000L), s"$src flags")
+    }
+    assert(rows.map(_._5).sorted.toSeq == (1L to rows.length).toSeq, "ranks not total")
+  }
 }

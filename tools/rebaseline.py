@@ -35,6 +35,8 @@ NEW_ROWS = {
     "q_mm_video_sample_real": "round 11: REAL video frame sampling — decode -> keep every 2nd frame -> re-encode as a new animated GIF -> decode again; frame count/order/pixels survive two container round-trips",
     "q_cur_pack_sequences": "round 11: sequence packing (concat-and-chunk into 256-token windows) — one distributed two-pass prefix sum over doc_id order, the q_cur_token_budget machinery",
     "q_cur_pack_stats": "round 11: packed-window manifest — per-window doc counts / segment resets / gap-free certification; per-doc explode into only overlapped windows + one seq_id agg",
+    "q_cur_mad_outliers": "round 11: robust median/MAD outlier gate — exact integer order-stats on the value-distinct frame, one corpus count pass",
+    "q_text_psi_bysource": "round 11: PSI drift matrix vs the reference source — hashed-256-bucket features, nano fixed-point terms on the model grid",
 }
 
 
