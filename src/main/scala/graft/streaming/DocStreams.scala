@@ -477,6 +477,42 @@ object DocStreams {
     })(enc).toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Frozen robust thresholds for [[madGate]]: per-source (2·median,
+    * 4·MAD) of `n_chars` on the doubled integer scale, exactly the
+    * q_cur_mad_outliers statistics (sum of the two central order
+    * statistics — no interpolation float). Bounded driver model state:
+    * two longs per source. */
+  def madModel(corpus: DataFrame): Map[String, (Long, Long)] = {
+    val rows = corpus.select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    rows.groupBy(_._1).map { case (src, xs0) =>
+      val xs = xs0.map(_._2).sorted
+      val n = xs.length
+      val med2 = xs((n - 1) / 2) + xs(n / 2)
+      val dv = xs.map(x => (2 * x - med2).abs).sorted
+      src -> (med2, dv((n - 1) / 2) + dv(n / 2))
+    }
+  }
+
+  /** Ingest-time robust outlier gate (streaming twin of the batch
+    * `q_cur_mad_outliers` audit): each arriving document is flagged
+    * against its source's FROZEN median/MAD thresholds — the
+    * frozen-baseline lambda shape of the drift monitors, but row-local
+    * and stateless (no window, no state store, append mode at scan
+    * speed): keep ⟺ |x − med| ≤ 3·MAD, spelled in the same pure
+    * integers as the batch query (2·|2x − med2| ≤ 3·mad4). A source
+    * absent from the frozen model passes (audit-new-sources-first
+    * policy; the flag column keeps it visible). */
+  def madGate(docs: DataFrame, model: Map[String, (Long, Long)]): DataFrame = {
+    val med2 = typedLit(model.map { case (k, v) => k -> v._1 })
+    val mad4 = typedLit(model.map { case (k, v) => k -> v._2 })
+    docs.select(col("doc_id"), col("source"), col("n_chars"),
+      (element_at(med2, col("source")).isNotNull &&
+        lit(2) * abs(lit(2) * col("n_chars") - element_at(med2, col("source"))) >
+          lit(3) * element_at(mad4, col("source"))).as("outlier"))
+      .withColumn("keep", !col("outlier"))
+  }
+
   /** Ingest-time REAL multi-frame video decode (streaming twin of the
     * batch `q_mm_video_frames_real` catalog row): animated-GIF payloads
     * arrive on the stream, each micro-batch decodes EVERY stored frame

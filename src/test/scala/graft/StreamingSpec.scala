@@ -847,6 +847,43 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("mad gate at ingest: frozen thresholds flag exactly the batch audit's outliers; unknown sources pass") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val corpus = Tables.df(spark, sf, "documents")
+    val model = DocStreams.madModel(corpus)
+    assert(model.nonEmpty)
+    val docs = corpus.select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val novel = Doc(-1L, "x", "en", "brand_new_source", 999999L)
+    val in = MemoryStream[Doc]
+    val q = DocStreams.madGate(in.toDF(), model)
+      .writeStream.format("memory").queryName("mad_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (w1, w2) = docs.splitAt(docs.length / 2)
+      in.addData(w1.toIndexedSeq); q.processAllAvailable()
+      in.addData(w2.toIndexedSeq :+ novel); q.processAllAvailable()
+      val sunk = spark.sql("SELECT * FROM mad_sink").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(3), r.getBoolean(4))).toMap
+      assert(sunk.size == docs.length + 1)
+      // an unseen source is kept (audit-new-sources-first), not dropped
+      assert(sunk(-1L) == (("brand_new_source", false, true)))
+      // per-source outlier counts equal the batch audit's n_outliers
+      val streamCounts = sunk.view.filterKeys(_ >= 0).values
+        .groupBy(_._1).map { case (src, vs) => src -> vs.count(_._2).toLong }
+      val audit = SparkEntry.queries("q_cur_mad_outliers")(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(4)).toMap
+      assert(streamCounts == audit,
+        s"stream=$streamCounts\naudit=$audit")
+      // batch twin of the same helper agrees row-for-row
+      val batch = DocStreams.madGate(corpus, model).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+      docs.foreach(d => assert(batch(d.doc_id) == sunk(d.doc_id)._2, s"doc ${d.doc_id}"))
+    } finally q.stop()
+  }
+
   test("redactPii at ingest: stream equals batch, nothing PII-shaped survives the sink") {
     val s = spark
     implicit val sq = s.sqlContext
