@@ -62,8 +62,20 @@ class InvarianceSpec extends GraftSuite {
                             //   fit must not see partitioning
     "q_audit_profile",      // round 10: exploded two-phase distinct +
                             //   min/max renderings across layouts
-    "q_agg_mannwhitney")    // round 10: doubled-rank integer sums over
+    "q_agg_mannwhitney",    // round 10: doubled-rank integer sums over
                             //   the value-distinct frame at any layout
+    "q_cur_pack_sequences", // round 11: the doc_id-ordered global prefix
+                            //   sum (range repartition + pid offsets)
+                            //   must yield identical offsets at any
+                            //   partition count — layout can never move
+                            //   a doc between context windows
+    "q_cur_pack_stats",     // round 11: per-window manifest over the
+                            //   same prefix sum, across layouts
+    "q_cur_mad_outliers",   // round 11: exact order statistics over the
+                            //   value-distinct cumulative frame at any
+                            //   parallelism
+    "q_text_psi_bysource")  // round 11: nano-fixed-point PSI terms on
+                            //   the model grid must be merge-order-free
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
