@@ -34,6 +34,12 @@ object SkewSmoke {
     val clones = cloneMult * LshBucketCap
     val nPairs = 500
     val dir = s"/tmp/graft_smoke/skew_${new java.io.File(sfDir).getName}_c$clones"
+    // the synthetic ids live at 2M/3M offsets; the id-range-keyed
+    // accounting below is only sound if the base corpus sits below them
+    val baseMax = Tables.df(spark, sfDir, "documents")
+      .agg(max("doc_id")).head().getLong(0)
+    require(baseMax < 2000000L,
+      s"base corpus doc_ids reach $baseMax >= 2000000 - raise the synthetic offsets")
     if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists()) {
       val base = Tables.df(spark, sfDir, "documents").select("doc_id", "text")
       // mega-source: 60-token boilerplate + a unique tail token, so the
@@ -79,7 +85,7 @@ object SkewSmoke {
         s"capped=${m.getLong(0)} dropped_ids=${m.getLong(1)}")
     }
 
-    run("minhash(cap=64)",
+    run(s"minhash(cap=$LshBucketCap)",
       graft.queries.PipelineQueries.minhashPairs(spark, dir, LshBucketCap),
       "graft_lsh_bucket_cap")
     run(s"ngram(df_cap=$NgramDfCap)",

@@ -797,7 +797,7 @@ object PipelineQueries {
     * the plan-shape commentary on the build itself
     * ([[minhashPairsFrom]]).
     *
-    * Served from the PERSISTED pair artifact (`lsh_idx2/pairs`, built
+    * Served from the PERSISTED pair artifact (`lsh_idx3_<fp>/pairs`, built
     * once per corpus by [[ensureLshIndex]]): the near-dup edge list is
     * expensive to derive (shingle + band + verify over the full corpus)
     * and consumed by many downstream queries, so it is maintained as an
@@ -824,31 +824,66 @@ object PipelineQueries {
     * O(delta) + bucket-key lookups, NOT O(corpus) — the index-probe
     * core shared by q_dedup_incremental (the pairs themselves) and
     * q_graph_incremental (centrality maintenance over the grown graph). */
+  /** Filesystem-level fingerprint of the corpus behind `d`'s documents
+    * table: (name, size, mtime) of every data file, digested. Keys the
+    * LSH artifact directory so a corpus REWRITTEN IN PLACE (regenerated
+    * testdata, a refreshed snapshot at the same path) can never be
+    * served stale pairs — the artifact is tagged to the exact source
+    * snapshot it was built from, the way a production index carries its
+    * source-table version. No data is read; at 100 TB this is one
+    * file-listing the scan does anyway. */
+  private def corpusFingerprint(d: String): String = {
+    val root = new java.io.File(s"$d/documents.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
+      else Seq(root)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+  }
+
   /** Ensure the persisted LSH index exists for `d`'s corpus and return
-    * its base path. THREE artifacts under one commit marker: the banded
+    * its base path. FOUR artifacts under one commit marker: the banded
     * bucket table (probe keys), the corpus shingle sets (verify
-    * payload), and the verified corpus PAIR SET (the near-dup graph's
+    * payload), the verified corpus PAIR SET (the near-dup graph's
     * edge list — the artifact graph maintenance reads instead of
-    * regenerating pairs). Version-suffixed dir: a cache built before the
-    * pairs artifact existed must rebuild, not half-read. */
-  private[queries] def ensureLshIndex(s: SparkSession, d: String): String = {
-    val base = s"${SourceQueries.cacheDir(d)}/lsh_idx2"
+    * regenerating pairs), and the CAP-DROP ACCOUNTING (`caps`: one row
+    * of oversized-bucket/dropped-id totals, so a consumer serving the
+    * capped pair artifact can audit what the build dropped — the
+    * no-silent-caps invariant survives the move from per-query observe()
+    * metrics to serve-from-disk; PipelineSpec pins it). The directory is
+    * keyed by [[corpusFingerprint]], so an in-place corpus rewrite
+    * rebuilds rather than serving stale pairs; the version suffix
+    * forces a rebuild when the artifact SET itself changes. */
+  private[graft] def ensureLshIndex(s: SparkSession, d: String): String = {
+    val base = s"${SourceQueries.cacheDir(d)}/lsh_idx3_${corpusFingerprint(d)}"
     SourceQueries.materialize(s"$base/commit") {
       val sh = shingled(s, d).persist()
       try {
-        bandKeys(sh)
+        val buckets = bandKeys(sh)
           .groupBy("band", "h1", "h2")
           .agg(graft.functions.BoundedMinSet
             .bounded_min_set(col("doc_id"), LshBucketCap).as("bs"))
-          .observe("graft_lsh_index_cap",
-            sum(when(col("bs.n") > LshBucketCap, lit(1)).otherwise(lit(0)))
-              .as("oversized_buckets"),
-            sum(when(col("bs.n") > LshBucketCap, col("bs.n") - LshBucketCap)
-              .otherwise(lit(0))).as("dropped_ids"))
-          .select(col("band"), col("h1"), col("h2"),
-            explode(col("bs.ids")).as("doc_id"))
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$base/bands")
+          .persist() // feeds both the bands write and the caps rollup
+        try {
+          buckets
+            .observe("graft_lsh_index_cap",
+              sum(when(col("bs.n") > LshBucketCap, lit(1)).otherwise(lit(0)))
+                .as("oversized_buckets"),
+              sum(when(col("bs.n") > LshBucketCap, col("bs.n") - LshBucketCap)
+                .otherwise(lit(0))).as("dropped_ids"))
+            .select(col("band"), col("h1"), col("h2"),
+              explode(col("bs.ids")).as("doc_id"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$base/bands")
+          buckets
+            .agg(sum(when(col("bs.n") > LshBucketCap, lit(1L)).otherwise(lit(0L)))
+                .as("oversized_buckets"),
+              sum(when(col("bs.n") > LshBucketCap, col("bs.n") - LshBucketCap)
+                .otherwise(lit(0L))).as("dropped_ids"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$base/caps")
+        } finally buckets.unpersist()
         sh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$base/shingles")
         minhashPairsFrom(sh, LshBucketCap)
@@ -2015,7 +2050,7 @@ object PipelineQueries {
       // (never a self-join that would recompute the pipeline), exact
       // jaccard verification on candidates only. Served from the
       // persisted pair ARTIFACT (round 11, see minhashPairsShared):
-      // the build runs once per corpus into lsh_idx2/pairs; this and
+      // the build runs once per corpus snapshot into the pairs artifact; this and
       // its seven sibling consumers read the tiny edge-list parquet.
       minhashPairsShared(s, d).orderBy("i", "j")
     },

@@ -287,15 +287,23 @@ object DocStreams {
     * bounded BY CONSTRUCTION (the pre-bucketed production form the
     * q_agg_ks batch comment prescribes for unbounded-support scores).
     * One two-phase count pass over the reference corpus. */
-  def ksRefModel(corpus: DataFrame): (Array[Long], Long) = {
+  /** ONE reference-corpus count pass over the 64 fixed length buckets —
+    * the shared derivation of both frozen drift models ([[ksRefModel]]'s
+    * CDF and [[mwRefModel]]'s histogram are driver-side folds of this
+    * same 64-long array, so freezing both monitors costs one corpus
+    * scan, not two). */
+  private def refBucketCounts(corpus: DataFrame): Array[Long] = {
     val counts = corpus
       .select(expr("least(length(text) div 64, 63)").as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
       .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val cum = new Array[Long](64)
-    var acc = 0L
-    for (i <- 0 until 64) { acc += counts.getOrElse(i, 0L); cum(i) = acc }
-    (cum, acc)
+    Array.tabulate(64)(i => counts.getOrElse(i, 0L))
+  }
+
+  def ksRefModel(corpus: DataFrame): (Array[Long], Long) = {
+    val cnt = refBucketCounts(corpus)
+    val cum = cnt.scanLeft(0L)(_ + _).drop(1)
+    (cum, cum.last)
   }
 
   /** Streaming distribution-drift monitor — the live twin of the batch
@@ -365,11 +373,7 @@ object DocStreams {
     * driver model state; one two-phase count pass over the reference
     * corpus. */
   def mwRefModel(corpus: DataFrame): (Array[Long], Long) = {
-    val counts = corpus
-      .select(expr("least(length(text) div 64, 63)").as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-    val cnt = Array.tabulate(64)(i => counts.getOrElse(i, 0L))
+    val cnt = refBucketCounts(corpus)
     (cnt, cnt.sum)
   }
 
@@ -480,17 +484,29 @@ object DocStreams {
   /** Frozen robust thresholds for [[madGate]]: per-source (2·median,
     * 4·MAD) of `n_chars` on the doubled integer scale, exactly the
     * q_cur_mad_outliers statistics (sum of the two central order
-    * statistics — no interpolation float). Bounded driver model state:
-    * two longs per source. */
+    * statistics — no interpolation float). The corpus pass collapses
+    * map-side to (source, value) COUNTS before anything reaches the
+    * driver — the q_agg_ks value-distinct economics, same as the other
+    * frozen-model builders — so driver state is bounded by the value
+    * support (pre-bucket an unbounded score first, like the KS
+    * monitor), never the corpus; the medians are exact weighted order
+    * statistics over those counts. */
   def madModel(corpus: DataFrame): Map[String, (Long, Long)] = {
-    val rows = corpus.select("source", "n_chars").collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    rows.groupBy(_._1).map { case (src, xs0) =>
-      val xs = xs0.map(_._2).sorted
-      val n = xs.length
-      val med2 = xs((n - 1) / 2) + xs(n / 2)
-      val dv = xs.map(x => (2 * x - med2).abs).sorted
-      src -> (med2, dv((n - 1) / 2) + dv(n / 2))
+    val vc = corpus.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // k-th order statistic (1-indexed) of the weighted, sorted values
+    def kth(sorted: Seq[(Long, Long)], k: Long): Long = {
+      var cum = 0L
+      sorted.find { case (_, c) => cum += c; cum >= k }.get._1
+    }
+    vc.groupBy(_._1).map { case (src, rows) =>
+      val xs = rows.map(t => (t._2, t._3)).sortBy(_._1)
+      val n = xs.map(_._2).sum
+      val (k1, k2) = ((n + 1) / 2, (n + 2) / 2)
+      val med2 = kth(xs, k1) + kth(xs, k2)
+      val dv = xs.groupBy { case (x, _) => (2 * x - med2).abs }
+        .map { case (d, g) => (d, g.map(_._2).sum) }.toSeq.sortBy(_._1)
+      src -> (med2, kth(dv, k1) + kth(dv, k2))
     }
   }
 

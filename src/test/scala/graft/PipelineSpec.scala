@@ -1379,6 +1379,22 @@ class PipelineSpec extends GraftSuite {
     got.foreach(r => assert(r.getLong(1) == r.getInt(2).toLong, s"doc ${r.get(0)}"))
   }
 
+  test("LSH pair artifact ships its drop accounting and a corpus-fingerprinted path") {
+    // serving pairs from disk must not lose the no-silent-caps
+    // invariant: the build writes a one-row `caps` rollup any consumer
+    // can audit; and the artifact path embeds a content fingerprint of
+    // the source files, so a corpus rewritten in place rebuilds instead
+    // of serving stale pairs
+    val base = graft.queries.PipelineQueries.ensureLshIndex(spark, sf)
+    assert(base.matches(".*lsh_idx3_[0-9a-f]{12}$"), base)
+    val caps = spark.read.parquet(s"$base/caps").collect()
+    assert(caps.length == 1)
+    assert(caps(0).schema.fieldNames.toSeq == Seq("oversized_buckets", "dropped_ids"))
+    // gate corpus: capped == uncapped is pinned elsewhere, so the build
+    // must record exactly zero drops here
+    assert(caps(0).getLong(0) == 0L && caps(0).getLong(1) == 0L, caps(0).toString)
+  }
+
   test("probeCellsCol matches driver-side probeCells per row, probe #1 == cellCol") {
     // The in-plan multi-probe column is the row-as-query face of the
     // driver-side probeCells (every corpus row probing the IVF index
