@@ -1,0 +1,103 @@
+package graft.server
+
+import org.apache.hive.service.server.HiveServer2
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+
+import java.net.{InetAddress, ServerSocket, Socket}
+
+/** The engine's wire front-end: a Thrift/JDBC SQL service bound to a
+  * running engine session — the role the reference fills with its
+  * Arrow Flight SQL endpoint (reference flight_sql.rs:445-499 serves
+  * get_flight_info_statement / do_get over gRPC; 566-670 serves the
+  * metadata and prepared-statement RPCs). Every reference client
+  * connects through that endpoint; the Spark-native equivalent is the
+  * HiveServer2 Thrift protocol, which every JDBC/ODBC SQL client
+  * already speaks (beeline, DBeaver, Tableau, ...).
+  *
+  * Spark-first altitude: we do NOT hand-roll a protocol. Spark ships
+  * `HiveThriftServer2.startWithContext`, which mounts the Thrift CLI
+  * service directly on an existing `SQLContext`, so:
+  *
+  *  - every SQL statement a remote client sends runs through the SAME
+  *    Catalyst/AQE session surface as `Engine.sql` — same catalog,
+  *    same extensions (graft UDFs/rules), same conf;
+  *  - each JDBC connection gets `sqlContext.newSession()` — isolated
+  *    temp views and conf over a shared persistent catalog, exactly
+  *    the reference's SessionContext-per-bearer-token contract
+  *    (flight_sql.rs:125-162) and the `Engine.newSession` semantics;
+  *  - prepared statements (`java.sql.PreparedStatement`) bind
+  *    parameters per-execute against a cached statement, the
+  *    reference's `$n` placeholder flow (flight_sql.rs:581-670);
+  *  - the metadata RPCs (GetTables / GetColumns / GetSchemas) answer
+  *    from the session catalog, the reference's get_tables /
+  *    get_table_types surface (flight_sql.rs:617-640).
+  *
+  * Scale note: the Thrift server is a front-end on the DRIVER; result
+  * sets stream to the client but still pass through the driver, so the
+  * wire surface is for queries whose RESULT is human/app-sized —
+  * SELECTs with aggregation or LIMIT. Bulk data movement at 100 TB
+  * goes through the sinks (§2.2), never the wire. That is the same
+  * division the reference draws: Flight SQL for queries, object-store
+  * writes for bulk output.
+  */
+object WireServer {
+
+  /** A running wire endpoint. `stop()` shuts the Thrift service down;
+    * the underlying SparkSession is left running (the server is a view
+    * onto the session, not its owner). */
+  // the concrete HiveThriftServer2 type is private[hive]; its public
+  // face is the HiveServer2 lifecycle superclass (stop() lives there)
+  final case class Endpoint(port: Int, private val server: HiveServer2) {
+    def jdbcUrl: String = s"jdbc:hive2://127.0.0.1:$port/default"
+    def stop(): Unit = server.stop()
+  }
+
+  /** Start the Thrift JDBC service on `port` (0 = pick a free port).
+    * Blocks until the socket accepts connections (or `timeoutMs`
+    * elapses — then fails loudly; a wire server that silently isn't
+    * listening is the worst failure mode). */
+  def start(spark: SparkSession, port: Int = 0, timeoutMs: Long = 60000L): Endpoint = {
+    val chosen = if (port > 0) port else freePort()
+    // startWithContext builds the server's HiveConf from
+    // sessionState.newHadoopConf(), which overlays all session-conf
+    // entries — so hive.server2.* settings plumb through spark.conf.
+    spark.conf.set("hive.server2.thrift.port", chosen.toString)
+    spark.conf.set("hive.server2.thrift.bind.host", "127.0.0.1")
+    // operation logs are per-connection scratch; keep them in tmp, not
+    // the repo working dir
+    spark.conf.set("hive.server2.logging.operation.enabled", "false")
+    val server = HiveThriftServer2.startWithContext(spark.sqlContext)
+    try awaitListening(chosen, timeoutMs)
+    catch { case e: Throwable => server.stop(); throw e }
+    Endpoint(chosen, server)
+  }
+
+  /** OS-assigned free port. Bind-then-close has an inherent reuse race,
+    * but HiveServer2 cannot report an ephemeral port back, so this is
+    * the standard compromise; the await step catches a lost race as a
+    * loud startup failure rather than a hang. */
+  private def freePort(): Int = {
+    val s = new ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  private def awaitListening(port: Int, timeoutMs: Long): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var connected = false
+    var lastErr: Throwable = null
+    while (!connected && System.nanoTime() < deadline) {
+      try {
+        new Socket(InetAddress.getLoopbackAddress, port).close()
+        connected = true
+      } catch {
+        case e: java.io.IOException =>
+          lastErr = e
+          Thread.sleep(200)
+      }
+    }
+    if (!connected)
+      throw new IllegalStateException(
+        s"wire server did not start listening on $port within ${timeoutMs}ms", lastErr)
+  }
+}

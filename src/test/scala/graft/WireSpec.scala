@@ -1,0 +1,142 @@
+package graft
+
+import graft.server.WireServer
+import org.scalatest.BeforeAndAfterAll
+
+import java.sql.{Connection, DriverManager}
+
+/** End-to-end wire front-end evidence (the reference's Flight SQL
+  * surface, flight_sql.rs:445-670): a REAL Thrift/JDBC round trip —
+  * server mounted on the engine session, a stock `java.sql` client
+  * connecting over a TCP socket, SQL text crossing the wire, typed
+  * results coming back. Each test pins one RPC family the reference
+  * serves: statement execution, metadata discovery, prepared
+  * statements, and per-connection session isolation. */
+class WireSpec extends GraftSuite with BeforeAndAfterAll {
+
+  private var endpoint: WireServer.Endpoint = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // shared persistent-catalog tables — visible to every wire session,
+    // like the reference's shared object-store catalog
+    spark.sql("DROP TABLE IF EXISTS wire_orders")
+    spark.sql("DROP TABLE IF EXISTS wire_customer")
+    spark.sql(s"CREATE TABLE wire_orders USING parquet LOCATION '$sf/orders.parquet'")
+    spark.sql(s"CREATE TABLE wire_customer USING parquet LOCATION '$sf/customer.parquet'")
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    endpoint = WireServer.start(spark)
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      if (endpoint != null) endpoint.stop()
+      spark.sql("DROP TABLE IF EXISTS wire_orders")
+      spark.sql("DROP TABLE IF EXISTS wire_customer")
+    } finally super.afterAll()
+  }
+
+  private def connect(): Connection =
+    DriverManager.getConnection(endpoint.jdbcUrl, "graft", "")
+
+  private def queryStrings(conn: Connection, sql: String): Seq[Seq[String]] = {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      val n = rs.getMetaData.getColumnCount
+      val out = Seq.newBuilder[Seq[String]]
+      while (rs.next()) out += (1 to n).map(i => String.valueOf(rs.getString(i)))
+      out.result()
+    } finally st.close()
+  }
+
+  test("remote aggregate matches the in-process result exactly") {
+    // decimal-rendered sum so wire text and in-process text are
+    // bit-identical (the Qh exactness discipline, over the wire)
+    val sql =
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS total
+        |FROM wire_orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val local = spark.sql(sql).collect().map(r =>
+      Seq(r.getString(0), r.getLong(1).toString, r.getString(2)))
+    val conn = connect()
+    try {
+      val wire = queryStrings(conn, sql)
+      assert(wire.nonEmpty && wire == local.toSeq)
+    } finally conn.close()
+  }
+
+  test("remote join runs through the same Catalyst session surface") {
+    val sql =
+      """SELECT c.c_mktsegment, COUNT(*) AS n
+        |FROM wire_orders o JOIN wire_customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+    val local = spark.sql(sql).collect().map(r => Seq(r.getString(0), r.getLong(1).toString))
+    val conn = connect()
+    try assert(queryStrings(conn, sql) == local.toSeq)
+    finally conn.close()
+  }
+
+  test("metadata RPCs answer from the session catalog (GetTables/GetColumns)") {
+    val conn = connect()
+    try {
+      val md = conn.getMetaData
+      val tables = {
+        val rs = md.getTables(null, "default", "wire_%", null)
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString("TABLE_NAME")
+        b.result()
+      }
+      assert(tables.toSet == Set("wire_orders", "wire_customer"))
+      val cols = {
+        val rs = md.getColumns(null, "default", "wire_orders", "%")
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString("COLUMN_NAME")
+        b.result()
+      }
+      assert(cols.contains("o_orderkey") && cols.contains("o_totalprice"))
+    } finally conn.close()
+  }
+
+  test("prepared statement binds parameters per execute") {
+    val conn = connect()
+    try {
+      val ps = conn.prepareStatement("SELECT COUNT(*) FROM wire_orders WHERE o_orderstatus = ?")
+      try {
+        def remoteCount(status: String): Long = {
+          ps.setString(1, status)
+          val rs = ps.executeQuery()
+          assert(rs.next()); rs.getLong(1)
+        }
+        def localCount(status: String): Long =
+          spark.table("wire_orders").where(s"o_orderstatus = '$status'").count()
+        assert(remoteCount("O") == localCount("O"))
+        assert(remoteCount("F") == localCount("F"))
+        assert(remoteCount("O") != remoteCount("F")) // the bind actually changed the result
+      } finally ps.close()
+    } finally conn.close()
+  }
+
+  test("each connection is an isolated session over a shared catalog") {
+    val conn1 = connect()
+    val conn2 = connect()
+    try {
+      // temp view in conn1 stays in conn1 (reference SessionContext-per-
+      // token, flight_sql.rs:125-162)
+      conn1.createStatement().execute(
+        "CREATE TEMPORARY VIEW wire_tv AS SELECT 42 AS x")
+      assert(queryStrings(conn1, "SELECT x FROM wire_tv") == Seq(Seq("42")))
+      val leaked =
+        try { queryStrings(conn2, "SELECT x FROM wire_tv"); true }
+        catch { case _: java.sql.SQLException => false }
+      assert(!leaked, "temp view leaked across wire sessions")
+      // conf set in conn1 does not leak to conn2
+      conn1.createStatement().execute("SET spark.sql.shuffle.partitions=7")
+      val v1 = queryStrings(conn1, "SET spark.sql.shuffle.partitions").head(1)
+      val v2 = queryStrings(conn2, "SET spark.sql.shuffle.partitions").head(1)
+      assert(v1 == "7" && v2 != "7")
+      // but the persistent catalog is shared: conn2 still sees the table
+      assert(queryStrings(conn2, "SELECT COUNT(*) FROM wire_orders").head.head.toLong > 0)
+    } finally { conn1.close(); conn2.close() }
+  }
+}
