@@ -117,6 +117,19 @@ class WireSpec extends GraftSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("engine extension functions are served over the wire") {
+    // the injected graft_* SQL functions (GraftExtensions) must exist in
+    // every wire session — remote clients get the ENGINE, not stock Spark
+    val sql = "SELECT CAST(graft_rolling_hash('wire') AS STRING) AS h, " +
+      "CAST(graft_nfc_normalize('e\u0301') = '\u00e9' AS STRING) AS nfc"
+    val local = spark.sql(sql).collect().map(r => Seq(r.getString(0), r.getString(1)))
+    val conn = connect()
+    try {
+      val wire = queryStrings(conn, sql)
+      assert(wire == local.toSeq && wire.head(1) == "true")
+    } finally conn.close()
+  }
+
   test("each connection is an isolated session over a shared catalog") {
     val conn1 = connect()
     val conn2 = connect()
