@@ -1641,6 +1641,59 @@ object PipelineQueries {
         .orderBy("lm", "dist"))
   }
 
+  /** HyperBall neighborhood function over an (src, dst) edge frame:
+    * exact ball-pair counts |{(v, w) : dist(v, w) ≤ r}| for r = 0..rounds
+    * alongside the HyperANF estimate of the same quantity from
+    * per-vertex HLL sketches (Boldi/Vigna WWW'11: c_0(v) = sketch({v});
+    * c_t(v) = ⋃ c_{t-1} over N(v) ∪ {v}; N(t) = Σ_v estimate(c_t(v))).
+    * Returns one row per radius with the saturation fraction and the
+    * in-plan certification that the sketch estimate is within 10% of
+    * exact — the ANN-family convention (exact twin certifies the
+    * approximate path the production deployment actually runs). At
+    * 100 TB only the sketch side scales: per-round state is ONE
+    * 2^12-register HLL per vertex (~KB), merged along edges in one
+    * vertex-keyed shuffle per round — the exact ball frame grows with
+    * reachable-set size and exists here only because certification
+    * requires it. AnalyticsSpec drives a path graph through this for
+    * real multi-hop layers (the gate corpus' near-dup components are
+    * cliques, radius 1). */
+  private[graft] def neighborhoodFn(edges: DataFrame, rounds: Int): DataFrame = {
+    val verts = edges.select(col("src").as("v")).distinct()
+    var ball = verts.select(col("v").as("bsrc"), col("v").as("w"))
+    var sk = verts.groupBy("v").agg(hll_sketch_agg(col("v"), 12).as("sk"))
+    val keep = Seq.newBuilder[DataFrame]
+    val rows = Seq.newBuilder[DataFrame]
+    def level(r: Int, b: DataFrame, s: DataFrame): DataFrame =
+      b.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(s.agg(sum(hll_sketch_estimate(col("sk"))).as("est")))
+        .select(lit(r.toLong).as("r"), col("n_pairs"), col("est"))
+    keep += ball; keep += sk
+    rows += level(0, ball, sk)
+    for (t <- 1 to rounds) {
+      ball = ball.join(edges, col("w") === col("src"))
+        .select(col("bsrc"), col("dst").as("w"))
+        .unionAll(ball)
+        .distinct()
+      sk = sk.join(edges, col("v") === col("dst"))
+        .select(col("src").as("v"), col("sk"))
+        .unionAll(sk.select(col("v"), col("sk")))
+        .groupBy("v").agg(hll_union_agg(col("sk")).as("sk"))
+      keep += ball; keep += sk
+      rows += level(t, ball, sk)
+    }
+    val lv = rows.result().reduce(_ unionAll _)
+    // balls only grow, so the max radius count is the saturation total
+    val tot = lv.agg(max("n_pairs").as("nt"))
+    Qh.materializedWith(keep.result(): _*)(
+      lv.crossJoin(broadcast(tot))
+        .select(col("r"), col("n_pairs"),
+          expr("(1000 * n_pairs) div nt").as("reach_milli"),
+          (expr("(1000 * n_pairs) div nt") >= 900).as("at_eff_radius"),
+          (abs(col("est") - col("n_pairs")) <= lit(0.1) * col("n_pairs"))
+            .as("hll_ok"))
+        .orderBy("r"))
+  }
+
   private[graft] def kcoreSurvivors(s: SparkSession, d: String, rounds: Int): DataFrame = {
     val p = minhashPairsShared(s, d).select(col("i"), col("j"))
     var edges = p.select(col("i").as("src"), col("j").as("dst"))
@@ -6208,6 +6261,52 @@ object PipelineQueries {
       val edges = p.select(col("i").as("src"), col("j").as("dst"))
         .union(p.select(col("j").as("src"), col("i").as("dst")))
       bfsLayers(edges, rounds = 3)
+    },
+
+    // --- HyperBall neighborhood function / effective radius -------------
+    Q("q_graph_neighborhood",
+      s"""WITH $ShingleOverlapCtes,
+         |e0 AS MATERIALIZED (SELECT i AS src, j AS dst FROM jpairs
+         |       UNION ALL SELECT j, i FROM jpairs),
+         |vx AS MATERIALIZED (SELECT DISTINCT src AS v FROM e0),
+         |b0 AS MATERIALIZED (SELECT v AS src, v AS w FROM vx),
+         |b1 AS MATERIALIZED (SELECT DISTINCT src, w FROM (
+         |       SELECT src, w FROM b0 UNION ALL
+         |       SELECT b.src, e.dst AS w FROM b0 b JOIN e0 e ON e.src = b.w)),
+         |b2 AS MATERIALIZED (SELECT DISTINCT src, w FROM (
+         |       SELECT src, w FROM b1 UNION ALL
+         |       SELECT b.src, e.dst AS w FROM b1 b JOIN e0 e ON e.src = b.w)),
+         |n AS (SELECT CAST(0 AS BIGINT) AS r, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM b0
+         |      UNION ALL SELECT 1, COUNT(*) FROM b1
+         |      UNION ALL SELECT 2, COUNT(*) FROM b2),
+         |tot AS (SELECT MAX(n_pairs) AS nt FROM n)
+         |SELECT r, n_pairs,
+         |  CAST((1000 * n_pairs) // nt AS BIGINT) AS reach_milli,
+         |  (1000 * n_pairs) // nt >= 900 AS at_eff_radius,
+         |  TRUE AS hll_ok
+         |FROM n, tot ORDER BY r""".stripMargin) { (s, d) =>
+      // The neighborhood function of the near-dup graph — N(r) = how
+      // many (vertex, vertex) pairs sit within hop distance r — the
+      // whole-graph distance profile behind effective-diameter /
+      // spid-style connectivity dashboards (how CLUMPED is the
+      // duplication structure, beyond per-vertex degrees): reported per
+      // radius with the saturation fraction (reach_milli) and the
+      // 90%-saturation effective-radius marker. Computed BOTH ways in
+      // one plan, the ANN-index convention: the exact ball expansion
+      // (two unrolled rounds of edge join + distinct, the bounded-round
+      // oracle convention — near-dup components are cliques, so r = 2
+      // saturates) certifies the HyperANF sketch path (per-vertex
+      // DataSketches HLL unioned along edges, hll_ok = estimate within
+      // 10% of exact; on clique-scale balls HLL list-mode is exact, so
+      // the certification is tight, not vacuous). At 100 TB the exact
+      // twin is dropped and ONLY the sketch path runs: per-round state
+      // is one 2^12-register sketch per vertex merged in one
+      // vertex-keyed shuffle per round — the Boldi/Vigna HyperANF
+      // shape, linear in edges per round regardless of ball sizes.
+      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val edges = p.select(col("i").as("src"), col("j").as("dst"))
+        .union(p.select(col("j").as("src"), col("i").as("dst")))
+      neighborhoodFn(edges, rounds = 2)
     },
 
     // --- DAU / WAU / MAU active-user rollup -----------------------------

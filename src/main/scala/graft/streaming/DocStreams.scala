@@ -462,6 +462,80 @@ object DocStreams {
         }).as("dominant_95"))
   }
 
+  /** Frozen reference content model for [[psiDriftAlerts]]: per-bucket
+    * token counts of the REFERENCE source over the same 256
+    * rolling-hash content buckets as the batch `q_text_psi_bysource`
+    * feature space, plus the total. 257 longs of driver model state;
+    * the corpus pass collapses map-side to (bucket, count) before
+    * anything reaches the driver. */
+  def psiRefModel(corpus: DataFrame, refSource: String = "src0"): (Array[Long], Long) = {
+    val m = corpus.filter(col("source") === refSource)
+      .select(explode(split(col("text"), " ")).as("g"))
+      .select((graft.functions.RollingHash.rolling_hash(col("g")) % 256).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val cnt = Array.tabulate(256)(m.getOrElse(_, 0L))
+    (cnt, cnt.sum)
+  }
+
+  /** Streaming content-drift monitor — the live twin of the batch
+    * `q_text_psi_bysource` Population Stability Index, in the same
+    * frozen-baseline lambda shape as [[ksDriftAlerts]]/[[mwDriftAlerts]]:
+    * each source's tokens in each finalized event-time window are
+    * bucketed by the SAME rolling-hash-mod-256 content features, and
+    * the window histogram is PSI-scored against the frozen reference
+    * source model (broadcast literals) with the batch query's exact
+    * Laplace-(+1/+256) smoothing, per-bucket nano integerization
+    * (terms rounded to integers BEFORE summing, so the fold is
+    * merge-order-independent), and the classic credit-scoring
+    * thresholds (0.10 moderate / 0.25 major). Where the KS monitor
+    * watches the LENGTH distribution, this pages on CONTENT shift per
+    * source — the crawl-ops "did src7 start serving something else"
+    * alarm. State per (window, source) is exactly 256 longs regardless
+    * of corpus size; tokens collapse map-side into the histogram
+    * columns and never reach the state store. Append mode: one row per
+    * finalized (window, source). A window holding precisely the
+    * reference multiset scores psi_nano = 0 (every term is ln(1)),
+    * which StreamingSpec pins along with stream ≡ batch. */
+  def psiDriftAlerts(
+      docs: DataFrame,
+      refCnt: Array[Long],
+      refN: Long,
+      windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val refLit = refCnt.mkString("array(", "L, ", "L)")
+    val hcols = (0 until 256).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"h$i"))
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("source"),
+        explode(split(col("text"), " ")).as("g"))
+      .select(col("ts"), col("source"),
+        (graft.functions.RollingHash.rolling_hash(col("g")) % 256).as("b"))
+      .groupBy(window(col("ts"), windowLen), col("source"))
+      .agg(hcols.head, hcols.tail: _*)
+      .select(col("window.start").as("window_start"), col("source"),
+        array((0 until 256).map(i => col(s"h$i")): _*).as("h"))
+      .withColumn("n_tokens", expr("aggregate(h, 0L, (a, x) -> a + x)"))
+      // 1.0D/256.0D: in SQL text a bare `1.0` is a DECIMAL literal, and
+      // decimal division rounds differently from the batch query's
+      // double arithmetic — the D suffix keeps every term in the exact
+      // same double ops as q_text_psi_bysource's Column spelling
+      .withColumn("psi_nano", expr(
+        s"""aggregate(sequence(0, 255), 0L, (a, i) ->
+           |  a + CAST(ROUND(
+           |    ((element_at(h, i + 1) + 1.0D) / (n_tokens + 256.0D)
+           |      - (element_at($refLit, i + 1) + 1.0D) / (${refN}L + 256.0D))
+           |    * ln(((element_at(h, i + 1) + 1.0D) / (n_tokens + 256.0D))
+           |         / ((element_at($refLit, i + 1) + 1.0D) / (${refN}L + 256.0D)))
+           |    * 1e9) AS BIGINT))""".stripMargin))
+      .select(col("window_start"), col("source"), col("n_tokens"),
+        col("psi_nano"),
+        (col("psi_nano") > 100000000L).as("moderate_shift"),
+        (col("psi_nano") > 250000000L).as("major_shift"))
+  }
+
   /** Ingest-time REAL image decode (streaming twin of the batch
     * `q_mm_decode_real` catalog row): binary PNG payloads arrive on the
     * stream, each micro-batch decodes through the actual JDK codec

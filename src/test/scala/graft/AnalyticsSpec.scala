@@ -315,6 +315,25 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.collect { case ((0L, _), n) => n }.sum == 4)
   }
 
+  test("neighborhood function walks a path graph; HLL certification holds") {
+    // same fixture as the BFS test: path 0-1-2-3-4-5 + pair 100-101.
+    // Exact ball-pair counts by hand: r=0 → 8 self pairs; r=1 → path
+    // degrees (2,3,3,3,3,2)=16 + pair 4 = 20; r=2 → (3,4,5,5,4,3)=24
+    // + pair 4 = 28. HLL list-mode is exact at these cardinalities, so
+    // hll_ok must hold at every radius, and 90% saturation is reached
+    // only at r=2.
+    val s = spark
+    import s.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = queries.PipelineQueries.neighborhoodFn(edges, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (0L, 8L, 285L, false, true),
+      (1L, 20L, 714L, false, true),
+      (2L, 28L, 1000L, true, true)))
+  }
+
   test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
     val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -12,6 +12,9 @@ import java.sql.Timestamp
   * Spark can derive its encoder). */
 final case class Page(doc_id: Long, ts: Timestamp, text: String)
 
+/** Page with a source attribution, for the per-source drift monitors. */
+final case class SPage(doc_id: Long, ts: Timestamp, source: String, text: String)
+
 /** Structured Streaming semantics driven through MemoryStream — the
   * beyond-parity surface (the reference has no streaming, SURVEY §2.9). */
 class StreamingSpec extends GraftSuite {
@@ -842,6 +845,62 @@ class StreamingSpec extends GraftSuite {
         .orderBy("window_start").collect()
         .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      assert(sunk.toSeq == batch.toSeq,
+        s"stream=${sunk.mkString(";")} batch=${batch.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("psi drift monitor: zero on the reference window, per-source psi equals the batch catalog query, major shift fires on drifted content, stream equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val corpus = Tables.df(spark, sf, "documents")
+    val (refCnt, refN) = DocStreams.psiRefModel(corpus)
+    assert(refCnt.sum == refN && refN > 0)
+    val docs = corpus.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // window 00: the corpus verbatim — src0's row IS the reference
+    // multiset (every PSI term is ln(1), so psi_nano is exactly 0), and
+    // every other source must reproduce the batch catalog query's psi
+    // bit-for-bit (same window totals ⇔ same corpus totals)
+    val w0 = docs.map { case (id, src, t) =>
+      SPage(id, ts("2024-01-01 00:10:00"), src, t) }
+    // window 01: a new source serving two tokens on repeat — major shift
+    val w1 = (1 to 50).map(i =>
+      SPage(-i.toLong, ts("2024-01-01 01:10:00"), "srcX", "zz qq zz qq zz qq"))
+    val pusher = SPage(-999L, ts("2024-01-01 09:00:00"), "src0", "watermark pusher")
+    val in = MemoryStream[SPage]
+    val q = DocStreams.psiDriftAlerts(in.toDF(), refCnt, refN)
+      .writeStream.format("memory").queryName("psi_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(w0.toIndexedSeq); q.processAllAvailable()
+      in.addData(w1.toIndexedSeq); q.processAllAvailable()
+      in.addData(pusher); q.processAllAvailable()
+      val sunk = spark.sql("SELECT * FROM psi_sink ORDER BY window_start, source")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      // src0's reference window scores exactly zero
+      val self = sunk.find(t => t._2 == "src0" && t._1.startsWith("2024-01-01 00:")).get
+      assert(self._3 == refN && self._4 == 0L && !self._5, self.toString)
+      // every other w0 source matches the batch catalog query exactly
+      val batchPsi = SparkEntry.queries("q_text_psi_bysource")(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3), r.getBoolean(4)))).toMap
+      val w0Rows = sunk.filter(t => t._1.startsWith("2024-01-01 00:") && t._2 != "src0")
+      assert(w0Rows.nonEmpty && w0Rows.length == batchPsi.size, w0Rows.mkString(";"))
+      w0Rows.foreach { t =>
+        assert(batchPsi(t._2) == ((t._3, t._4, t._5, t._6)), t.toString) }
+      // the drifted srcX window fires the major-shift page
+      val drift = sunk.find(_._2 == "srcX").get
+      assert(drift._4 > 250000000L && drift._6, drift.toString)
+      // batch twin over the same pages, finalized windows only
+      val batch = DocStreams.psiDriftAlerts((w0 ++ w1).toSeq.toDF(), refCnt, refN)
+        .filter(col("window_start") < ts("2024-01-01 08:30:00"))
+        .orderBy("window_start", "source").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
       assert(sunk.toSeq == batch.toSeq,
         s"stream=${sunk.mkString(";")} batch=${batch.mkString(";")}")
     } finally q.stop()
