@@ -1657,19 +1657,20 @@ object PipelineQueries {
     * requires it. AnalyticsSpec drives a path graph through this for
     * real multi-hop layers (the gate corpus' near-dup components are
     * cliques, radius 1). */
-  private[graft] def neighborhoodFn(edges: DataFrame, rounds: Int): DataFrame = {
+  /** The HyperBall expansion shared by [[neighborhoodFn]] and
+    * [[harmonicCentrality]]: per radius r = 0..rounds, the exact ball
+    * frame (bsrc, w) = {(v, w) : dist(v, w) ≤ r} AND the per-vertex HLL
+    * sketch frame (v, sk) with sk = HLL of B(v, r) (Boldi/Vigna WWW'11:
+    * c_0(v) = sketch({v}); c_t(v) = ⋃ c_{t-1} over N(v) ∪ {v}). One
+    * edge join + distinct (exact side) and one vertex-keyed sketch
+    * shuffle (HLL side) per round. */
+  private def ballLevels(edges: DataFrame, rounds: Int): Seq[(DataFrame, DataFrame)] = {
     val verts = edges.select(col("src").as("v")).distinct()
     var ball = verts.select(col("v").as("bsrc"), col("v").as("w"))
     var sk = verts.groupBy("v").agg(hll_sketch_agg(col("v"), 12).as("sk"))
-    val keep = Seq.newBuilder[DataFrame]
-    val rows = Seq.newBuilder[DataFrame]
-    def level(r: Int, b: DataFrame, s: DataFrame): DataFrame =
-      b.agg(count(lit(1)).as("n_pairs"))
-        .crossJoin(s.agg(sum(hll_sketch_estimate(col("sk"))).as("est")))
-        .select(lit(r.toLong).as("r"), col("n_pairs"), col("est"))
-    keep += ball; keep += sk
-    rows += level(0, ball, sk)
-    for (t <- 1 to rounds) {
+    val out = Seq.newBuilder[(DataFrame, DataFrame)]
+    out += ((ball, sk))
+    for (_ <- 1 to rounds) {
       ball = ball.join(edges, col("w") === col("src"))
         .select(col("bsrc"), col("dst").as("w"))
         .unionAll(ball)
@@ -1678,13 +1679,24 @@ object PipelineQueries {
         .select(col("src").as("v"), col("sk"))
         .unionAll(sk.select(col("v"), col("sk")))
         .groupBy("v").agg(hll_union_agg(col("sk")).as("sk"))
-      keep += ball; keep += sk
-      rows += level(t, ball, sk)
+      out += ((ball, sk))
     }
-    val lv = rows.result().reduce(_ unionAll _)
+    out.result()
+  }
+
+  private[graft] def neighborhoodFn(edges: DataFrame, rounds: Int): DataFrame = {
+    val levels = ballLevels(edges, rounds)
+    val keep = levels.flatMap { case (b, s) => Seq(b, s) }
+    def level(r: Int, b: DataFrame, s: DataFrame): DataFrame =
+      b.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(s.agg(sum(hll_sketch_estimate(col("sk"))).as("est")))
+        .select(lit(r.toLong).as("r"), col("n_pairs"), col("est"))
+    val lv = levels.zipWithIndex
+      .map { case ((b, s), r) => level(r, b, s) }
+      .reduce(_ unionAll _)
     // balls only grow, so the max radius count is the saturation total
     val tot = lv.agg(max("n_pairs").as("nt"))
-    Qh.materializedWith(keep.result(): _*)(
+    Qh.materializedWith(keep: _*)(
       lv.crossJoin(broadcast(tot))
         .select(col("r"), col("n_pairs"),
           expr("(1000 * n_pairs) div nt").as("reach_milli"),
@@ -1692,6 +1704,40 @@ object PipelineQueries {
           (abs(col("est") - col("n_pairs")) <= lit(0.1) * col("n_pairs"))
             .as("hll_ok"))
         .orderBy("r"))
+  }
+
+  /** Radius-truncated harmonic centrality over an (src, dst) edge
+    * frame — HyperBall's per-vertex payoff (Boldi/Vigna: centralities
+    * are sums over ball-size DELTAS): H(v) = Σ_{r=1..rounds}
+    * (1000 div r) · (|B(v, r)| - |B(v, r-1)|) in milli units, i.e.
+    * each vertex at distance r contributes 1/r. Reports the top-k
+    * vertices (total order: centrality desc, vertex asc) with their
+    * per-radius ball sizes and the in-plan certification that the
+    * per-vertex HLL estimates sit within 10% of the exact ball sizes
+    * at every radius — the sketch path is what a 100 TB deployment
+    * runs (per-vertex ball frames are quadratic in the worst case;
+    * the sketches stay one 2^12-register HLL per vertex per round).
+    * AnalyticsSpec walks a path graph for real multi-hop deltas. */
+  private[graft] def harmonicCentrality(edges: DataFrame, rounds: Int, k: Int): DataFrame = {
+    val levels = ballLevels(edges, rounds)
+    val keep = levels.flatMap { case (b, s) => Seq(b, s) }
+    val sized = levels.zipWithIndex.map { case ((b, s), r) =>
+      b.groupBy(col("bsrc").as("v")).agg(count(lit(1)).as(s"n$r"))
+        .join(s.select(col("v"), hll_sketch_estimate(col("sk")).as(s"e$r")), "v")
+    }
+    val joined = sized.reduce(_.join(_, "v"))
+    val h = (1 to rounds)
+      .map(r => lit(1000L / r) * (col(s"n$r") - col(s"n${r - 1}")))
+      .reduce(_ + _)
+    val certs = (0 to rounds)
+      .map(r => abs(col(s"e$r") - col(s"n$r")) <= lit(0.1) * col(s"n$r"))
+      .reduce(_ && _)
+    Qh.materializedWith(keep: _*)(
+      joined
+        .select(Seq(col("v"), h.as("h_milli")) ++
+          (1 to rounds).map(r => col(s"n$r")) :+ certs.as("hll_ok"): _*)
+        .orderBy(col("h_milli").desc, col("v"))
+        .limit(k))
   }
 
   private[graft] def kcoreSurvivors(s: SparkSession, d: String, rounds: Int): DataFrame = {
@@ -6307,6 +6353,49 @@ object PipelineQueries {
       val edges = p.select(col("i").as("src"), col("j").as("dst"))
         .union(p.select(col("j").as("src"), col("i").as("dst")))
       neighborhoodFn(edges, rounds = 2)
+    },
+
+    // --- Harmonic centrality (HyperBall per-vertex payoff) ---------------
+    Q("q_graph_harmonic",
+      s"""WITH $ShingleOverlapCtes,
+         |e0 AS MATERIALIZED (SELECT i AS src, j AS dst FROM jpairs
+         |       UNION ALL SELECT j, i FROM jpairs),
+         |vx AS MATERIALIZED (SELECT DISTINCT src AS v FROM e0),
+         |b0 AS MATERIALIZED (SELECT v AS src, v AS w FROM vx),
+         |b1 AS MATERIALIZED (SELECT DISTINCT src, w FROM (
+         |       SELECT src, w FROM b0 UNION ALL
+         |       SELECT b.src, e.dst AS w FROM b0 b JOIN e0 e ON e.src = b.w)),
+         |b2 AS MATERIALIZED (SELECT DISTINCT src, w FROM (
+         |       SELECT src, w FROM b1 UNION ALL
+         |       SELECT b.src, e.dst AS w FROM b1 b JOIN e0 e ON e.src = b.w)),
+         |s1 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n1 FROM b1 GROUP BY 1),
+         |s2 AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n2 FROM b2 GROUP BY 1)
+         |SELECT s1.src AS v,
+         |  CAST(1000 * (n1 - 1) + 500 * (n2 - n1) AS BIGINT) AS h_milli,
+         |  n1, n2, TRUE AS hll_ok
+         |FROM s1 JOIN s2 ON s1.src = s2.src
+         |ORDER BY h_milli DESC, v LIMIT 20""".stripMargin) { (s, d) =>
+      // Per-vertex harmonic centrality of the near-dup graph, truncated
+      // at radius 2 (the bounded-round convention; near-dup components
+      // are cliques, so r = 2 saturates) — WHICH documents sit at the
+      // center of the duplication structure, the per-vertex complement
+      // of q_graph_neighborhood's whole-graph profile: each neighbor at
+      // distance r contributes 1/r (milli-integer (1000 div r) weights
+      // on the ball-size deltas, exact in both engines), so hub docs in
+      // big tight clusters rank first. Harmonic (not closeness)
+      // centrality because it is well-defined on DISCONNECTED graphs —
+      // unreachable vertices contribute 0, no infinite-distance special
+      // case — which is what a near-dup graph always is. Top-20 under
+      // the total order (h_milli desc, v). Same certified-sketch
+      // economics as q_graph_neighborhood: the exact per-vertex balls
+      // exist for certification (hll_ok = every radius estimate within
+      // 10% of exact; list-mode-exact at clique scale), while the
+      // 100 TB path keeps only the per-vertex HLL registers — HyperBall
+      // computes exactly these centralities from sketch deltas alone.
+      val p = minhashPairsShared(s, d).select(col("i"), col("j"))
+      val edges = p.select(col("i").as("src"), col("j").as("dst"))
+        .union(p.select(col("j").as("src"), col("i").as("dst")))
+      harmonicCentrality(edges, rounds = 2, k = 20)
     },
 
     // --- DAU / WAU / MAU active-user rollup -----------------------------

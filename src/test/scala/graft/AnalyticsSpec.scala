@@ -334,6 +334,23 @@ class AnalyticsSpec extends GraftSuite {
       (2L, 28L, 1000L, true, true)))
   }
 
+  test("harmonic centrality walks the path graph with hand-computed ball deltas") {
+    // path 0-1-2-3-4-5 + pair 100-101. H_milli(v) = 1000*(n1-1) + 500*(n2-n1):
+    // v2/v3 see 2 at r=1 and 2 more at r=2 -> 3000; v1/v4 -> 2500;
+    // v0/v5 (ends) -> 1500; the pair vertices saturate at r=1 -> 1000.
+    val s = spark
+    import s.implicits._
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (100L, 101L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = queries.PipelineQueries.harmonicCentrality(edges, rounds = 2, k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (2L, 3000L, 3L, 5L, true), (3L, 3000L, 3L, 5L, true),
+      (1L, 2500L, 3L, 4L, true), (4L, 2500L, 3L, 4L, true),
+      (0L, 1500L, 2L, 3L, true), (5L, 1500L, 2L, 3L, true),
+      (100L, 1000L, 2L, 2L, true), (101L, 1000L, 2L, 2L, true)))
+  }
+
   test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
     val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

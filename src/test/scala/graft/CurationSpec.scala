@@ -632,4 +632,51 @@ class CurationSpec extends GraftSuite {
     // monotonicity: raising k can only widen the at-risk set
     assert(got(2)._4 <= got(5)._4 && got(5)._4 <= got(10)._4)
   }
+
+  test("q_cur_ldiversity equals a from-scratch sensitive-distinct recount at every l") {
+    val got = SparkEntry.queries("q_cur_ldiversity")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(2, 3))
+    // QI class = (source, length bucket); sensitive attribute = lang
+    val classes = Tables.df(spark, sf, "documents")
+      .select("source", "n_chars", "lang").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 100), r.getString(2)))
+      .groupBy(_._1)
+      .toSeq // BEFORE map: a pair-valued map over a Map would collapse dup (csize, ndist)
+      .map { case (_, rows) => (rows.length.toLong, rows.map(_._2).distinct.length.toLong) }
+    val total = classes.map(_._1).sum
+    for (l <- Seq(2, 3)) {
+      val bad = classes.filter(_._2 < l)
+      assert(got(l) == ((classes.length.toLong, classes.map(_._2).min,
+        bad.length.toLong, bad.map(_._1).sum, 1000000L * bad.map(_._1).sum / total)), s"l=$l")
+    }
+    // monotonicity: raising l can only widen the violating set
+    assert(got(2)._3 <= got(3)._3 && got(2)._4 <= got(3)._4)
+  }
+
+  test("bloom decontam: two-stage totals equal the exact audit; fp certified at a third SF") {
+    val got = SparkEntry.queries("q_cur_bloom_decontam")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.nonEmpty)
+    // the in-plan fp certification holds at sf0.001 too (the gate runs
+    // it at sf0.01/0.1) — bloom bits are deterministic, so this pins the
+    // third corpus rather than sampling a random one
+    got.foreach(t => assert(t._7, t.toString))
+    got.foreach(t => assert(t._3 <= t._2 && t._4 <= t._5, t.toString))
+    // the bloom prestage must not change ANY answer: per-source pair /
+    // flagged-doc / overlap totals re-derived from the bloom-free exact
+    // audit (q_cur_decontaminate) + the doc->source map
+    val src = Tables.df(spark, sf, "documents").select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exact = SparkEntry.queries("q_cur_decontaminate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+      .groupBy(t => src(t._1))
+    got.foreach { case (s, _, _, nDocs, nPairs, nOv, _) =>
+      val e = exact.getOrElse(s, Array.empty[(Long, Long, Long)])
+      assert((e.map(_._1).distinct.length.toLong, e.length.toLong, e.map(_._3).sum) ==
+        ((nDocs, nPairs, nOv)), s"source=$s")
+    }
+  }
 }

@@ -129,6 +129,23 @@ class PlanShapeSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_cur_bloom_decontam: bloom probe is a row-local filter before the exact join") {
+    // materialize = false: the catalog path localCheckpoints the summary,
+    // which would hide the plan behind a Scan ExistingRDD
+    val p = queries.CurationQueries.bloomDecontam(spark, sf, materialize = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the bloom literal probes inside Filter operators (scan stage, no
+    // shuffle to reach it), and the exact verification joins are
+    // broadcasts — the corpus-shingle side never shuffles
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // every exact-join consumer sits downstream of a might_contain
+    // filter: the Filter operators appear at least twice (count branch
+    // + candidate branch)
+    assert(p.sliding("might_contain".length).count(_ == "might_contain") >= 2, p)
+  }
+
   test("runtime bloom-filter pruning injects might_contain on the probe side") {
     // Runtime row-level pruning (the AQE-era cousin of the reference's
     // stage-boundary re-optimization): a selective filter on the build
