@@ -6440,6 +6440,60 @@ object PipelineQueries {
       }
     },
 
+    // --- DAU/WAU/MAU from per-day HLL sketches (certified) ---------------
+    Q("q_events_active_sketch",
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+        |dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT dau.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        |        FROM dau JOIN ud ON ud.d BETWEEN dau.d - 6 AND dau.d GROUP BY 1),
+        |mau AS (SELECT dau.d, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS mau
+        |        FROM dau JOIN ud ON ud.d BETWEEN dau.d - 29 AND dau.d GROUP BY 1)
+        |SELECT dau.d, dau, wau, mau, TRUE AS hll_ok
+        |FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+        |ORDER BY dau.d""".stripMargin) { (s, d) =>
+      // q_events_active_users' sketch path made load-bearing — the
+      // mergeable-sketch design every planet-scale growth dashboard
+      // actually runs: the daily artifact is ONE HLL sketch per day
+      // (KBs) instead of the distinct user-day frame (GBs/day at
+      // 100 TB), and any trailing-window distinct count is a UNION of
+      // ≤30 day-sketches + one estimate — reaggregable to arbitrary
+      // windows (quarter, year) without ever touching user ids again,
+      // which the exact explode path cannot do without re-scanning the
+      // user-day frame. Exactly the ANN/neighborhood certification
+      // convention: the exact DAU/WAU/MAU columns (hash-matched vs
+      // DuckDB) ride along, and hll_ok certifies every per-day
+      // estimate within 10% of exact (lgK=12 ⇒ ~1.6% RSE, so the
+      // bound is ~6σ — tight, and list-mode-exact at small counts).
+      // Shapes: user ids cross the wire once (the per-day sketch agg's
+      // map-side partials); the window union shuffles only
+      // (day, sketch) rows — 30×|days|, corpus-size-independent.
+      val ud = t(s, d, "events")
+        .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+        .distinct()
+      val daySk = ud.groupBy("d").agg(hll_sketch_agg(col("user_id"), 12).as("sk"))
+      Qh.materializedWith(ud, daySk) {
+        val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+        def trailingExact(n: Int, name: String) = ud
+          .select(col("user_id"), explode(sequence(col("d"), col("d") + (n - 1))).as("d2"))
+          .distinct()
+          .groupBy(col("d2").as("d")).agg(count(lit(1)).as(name))
+        def trailingSketch(n: Int, name: String) = daySk
+          .select(explode(sequence(col("d"), col("d") + (n - 1))).as("d2"), col("sk"))
+          .groupBy(col("d2").as("d"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as(name))
+        val ok = Seq("dau", "wau", "mau")
+          .map(c => abs(col(s"${c}_est") - col(c)) <= lit(0.1) * col(c))
+          .reduce(_ && _)
+        dau.join(trailingExact(7, "wau"), "d")
+          .join(trailingExact(30, "mau"), "d")
+          .join(daySk.select(col("d"), hll_sketch_estimate(col("sk")).as("dau_est")), "d")
+          .join(trailingSketch(7, "wau_est"), "d")
+          .join(trailingSketch(30, "mau_est"), "d")
+          .select(col("d"), col("dau"), col("wau"), col("mau"), ok.as("hll_ok"))
+          .orderBy("d")
+      }
+    },
+
     // --- kNN leave-one-out classification audit -------------------------
     Q("q_embed_knn_classify",
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

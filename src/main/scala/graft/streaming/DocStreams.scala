@@ -12,6 +12,29 @@ final case class Doc(
     source: String,
     n_chars: Long)
 
+/** One document on the packing ingest stream (token count precomputed
+  * row-locally at parse time). */
+final case class PackDoc(
+    doc_id: Long,
+    ts: java.sql.Timestamp,
+    source: String,
+    n_tokens: Int)
+
+/** Per-source packer state: the running token offset of the source's
+  * concatenated stream — ONE long per source, regardless of volume. */
+final case class PackState(off: Long)
+
+/** A document's placement in its source's packed context-window stream
+  * (the shape q_cur_pack_sequences emits for the static corpus). */
+final case class PackedDoc(
+    source: String,
+    doc_id: Long,
+    n_tokens: Int,
+    tok_start: Long,
+    seq_first: Long,
+    seq_last: Long,
+    n_seqs: Long)
+
 /** Streaming-ingestion curation: the quality gate and repetition filter
   * applied AT INGEST TIME, before documents ever land in the corpus.
   *
@@ -534,6 +557,47 @@ object DocStreams {
         col("psi_nano"),
         (col("psi_nano") > 100000000L).as("moderate_shift"),
         (col("psi_nano") > 250000000L).as("major_shift"))
+  }
+
+  /** Streaming sequence packer — the ingest twin of the batch
+    * `q_cur_pack_sequences` concat-and-chunk: documents are packed into
+    * fixed `window`-token context sequences AS THEY ARRIVE, one packed
+    * stream per source, via `flatMapGroupsWithState`. State per source
+    * is exactly ONE long (the running token offset of the concatenated
+    * stream) no matter how many documents flow through — the packer
+    * never buffers text, only arithmetic on token counts; each emitted
+    * row is the document's byte-map into its source's window stream
+    * (tok_start, first/last window, span), the same columns the batch
+    * operator computes for data at rest. Zero padding waste by
+    * construction, like the batch twin. ORDER CONTRACT: the batch
+    * operator packs in doc_id order (a static corpus has no arrival
+    * order); the ingest packer packs in ARRIVAL order, (ts, doc_id)-
+    * sorted within each micro-batch — deterministic under replay with
+    * the same batch boundaries, and the honest semantics of a loader-
+    * side packer (a global order over an unbounded stream doesn't
+    * exist). StreamingSpec pins stream ≡ the window-function batch
+    * spelling of the same per-source prefix sum, and gap-freeness. */
+  def packAtIngest(docs: Dataset[PackDoc], window: Int = 256): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src, batch, state) =>
+          val sorted = batch.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+          var off = state.getOption.map(_.off).getOrElse(0L)
+          val out = sorted.map { d =>
+            val first = off / window
+            val last = (off + math.max(d.n_tokens, 1) - 1) / window
+            val r = PackedDoc(src, d.doc_id, d.n_tokens, off,
+              first, last, last - first + 1)
+            off += d.n_tokens
+            r
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
   }
 
   /** Ingest-time REAL image decode (streaming twin of the batch

@@ -351,6 +351,16 @@ class AnalyticsSpec extends GraftSuite {
       (100L, 1000L, 2L, 2L, true), (101L, 1000L, 2L, 2L, true)))
   }
 
+  test("active-users sketch twin: exact columns equal the exact rollup; HLL certified") {
+    val exact = SparkEntry.queries("q_events_active_users")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sk = SparkEntry.queries("q_events_active_sketch")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(sk.nonEmpty && sk.length == exact.length)
+    assert(sk.map(t => (t._1, t._2, t._3, t._4)).toSeq == exact.toSeq)
+    sk.foreach(t => assert(t._5, t.toString)) // every per-day estimate within 10%
+  }
+
   test("pca power iteration matches a from-scratch BigInt reimplementation exactly") {
     val got = SparkEntry.queries("q_embed_pca_power")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

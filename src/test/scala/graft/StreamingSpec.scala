@@ -3,7 +3,7 @@ package graft
 import graft.queries.MultimodalQueries
 import graft.streaming.{Doc, DocStreams, Event, EventStreams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, size, split, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import java.sql.Timestamp
@@ -903,6 +903,59 @@ class StreamingSpec extends GraftSuite {
           r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
       assert(sunk.toSeq == batch.toSeq,
         s"stream=${sunk.mkString(";")} batch=${batch.mkString(";")}")
+    } finally q.stop()
+  }
+
+  test("sequence packer at ingest: stream equals the per-source prefix-sum batch twin; windows are gap-free") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    // the corpus with a synthetic arrival order (ts = doc_id seconds)
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).as("n_tokens"))
+      .collect()
+      .map(r => streaming.PackDoc(r.getLong(0),
+        new Timestamp(1700000000000L + r.getLong(0) * 1000L), r.getString(1), r.getInt(2)))
+      .sortBy(d => (d.ts.getTime, d.doc_id))
+    val in = MemoryStream[streaming.PackDoc]
+    val q = streaming.DocStreams.packAtIngest(in.toDS())
+      .writeStream.format("memory").queryName("pack_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three arrival waves, in event-time order (the order contract)
+      docs.grouped(math.max(docs.length / 3, 1)).foreach { wave =>
+        in.addData(wave.toIndexedSeq); q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT * FROM pack_sink").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(t => (t._1, t._4))
+      assert(got.length == docs.length)
+      // batch twin: the same per-source prefix sum as a window function
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("ts", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val batch = docs.toSeq.toDF()
+        .withColumn("tok_start", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("tok_start"),
+          expr("tok_start div 256").as("seq_first"),
+          expr("(tok_start + greatest(n_tokens, 1) - 1) div 256").as("seq_last"),
+          expr("(tok_start + greatest(n_tokens, 1) - 1) div 256" +
+            " - tok_start div 256 + 1").as("n_seqs"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+        .sortBy(t => (t._1, t._4))
+      assert(got.toSeq == batch.toSeq)
+      // gap-free: within each source the offsets tile exactly
+      got.groupBy(_._1).foreach { case (src, rows) =>
+        val sorted = rows.sortBy(_._4)
+        assert(sorted.head._4 == 0L, src)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._4 == a._4 + a._3, s"$src: $a -> $b")
+          case _ =>
+        }
+      }
     } finally q.stop()
   }
 
