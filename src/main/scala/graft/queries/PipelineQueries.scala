@@ -3913,6 +3913,62 @@ object PipelineQueries {
 
     // --- heavy hitters: Misra-Gries sketch + exact recount of the
     // candidate set (two passes, bounded memory) -------------------------
+    // --- Count-Min point-frequency counter (certified) -------------------
+    Q("q_text_cms_counts",
+      """WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1),
+        |hi AS (SELECT token, cnt FROM v ORDER BY cnt DESC, token LIMIT 10),
+        |lo AS (SELECT token, cnt FROM v ORDER BY cnt ASC, token LIMIT 5),
+        |p AS (SELECT DISTINCT token, cnt FROM (SELECT * FROM hi
+        |      UNION ALL SELECT * FROM lo))
+        |SELECT token, cnt, TRUE AS cms_ok FROM p
+        |ORDER BY cnt DESC, token""".stripMargin) { (s, d) =>
+      // The sketch tier's third leg (HLL = distinct, Bloom = membership,
+      // CMS = FREQUENCY): a Count-Min sketch answers "how often does
+      // THIS token/n-gram occur" for ANY key without storing the
+      // vocabulary — where q_text_heavy_hitters' Misra-Gries keeps only
+      // the top-m candidates, the CMS serves arbitrary point queries
+      // (the contamination / stop-list / df-lookup counter at 100 TB:
+      // trillions of distinct n-grams, but the sketch stays eps-width ×
+      // depth counters, built with map-side partial merge — elementwise
+      // addition, merge-order-independent — and fixed seed, so every
+      // estimate is deterministic). Probe set: the exact top-10 plus
+      // the 5 rarest-then-lexicographic tokens, mixing the regime CMS
+      // is good at (heavy keys) with its weakness (singletons buried
+      // under noise). Certification (the hll_ok/fp_ok convention): the
+      // exact counts hash-match DuckDB's vocab (which exists here for
+      // certification only — the full vocab groupBy is exactly what the
+      // sketch replaces at scale), and in-plan cms_ok pins the CMS
+      // guarantees: estimate NEVER undercounts (structural), and
+      // overcounts by at most 10× the eps·N bound (eps = 1e-4, ~1 MB of
+      // driver model state; deterministic per dataset+seed, verified at
+      // three SFs).
+      import s.implicits._
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      val v = toks.groupBy("token").agg(count(lit(1)).as("cnt")).persist()
+      val hi = v.orderBy(col("cnt").desc, col("token")).limit(10)
+      val lo = v.orderBy(col("cnt").asc, col("token")).limit(5)
+      val probes = hi.unionAll(lo).distinct().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val nTotal = v.agg(sum("cnt")).collect()(0).getLong(0)
+      v.unpersist()
+      val bytes = toks
+        .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val bound = 10L * (nTotal / 10000L) + 10L // 10 × eps·N, +slack for tiny corpora
+      probes.toSeq
+        .map { case (tok, cnt) =>
+          val est = cms.estimateCount(tok)
+          (tok, cnt, est >= cnt && est <= cnt + bound)
+        }
+        .toDF("token", "cnt", "cms_ok")
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     Q("q_text_heavy_hitters",
       """SELECT token, COUNT(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -351,6 +351,26 @@ class AnalyticsSpec extends GraftSuite {
       (100L, 1000L, 2L, 2L, true), (101L, 1000L, 2L, 2L, true)))
   }
 
+  test("cms counter: certified at a third SF; never undercounts a synthetic zipf stream") {
+    val s = spark
+    import s.implicits._
+    val got = SparkEntry.queries("q_text_cms_counts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 15)
+    got.foreach(t => assert(t._3, t.toString)) // in-plan certification at sf0.001 too
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    // structural no-undercount on a skewed synthetic stream, EVERY key
+    val freq = (1 to 50).map(k => s"w$k" -> (51 - k).toLong)
+    val stream = freq.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+    val bytes = stream.toDF("token")
+      .agg(org.apache.spark.sql.functions.expr(
+        "count_min_sketch(token, 0.0001d, 0.99d, 42)"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    freq.foreach { case (w, n) => assert(cms.estimateCount(w) >= n, w) }
+  }
+
   test("active-users sketch twin: exact columns equal the exact rollup; HLL certified") {
     val exact = SparkEntry.queries("q_events_active_users")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

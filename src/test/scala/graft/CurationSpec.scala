@@ -655,6 +655,33 @@ class CurationSpec extends GraftSuite {
     assert(got(2)._3 <= got(3)._3 && got(2)._4 <= got(3)._4)
   }
 
+  test("q_cur_tcloseness equals a from-scratch BigInt TVD recount at every t") {
+    val got = SparkEntry.queries("q_cur_tcloseness")(spark, sf).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(200, 500))
+    val rows = Tables.df(spark, sf, "documents")
+      .select("source", "n_chars", "lang").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 100), r.getString(2)))
+    val nt = BigInt(rows.length)
+    val ng = rows.groupBy(_._2).map { case (l, v) => l -> BigInt(v.length) }
+    val classes = rows.groupBy(_._1).toSeq.map { case (_, v) =>
+      val ncl = BigInt(v.length)
+      val byLang = v.groupBy(_._2).map { case (l, w) => l -> BigInt(w.length) }
+      val dev = ng.keys.map(l => (byLang.getOrElse(l, BigInt(0)) * nt - ng(l) * ncl).abs).sum
+      (ncl, (BigInt(1000) * dev) / (BigInt(2) * ncl * nt))
+    }
+    val total = classes.map(_._1).sum
+    for (t <- Seq(200, 500)) {
+      val bad = classes.filter(_._2 > t)
+      assert(got(t) == ((classes.length.toLong, classes.map(_._2).max.toLong,
+        bad.length.toLong, bad.map(_._1).sum.toLong,
+        (BigInt(1000000) * bad.map(_._1).sum / total).toLong)), s"t=$t")
+    }
+    // monotonicity: raising t can only shrink the violating set
+    assert(got(500)._3 <= got(200)._3 && got(500)._4 <= got(200)._4)
+  }
+
   test("bloom decontam: two-stage totals equal the exact audit; fp certified at a third SF") {
     val got = SparkEntry.queries("q_cur_bloom_decontam")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
