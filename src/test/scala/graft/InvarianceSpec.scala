@@ -74,8 +74,23 @@ class InvarianceSpec extends GraftSuite {
     "q_cur_mad_outliers",   // round 11: exact order statistics over the
                             //   value-distinct cumulative frame at any
                             //   parallelism
-    "q_text_psi_bysource")  // round 11: nano-fixed-point PSI terms on
+    "q_text_psi_bysource",  // round 11: nano-fixed-point PSI terms on
                             //   the model grid must be merge-order-free
+    "q_graph_neighborhood", // round 11: exact ball expansion + HLL
+                            //   sketch unions (order-insensitive
+                            //   registers) across layouts
+    "q_graph_harmonic",     // round 11: per-vertex ball deltas + top-20
+                            //   total order at any parallelism
+    "q_cur_bloom_decontam", // round 11: bloom bits are an OR — insertion
+                            //   order free; post-bloom exact counts
+                            //   across layouts
+    "q_cur_tcloseness",     // round 11: HUGEINT grid TVD sums must be
+                            //   merge-order-independent
+    "q_events_active_sketch", // round 11: per-day HLL union estimates +
+                            //   exact trailing counts across layouts
+    "q_text_cms_counts")    // round 11: CMS partials merge elementwise —
+                            //   estimates identical at any layout; probe
+                            //   set is a total order
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
