@@ -101,6 +101,29 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Live daily-active-users via streaming HLL — the streaming face of
+    * `q_events_active_sketch`, and the one member of the family where
+    * the sketch is not an optimization but the ONLY bounded-state
+    * option: exact streaming COUNT(DISTINCT user) needs per-user state
+    * (unbounded — Spark rejects distinct aggregates in streaming for
+    * exactly this reason), while the HLL buffer is one 2^12-register
+    * sketch per open day window regardless of user volume. Emits each
+    * finalized day once (append mode): (day, dau_est, heavy = est >
+    * threshold). The estimate is DETERMINISTIC (fixed-seed register
+    * hashing, order-insensitive unions), so StreamingSpec pins stream ≡
+    * the identical batch expression AND within 10% of batch exact
+    * distinct — the same certification the batch twin carries in-plan. */
+  def dauSketch(
+      events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("dau_est"))
+      .select(col("window.start").as("day_start"),
+        col("dau_est").cast("long").as("dau_est"))
+
   /** Hopping (sliding) window counts — the streaming twin of the batch
     * `q_events_hopping` catalog query: every event lands in
     * windowLen/slide overlapping epoch-aligned windows, expanded

@@ -226,6 +226,45 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("live dau sketch: stream equals the batch expression and sits within 10% of exact") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, countDistinct, window}
+    val evDf = Tables.df(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val evs = evDf.as[Event].collect().toSeq
+    val in = MemoryStream[Event]
+    val q = EventStreams.dauSketch(in.toDS().toDF())
+      .writeStream.format("memory").queryName("dau_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(evs: _*); q.processAllAvailable()
+      val maxTs = evs.map(_.ts.getTime).max
+      // pusher two days out finalizes every real day window
+      in.addData(Event(-1, new Timestamp(maxTs + 2L * 86400 * 1000), -1, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM dau_sink ORDER BY day_start").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      // batch twin: the IDENTICAL expression over the static frame
+      // (sketch estimates are deterministic), finalized days only
+      val batch = EventStreams.dauSketch(evDf).orderBy("day_start").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"stream=${streamed.mkString(";")} batch=${batch.mkString(";")}")
+      // and each finalized day's estimate sits within 10% of exact
+      val exact = evDf.groupBy(window(col("ts"), "1 day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .select(col("window.start"), col("dau")).collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      streamed.foreach { case (day, est) =>
+        val ex = exact(day)
+        assert(math.abs(est - ex) <= 0.1 * ex, s"day=$day est=$est exact=$ex")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins a streaming fact to a dim table") {
     val s = spark
     implicit val sq = s.sqlContext
