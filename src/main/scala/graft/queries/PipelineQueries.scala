@@ -1641,22 +1641,6 @@ object PipelineQueries {
         .orderBy("lm", "dist"))
   }
 
-  /** HyperBall neighborhood function over an (src, dst) edge frame:
-    * exact ball-pair counts |{(v, w) : dist(v, w) ≤ r}| for r = 0..rounds
-    * alongside the HyperANF estimate of the same quantity from
-    * per-vertex HLL sketches (Boldi/Vigna WWW'11: c_0(v) = sketch({v});
-    * c_t(v) = ⋃ c_{t-1} over N(v) ∪ {v}; N(t) = Σ_v estimate(c_t(v))).
-    * Returns one row per radius with the saturation fraction and the
-    * in-plan certification that the sketch estimate is within 10% of
-    * exact — the ANN-family convention (exact twin certifies the
-    * approximate path the production deployment actually runs). At
-    * 100 TB only the sketch side scales: per-round state is ONE
-    * 2^12-register HLL per vertex (~KB), merged along edges in one
-    * vertex-keyed shuffle per round — the exact ball frame grows with
-    * reachable-set size and exists here only because certification
-    * requires it. AnalyticsSpec drives a path graph through this for
-    * real multi-hop layers (the gate corpus' near-dup components are
-    * cliques, radius 1). */
   /** The HyperBall expansion shared by [[neighborhoodFn]] and
     * [[harmonicCentrality]]: per radius r = 0..rounds, the exact ball
     * frame (bsrc, w) = {(v, w) : dist(v, w) ≤ r} AND the per-vertex HLL
@@ -1684,6 +1668,19 @@ object PipelineQueries {
     out.result()
   }
 
+  /** HyperBall neighborhood function over an (src, dst) edge frame:
+    * exact ball-pair counts |{(v, w) : dist(v, w) ≤ r}| for r = 0..rounds
+    * alongside the HyperANF estimate of the same quantity
+    * (N(t) = Σ_v estimate(c_t(v))). Returns one row per radius with the
+    * saturation fraction and the in-plan certification that the sketch
+    * estimate is within 10% of exact — the ANN-family convention (exact
+    * twin certifies the approximate path the production deployment
+    * actually runs). At 100 TB only the sketch side scales: per-round
+    * state is ONE 2^12-register HLL per vertex (~KB) — the exact ball
+    * frame grows with reachable-set size and exists here only because
+    * certification requires it. AnalyticsSpec drives a path graph
+    * through this for real multi-hop layers (the gate corpus' near-dup
+    * components are cliques, radius 1). */
   private[graft] def neighborhoodFn(edges: DataFrame, rounds: Int): DataFrame = {
     val levels = ballLevels(edges, rounds)
     val keep = levels.flatMap { case (b, s) => Seq(b, s) }
