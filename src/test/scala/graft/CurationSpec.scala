@@ -655,6 +655,37 @@ class CurationSpec extends GraftSuite {
     assert(got(2)._3 <= got(3)._3 && got(2)._4 <= got(3)._4)
   }
 
+  test("shard manifest equals a sequential from-scratch export; ranges tile the corpus") {
+    val got = SparkEntry.queries("q_cur_shard_manifest")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // sequential reimplementation: walk docs in doc_id order, assign each
+    // to the shard holding its first token, fingerprint = Σ h mod p
+    def roll(t: String): Long =
+      t.getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 31 + (c & 0xffL)) % 1000000007L)
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    var off = 0L
+    val assigned = docs.map { case (id, t) =>
+      val nTok = t.split(" ", -1).length.toLong
+      val shard = off / 4096
+      off += nTok
+      (shard, id, nTok, BigInt(roll(t)))
+    }
+    val want = assigned.groupBy(_._1).toSeq.map { case (sh, v) =>
+      (sh, v.length.toLong, v.map(_._3).sum, v.map(_._2).min, v.map(_._2).max,
+        (v.map(_._4).sum % 1000000007).toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // shards tile doc_id space with no overlap: ranges are contiguous
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4, s"$a overlaps $b")
+      case _ =>
+    }
+    assert(got.map(_._2).sum == docs.length && got.map(_._3).sum == off)
+  }
+
   test("q_cur_tcloseness equals a from-scratch BigInt TVD recount at every t") {
     val got = SparkEntry.queries("q_cur_tcloseness")(spark, sf).collect()
       .map(r => r.getInt(0) ->

@@ -88,9 +88,12 @@ class InvarianceSpec extends GraftSuite {
                             //   merge-order-independent
     "q_events_active_sketch", // round 11: per-day HLL union estimates +
                             //   exact trailing counts across layouts
-    "q_text_cms_counts")    // round 11: CMS partials merge elementwise —
+    "q_text_cms_counts",    // round 11: CMS partials merge elementwise —
                             //   estimates identical at any layout; probe
                             //   set is a total order
+    "q_cur_shard_manifest") // round 11: prefix-sum shard assignment +
+                            //   modular fingerprints must be identical
+                            //   at any partition count
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
