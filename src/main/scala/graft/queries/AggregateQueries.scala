@@ -850,5 +850,72 @@ object AggregateQueries {
                  | div (CAST(2 AS DECIMAL(38,0)) * n1 * n2)""".stripMargin)
             .as("auc_milli"))
     },
+
+    // --- delete-one-group jackknife (error bars on corpus metrics) ------
+    Q("q_agg_jackknife",
+      """WITH p AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s,
+        |        CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS st, CAST(SUM(n) AS BIGINT) AS nt,
+        |          CAST(COUNT(*) AS BIGINT) AS g FROM p),
+        |u AS (SELECT p.source, p.n, tot.g, tot.st, tot.nt,
+        |        CAST((1000000 * CAST(tot.st - p.s AS HUGEINT)) // (tot.nt - p.n)
+        |          AS BIGINT) AS loo_mean_micro
+        |      FROM p, tot),
+        |t2 AS (SELECT CAST(SUM(loo_mean_micro) AS BIGINT) AS t FROM u),
+        |d AS (SELECT u.source, u.n, u.g, u.st, u.nt, u.loo_mean_micro,
+        |        CAST(u.g * u.loo_mean_micro - t2.t AS BIGINT) AS dev FROM u, t2),
+        |v AS (SELECT SUM(CAST(dev AS HUGEINT) * dev) AS sd2 FROM d)
+        |SELECT d.source, d.n AS n_docs, d.loo_mean_micro, d.dev,
+        |  CAST((1000000 * CAST(d.st AS HUGEINT)) // d.nt AS BIGINT) AS mean_micro,
+        |  CAST(ROUND(SQRT(CAST(d.g - 1 AS DOUBLE) * CAST(v.sd2 AS DOUBLE)
+        |             / (CAST(d.g AS DOUBLE) * d.g * d.g))) AS BIGINT) AS se_micro
+        |FROM d, v ORDER BY d.source""".stripMargin) { (s, d) =>
+      // Delete-one-GROUP jackknife — the resampling member the stats
+      // tier was missing (t/χ²/KS/U test HYPOTHESES; this puts an
+      // ERROR BAR on the metric itself): how uncertain is the corpus
+      // mean doc length, where the unit of resampling is a whole
+      // SOURCE? That grouping is the honest one for crawled corpora —
+      // docs within a source are correlated, so the iid per-doc
+      // bootstrap understates variance, while leave-one-source-out
+      // captures "what if this feed had not existed", which is exactly
+      // the ablation a curation dashboard asks before trusting a
+      // number. Classic delete-a-group jackknife: v = (g−1)/g ·
+      // Σ(m_i − m̄)², rendered with NO floats until the final sqrt:
+      // LOO means in exact micro units ((10^6·(S−s_i)) div (N−n_i),
+      // numerator HUGEINT/DECIMAL(38)-lifted — the d_milli
+      // convention), deviations as the integers g·u_i − Σu_j (so m̄
+      // never exists as a rounded intermediate), and their exact
+      // squared sum; the one double step is sqrt of that integer
+      // ratio, spelled identically in both engines and rounded back to
+      // WHOLE micro units (the CAST(ROUND(..)) psi_nano pattern — a
+      // round9'd double of this magnitude would compare at the 16th
+      // significant digit, where the engines' rounding can differ). Per-source rows
+      // double as the influence audit: dev is (up to 1/g²) the
+      // source's leverage on the corpus mean — the biggest |dev| is
+      // the feed to investigate. Shape: one two-phase per-source
+      // rollup collapses the corpus map-side; everything downstream
+      // is g-row frames and broadcast scalars — corpus-size-
+      // independent, the q_cur_source_reputation economics.
+      val p = t(s, d, "documents").groupBy("source")
+        .agg(sum("n_chars").as("s"), count(lit(1)).as("n"))
+      Qh.materializedWith(p) {
+        val tot = p.agg(sum("s").as("st"), sum("n").as("nt"), count(lit(1)).as("g"))
+        val u = p.crossJoin(broadcast(tot))
+          .withColumn("loo_mean_micro", expr(
+            "CAST((1000000 * CAST(st - s AS DECIMAL(38,0))) div (nt - n) AS BIGINT)"))
+        val t2 = u.agg(sum("loo_mean_micro").as("t"))
+        val dd = u.crossJoin(broadcast(t2))
+          .withColumn("dev", expr("g * loo_mean_micro - t"))
+        val v = dd.agg(sum(expr("CAST(dev AS DECIMAL(38,0)) * dev")).as("sd2"))
+        dd.crossJoin(broadcast(v))
+          .select(col("source"), col("n").as("n_docs"),
+            col("loo_mean_micro"), col("dev"),
+            expr("CAST((1000000 * CAST(st AS DECIMAL(38,0))) div nt AS BIGINT)")
+              .as("mean_micro"),
+            expr("CAST(ROUND(SQRT(CAST(g - 1 AS DOUBLE) * CAST(sd2 AS DOUBLE)" +
+              " / (CAST(g AS DOUBLE) * g * g))) AS BIGINT)").as("se_micro"))
+          .orderBy("source")
+      }
+    },
   )
 }

@@ -351,6 +351,33 @@ class AnalyticsSpec extends GraftSuite {
       (100L, 1000L, 2L, 2L, true), (101L, 1000L, 2L, 2L, true)))
   }
 
+  test("jackknife equals a from-scratch BigInt leave-one-source-out recount") {
+    val got = SparkEntry.queries("q_agg_jackknife")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val rows = Tables.df(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = rows.groupBy(_._1).toSeq
+      .map { case (src, v) => (src, BigInt(v.map(_._2).sum), BigInt(v.length)) }
+      .sortBy(_._1)
+    val (st, nt, g) = (bySrc.map(_._2).sum, bySrc.map(_._3).sum, BigInt(bySrc.length))
+    val u = bySrc.map { case (src, sSum, n) =>
+      (src, n, BigInt(1000000) * (st - sSum) / (nt - n))
+    }
+    val tSum = u.map(_._3).sum
+    val devs = u.map { case (src, n, ui) => (src, n, ui, g * ui - tSum) }
+    val sd2 = devs.map(d => d._4 * d._4).sum
+    val gd = g.toDouble
+    val se = math.round(math.sqrt((gd - 1) * sd2.toDouble / (gd * gd * gd)))
+    val mean = (BigInt(1000000) * st / nt).toLong
+    val want = devs.map { case (src, n, ui, dev) =>
+      (src, n.toLong, ui.toLong, dev.toLong, mean, se) }
+    assert(got.toSeq == want)
+    // the deviations sum to zero by construction (Σ(g·uᵢ − T) = g·T − g·T)
+    assert(devs.map(_._4).sum == 0)
+  }
+
   test("cms counter: certified at a third SF; never undercounts a synthetic zipf stream") {
     val s = spark
     import s.implicits._
