@@ -351,6 +351,27 @@ class AnalyticsSpec extends GraftSuite {
       (100L, 1000L, 2L, 2L, true), (101L, 1000L, 2L, 2L, true)))
   }
 
+  test("incremental active-users probe: stored history + delta equals the full rollup's last day") {
+    val got = SparkEntry.queries("q_events_active_incremental")(spark, sf).collect()
+    assert(got.length == 1)
+    val (d0, dau, wau, mau, ok) = (got(0).getLong(0), got(0).getLong(1),
+      got(0).getLong(2), got(0).getLong(3), got(0).getBoolean(4))
+    assert(ok, got(0).toString) // stored registers + fresh delta certify vs exact
+    val full = SparkEntry.queries("q_events_active_users")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).last
+    assert((d0, dau, wau, mau) == full)
+    // the persisted table is strictly "as of last night": every stored
+    // day predates the delta day, and all history days are present
+    val base = queries.PipelineQueries.ensureDaySketches(spark, sf)
+    val stored = spark.read.parquet(s"$base/sketches").select("d").collect()
+      .map(_.getLong(0)).sorted
+    assert(stored.nonEmpty && stored.last < d0)
+    val allDays = Tables.df(spark, sf, "events")
+      .selectExpr("unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(stored.toSeq == allDays.init.toSeq)
+  }
+
   test("jackknife equals a from-scratch BigInt leave-one-source-out recount") {
     val got = SparkEntry.queries("q_agg_jackknife")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
