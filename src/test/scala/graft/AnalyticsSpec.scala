@@ -351,6 +351,42 @@ class AnalyticsSpec extends GraftSuite {
       (100L, 1000L, 2L, 2L, true), (101L, 1000L, 2L, 2L, true)))
   }
 
+  test("hll smoke: the 10% certification bound holds in DENSE mode (150k users/window)") {
+    // The gate corpus keeps the sketches in exact list/set mode, so the
+    // catalog hll_ok certs never see real estimation error. This is the
+    // x50-style regime pin: 150k distinct users across 7 days pushes
+    // lgK=12 sketches fully dense (~1.6% RSE), where the 10% bound must
+    // hold with ~6-sigma headroom — deterministic per fixed input set.
+    val s = spark
+    import s.implicits._
+    val ud = s.range(150000L)
+      .selectExpr("id AS user_id", "id % 7 AS d") // ~21.4k users per day
+      .unionAll(s.range(30000L).selectExpr("id AS user_id", "(id + 3) % 7 AS d"))
+      .distinct()
+    val daySk = ud.groupBy("d").agg(
+      org.apache.spark.sql.functions.expr("hll_sketch_agg(user_id, 12)").as("sk"),
+      count(org.apache.spark.sql.functions.lit(1)).as("exact"))
+    val perDay = daySk
+      .select(col("d"), col("exact"),
+        org.apache.spark.sql.functions.expr("CAST(hll_sketch_estimate(sk) AS LONG)").as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perDay.length == 7)
+    perDay.foreach { case (d, exact, est) =>
+      assert(exact > 20000, s"d=$d not dense: $exact")
+      assert(math.abs(est - exact) <= 0.1 * exact, s"d=$d exact=$exact est=$est")
+      info(f"d=$d exact=$exact est=$est err=${math.abs(est - exact).toDouble / exact}%.4f")
+    }
+    // the 7-day union estimates the full population within the bound too
+    val (uex, uest) = {
+      val r = daySk.agg(
+        org.apache.spark.sql.functions.expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS LONG)").as("est"))
+        .collect()(0)
+      (ud.select("user_id").distinct().count(), r.getLong(0))
+    }
+    assert(math.abs(uest - uex) <= 0.1 * uex, s"union exact=$uex est=$uest")
+    info(f"union exact=$uex est=$uest err=${math.abs(uest - uex).toDouble / uex}%.4f")
+  }
+
   test("incremental active-users probe: stored history + delta equals the full rollup's last day") {
     val got = SparkEntry.queries("q_events_active_incremental")(spark, sf).collect()
     assert(got.length == 1)
