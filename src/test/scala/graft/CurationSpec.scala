@@ -686,6 +686,31 @@ class CurationSpec extends GraftSuite {
     assert(got.map(_._2).sum == docs.length && got.map(_._3).sum == off)
   }
 
+  test("generalization ladder: recount per width, min size monotone, chosen is minimal safe") {
+    val got = SparkEntry.queries("q_cur_generalize")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(got.map(_._1).toSeq == Seq(100, 200, 400, 800))
+    val rows = Tables.df(spark, sf, "documents")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    got.foreach { case (w, nClasses, minC, atRisk, k5, _) =>
+      val classes = rows.groupBy { case (src, nc) => (src, nc / w) }
+        .map(_._2.length.toLong).toSeq
+      assert((nClasses, minC, atRisk, k5) ==
+        ((classes.length.toLong, classes.min,
+          classes.filter(_ < 5).sum, classes.min >= 5)), s"w=$w")
+    }
+    // coarser buckets only merge classes: min class size is monotone in w
+    val mins = got.map(_._3)
+    assert(mins.zip(mins.tail).forall { case (a, b) => a <= b }, mins.mkString(","))
+    // chosen = the minimal safe rung, and nothing else
+    val safe = got.filter(_._5)
+    if (safe.nonEmpty)
+      assert(got.filter(_._6).map(_._1).toSeq == Seq(safe.map(_._1).min))
+    else assert(got.forall(!_._6))
+  }
+
   test("q_cur_tcloseness equals a from-scratch BigInt TVD recount at every t") {
     val got = SparkEntry.queries("q_cur_tcloseness")(spark, sf).collect()
       .map(r => r.getInt(0) ->
