@@ -6573,6 +6573,66 @@ object PipelineQueries {
       }
     },
 
+    // --- audience-overlap matrix via sketch algebra -----------------------
+    Q("q_events_overlap_sketch",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(COUNT(*) AS BIGINT) AS n_inter
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                          AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, na.n AS n_a, nb.n AS n_b, pr.n_inter,
+        |  CAST(na.n + nb.n - pr.n_inter AS BIGINT) AS n_union,
+        |  TRUE AS sketch_ok
+        |FROM pr JOIN n na ON na.event_type = pr.type_a
+        |        JOIN n nb ON nb.event_type = pr.type_b
+        |ORDER BY type_a, type_b""".stripMargin) { (s, d) =>
+      // Audience overlap — "how many users do checkout and search
+      // share?" — is the question that makes DISTINCT sketches an
+      // ALGEBRA, not just counters: HLLs union losslessly but cannot
+      // intersect, so the sketch path answers every pairwise overlap by
+      // inclusion-exclusion, |A∩B| = est(A) + est(B) − est(A∪B), from
+      // the SAME per-type sketches the cardinality dashboard already
+      // keeps (union = one hll_union_agg over two stored rows; no
+      // re-scan of users, |types|² pairs of KB-sized merges). The
+      // inclusion-exclusion error scales with |A∪B| — not the
+      // intersection — so the in-plan certification bounds
+      // |est − exact| by 10% of the UNION (the honest bound; a small
+      // true overlap of two huge audiences is where this method
+      // legitimately degrades, and the cert says so). Exact columns
+      // (per-type audiences, pairwise intersections via one user-keyed
+      // self-join of the user×type frame, unions by exact
+      // inclusion-exclusion) hash-match DuckDB; certification-only at
+      // scale, like every exact twin in the sketch tier.
+      val ut = t(s, d, "events").select("user_id", "event_type").distinct()
+      val sk = ut.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), 12).as("sk"), count(lit(1)).as("n"))
+      Qh.materializedWith(ut, sk) {
+        val pr = ut.as("a").join(ut.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val a = sk.select(col("event_type").as("type_a"),
+          col("sk").as("sk_a"), col("n").as("n_a"),
+          hll_sketch_estimate(col("sk")).as("est_a"))
+        val b = sk.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b"), col("n").as("n_b"),
+          hll_sketch_estimate(col("sk")).as("est_b"))
+        pr.join(broadcast(a), "type_a").join(broadcast(b), "type_b")
+          .withColumn("est_union", hll_sketch_estimate(expr(
+            "hll_union(sk_a, sk_b)")))
+          .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+            col("n_inter"),
+            (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+            (abs(col("est_a") + col("est_b") - col("est_union") - col("n_inter"))
+              <= lit(0.1) * (col("n_a") + col("n_b") - col("n_inter")))
+              .as("sketch_ok"))
+          .orderBy("type_a", "type_b")
+      }
+    },
+
     // --- incremental active users from the persisted sketch table --------
     Q("q_events_active_incremental",
       """WITH ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d FROM events),

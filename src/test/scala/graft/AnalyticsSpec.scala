@@ -387,6 +387,35 @@ class AnalyticsSpec extends GraftSuite {
     info(f"union exact=$uex est=$uest err=${math.abs(uest - uex).toDouble / uex}%.4f")
   }
 
+  test("overlap sketch: exact twin at gate SF; inclusion-exclusion holds dense (100k x 100k)") {
+    val got = SparkEntry.queries("q_events_overlap_sketch")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(got.nonEmpty)
+    got.foreach { t =>
+      assert(t._7, t.toString)
+      assert(t._5 <= math.min(t._3, t._4) && t._6 == t._3 + t._4 - t._5, t.toString)
+    }
+    // dense regime: audiences A = [0, 100k), B = [50k, 150k) — true
+    // overlap 50k; the inclusion-exclusion estimate must sit within 10%
+    // of the 150k union even with every register saturated
+    val s = spark
+    import s.implicits._
+    val ut = s.range(100000L).selectExpr("id AS user_id", "'a' AS t")
+      .unionAll(s.range(50000L, 150000L).selectExpr("id AS user_id", "'b' AS t"))
+    val sk = ut.groupBy("t").agg(
+      org.apache.spark.sql.functions.expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val r = sk.agg(
+      org.apache.spark.sql.functions.expr(
+        "sum(hll_sketch_estimate(sk))").as("sum_est"),
+      org.apache.spark.sql.functions.expr(
+        "hll_sketch_estimate(hll_union_agg(sk))").as("union_est"))
+      .collect()(0)
+    val interEst = (r.getLong(0) - r.getLong(1)).toDouble
+    assert(math.abs(interEst - 50000.0) <= 0.1 * 150000.0,
+      s"dense inclusion-exclusion: est=$interEst")
+  }
+
   test("incremental active-users probe: stored history + delta equals the full rollup's last day") {
     val got = SparkEntry.queries("q_events_active_incremental")(spark, sf).collect()
     assert(got.length == 1)
