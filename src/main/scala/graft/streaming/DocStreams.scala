@@ -648,6 +648,63 @@ object DocStreams {
     }
   }
 
+  /** Frozen eval-suite bloom filter for [[bloomGate]]: the distinct
+    * 3-gram shingles of the eval source, hashed into ~2.4 bytes/entry
+    * at fpp 1e-4 (built distributed via treeAggregate; the same filter
+    * bytes q_cur_bloom_decontam embeds). Driver model state. */
+  def bloomModel(corpus: DataFrame, evalSource: String = "src0"): Array[Byte] = {
+    val tri = expr(
+      "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
+        "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))")
+    val ed = corpus.filter(col("source") === evalSource)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(explode(tri).as("sh")).distinct().persist()
+    try {
+      val n = ed.count()
+      val b = ed.select(xxhash64(col("sh")).as("h"))
+        .stat.bloomFilter("h", math.max(n, 64L), 0.0001)
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    } finally ed.unpersist()
+  }
+
+  /** Ingest-time decontamination gate — the streaming first stage of
+    * q_cur_bloom_decontam: each arriving document's distinct 3-gram
+    * shingles probe the FROZEN eval-suite bloom ROW-LOCALLY (a
+    * higher-order `filter` whose predicate is the codegen
+    * BloomFilterMightContain over the broadcast filter bytes — no
+    * explode, no shuffle, no state; stateless append at scan speed),
+    * and a document with ≥ `minHits` bloom-positive shingles is
+    * QUARANTINED for exact verification. Recall is structural: a doc
+    * sharing ≥ minHits exact shingles with any eval doc has ≥ minHits
+    * present shingles, every present shingle is bloom-positive (no
+    * false negatives), so every doc the batch exact audit flags is
+    * quarantined — StreamingSpec pins that superset plus stream ≡
+    * batch; false positives only widen the quarantine, never the
+    * release. */
+  def bloomGate(docs: DataFrame, bloom: Array[Byte], minHits: Int = 5): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.SqlShims
+    import org.apache.spark.sql.types.BinaryType
+    val tri = expr(
+      "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
+        "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))")
+    def hit(x: org.apache.spark.sql.Column) = SqlShims.column(
+      BloomFilterMightContain(Literal(bloom, BinaryType),
+        SqlShims.expression(xxhash64(x))))
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("sh",
+        when(size(col("w")) >= 3, tri)
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"), col("source"),
+        size(col("sh")).as("n_shingles"),
+        size(filter(col("sh"), hit _)).as("n_cand"))
+      .withColumn("quarantine", col("n_cand") >= minHits)
+  }
+
   /** Ingest-time robust outlier gate (streaming twin of the batch
     * `q_cur_mad_outliers` audit): each arriving document is flagged
     * against its source's FROZEN median/MAD thresholds — the

@@ -998,6 +998,44 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("bloom gate at ingest: quarantine is a superset of the exact audit; stream equals batch") {
+    val s = spark
+    implicit val sq = s.sqlContext
+    import s.implicits._
+    val corpus = Tables.df(spark, sf, "documents")
+    val bloom = DocStreams.bloomModel(corpus)
+    val docs = corpus.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[Doc]
+    val q = DocStreams.bloomGate(in.toDF(), bloom)
+      .writeStream.format("memory").queryName("bloom_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.grouped(math.max(docs.length / 2, 1)).foreach { wave =>
+        in.addData(wave.map { case (id, src, t) =>
+          Doc(id, t, "en", src, t.length.toLong) }.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql("SELECT * FROM bloom_sink ORDER BY doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      assert(streamed.length == docs.length)
+      // stream == the identical batch expression (bloom bits are frozen)
+      val batch = DocStreams.bloomGate(corpus, bloom).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+      assert(streamed.toSeq == batch.toSeq)
+      // structural recall: every doc the exact audit flags is quarantined
+      val quarantined = streamed.filter(_._5).map(_._1).toSet
+      val exactFlagged = SparkEntry.queries("q_cur_decontaminate")(spark, sf)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(exactFlagged.nonEmpty && exactFlagged.subsetOf(quarantined),
+        s"missed: ${exactFlagged -- quarantined}")
+      // eval docs themselves quarantine (their shingles ARE the filter);
+      // the release side must still keep a clean majority
+      val nonEval = streamed.filter(_._2 != "src0")
+      assert(nonEval.count(!_._5) > nonEval.length / 2, "gate quarantined most of the corpus")
+    } finally q.stop()
+  }
+
   test("mad gate at ingest: frozen thresholds flag exactly the batch audit's outliers; unknown sources pass") {
     val s = spark
     implicit val sq = s.sqlContext
