@@ -49,12 +49,18 @@ object PipelineQueries {
     * per-seed min-hashes (hash-once-then-per-seed — the 10× HOF trap
     * documented at q_dedup_minhash), paired into 16 two-row bands. Any
     * frame hashed with THIS function probes any index built with it. */
-  private def bandKeys(sh: DataFrame): DataFrame = {
+  /** (doc_id, s0..s31): the 32 per-seed min-hashes behind [[bandKeys]],
+    * exposed so q_dedup_sig_estimate can certify the raw estimator. */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
     val hs = sh.select(col("doc_id"),
       explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
-    val sig = hs.groupBy("doc_id")
+    hs.groupBy("doc_id")
       .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
         (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
+  }
+
+  private def bandKeys(sh: DataFrame): DataFrame = {
+    val sig = minhashSignatures(sh)
     sig.select(col("doc_id"), explode(array(
       (0 until 16).map(b => struct(lit(b).as("band"),
         col(s"s${2 * b}").as("h1"), col(s"s${2 * b + 1}").as("h2"))): _*)).as("bd"))
@@ -2274,6 +2280,63 @@ object PipelineQueries {
     },
 
     // --- dedup threshold-sensitivity sweep ------------------------------
+    // --- MinHash estimator certification ---------------------------------
+    Q("q_dedup_sig_estimate",
+      s"""WITH $ShingleOverlapCtes,
+         |jb AS (SELECT i, j, CAST(ROUND(jac * 1000) AS BIGINT) AS jm FROM jpairs),
+         |b AS (SELECT jm // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |        CAST(SUM(jm) AS BIGINT) AS sum_jac_milli FROM jb GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs, sum_jac_milli,
+         |  CAST(sum_jac_milli // n_pairs AS BIGINT) AS mean_jac_milli,
+         |  TRUE AS sig_ok
+         |FROM b ORDER BY bucket""".stripMargin) { (s, d) =>
+      // The estimator audit underneath the ENTIRE minhash dedup family:
+      // banding and caps decide which pairs are CANDIDATES, but the
+      // statistical object doing the work is P[minhash agrees] =
+      // Jaccard — this row certifies that claim on the corpus itself.
+      // Verified pairs bucket by exact Jaccard (0.05-wide milli
+      // buckets, exact columns hash-matched vs DuckDB's all-pairs
+      // shingle SQL); the Spark plan additionally recomputes each
+      // pair's 32-permutation signature agreement (the SAME
+      // hash-once-then-per-seed family the LSH index uses) and
+      // certifies in-plan that the corpus-wide weighted mean estimate
+      // sits within 50 milli of the exact mean (sig_ok; per-pair σ ≈
+      // 68 milli at J≈0.8, so the aggregate bound is many σ at any
+      // real pair count — and selection bias from banding is
+      // negligible here because P[band-miss at J ≥ 0.8] ≈ 1e-7, i.e.
+      // conditioning on candidacy selects essentially all pairs).
+      // Shape: the pair frame is the persisted artifact; signatures
+      // are recomputed only for PAIR-MEMBER docs (a semi-join keeps the
+      // shingle scan but drops the signature agg to pair scale), and
+      // every join after that is pair-scale.
+      val p = minhashPairsShared(s, d)
+      val jb = p.select(col("i"), col("j"),
+        expr("CAST(ROUND(jac * 1000) AS BIGINT)").as("jm"))
+      val ids = jb.select(col("i").as("doc_id"))
+        .union(jb.select(col("j").as("doc_id"))).distinct()
+      val sig = minhashSignatures(
+        shingled(s, d).join(broadcast(ids), Seq("doc_id"), "left_semi"))
+      val sigI = sig.select(col("doc_id").as("i") +:
+        (0 until 32).map(k => col(s"s$k").as(s"a$k")): _*)
+      val sigJ = sig.select(col("doc_id").as("j") +:
+        (0 until 32).map(k => col(s"s$k").as(s"b$k")): _*)
+      val est = jb.join(sigI, "i").join(sigJ, "j")
+        .withColumn("n_agree",
+          (0 until 32).map(k =>
+            when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("em", expr("(1000 * n_agree) div 32"))
+      val b = est.groupBy(expr("jm div 50").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("jm").as("sum_jac_milli"), sum("em").as("sum_est"))
+      val tot = b.agg(sum("sum_jac_milli").as("tj"), sum("sum_est").as("te"),
+        sum("n_pairs").as("tn"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_pairs"), col("sum_jac_milli"),
+          expr("sum_jac_milli div n_pairs").as("mean_jac_milli"),
+          (abs(col("tj") - col("te")) <= lit(50) * col("tn")).as("sig_ok"))
+        .orderBy("bucket")
+    },
+
     Q("q_dedup_threshold_sweep",
       s"""WITH $ShingleOverlapCtes
          |SELECT CAST((10 * inter) // (a.n + b.n - inter) AS INT) AS bucket,

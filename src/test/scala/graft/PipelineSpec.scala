@@ -1418,4 +1418,15 @@ class PipelineSpec extends GraftSuite {
       assert(r.getInt(3) == want.head, s"vec ${r.getLong(0)}: cellCol != probe #1")
     }
   }
+
+  test("minhash signature estimate certifies against exact jaccard at a third SF") {
+    val got = SparkEntry.queries("q_dedup_sig_estimate")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.nonEmpty)
+    got.foreach { t =>
+      assert(t._5, t.toString) // the corpus-wide weighted-mean bound holds
+      // buckets are 0.05-wide milli slices of [0.8, 1.0]
+      assert(t._1 >= 16 && t._1 <= 20 && t._4 / 50 == t._1, t.toString)
+    }
+  }
 }
