@@ -3999,6 +3999,67 @@ object PipelineQueries {
 
     // --- heavy hitters: Misra-Gries sketch + exact recount of the
     // candidate set (two passes, bounded memory) -------------------------
+    // --- Zipf power-law fit over the vocabulary ---------------------------
+    Q("q_text_zipf",
+      """WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1),
+        |r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rk,
+        |        cnt FROM v),
+        |x AS (SELECT rk, cnt,
+        |        CAST(ROUND(LN(rk) * 1e9) AS BIGINT) AS lx,
+        |        CAST(ROUND(LN(cnt) * 1e9) AS BIGINT) AS ly
+        |      FROM r WHERE rk <= 500),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(lx AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(SUM(CAST(ly AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+        |        CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        |      FROM x)
+        |SELECT n AS n_ranks,
+        |  CAST((1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT)
+        |    AS slope_milli,
+        |  (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) BETWEEN -2000 AND -200
+        |    AS zipfian
+        |FROM m""".stripMargin) { (s, d) =>
+      // Corpus-language health check: natural text obeys Zipf's law
+      // (freq ∝ rank^−s, s ≈ 1), and departures are diagnostic —
+      // s → 0 flags synthetic/template floods (flat vocabulary), very
+      // steep s flags boilerplate domination. The fit is the classic
+      // log-log least-squares slope over the top-500 ranks, rendered
+      // with NO cross-engine float hazard: each ln term is integerized
+      // to nano units BEFORE any sum (the psi_nano convention — both
+      // engines' ln agree orders of magnitude past 1e-9), every moment
+      // is then an exact HUGEINT/DECIMAL(38) integer sum (products
+      // reach ~1e20, summed ~1e23, n·Σ ~ 1e26 — far past BIGINT, the
+      // d_milli lift), and the slope is one exact integer division to
+      // milli. Shape: the two-phase vocab count collapses map-side;
+      // the regression runs on a 500-row frame (top-k via
+      // TakeOrdered, not a global sort). At 100 TB the vocab groupBy
+      // is the heavy stage — or swap in the CMS/MG sketch tier when
+      // point exactness of the tail doesn't matter; ranks 1-500 are
+      // heavy hitters, exactly what Misra-Gries certifies.
+      val v = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val r = v.orderBy(col("cnt").desc, col("token")).limit(500)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      val x = r.select(
+        expr("CAST(ROUND(LN(rk) * 1e9) AS BIGINT)").as("lx"),
+        expr("CAST(ROUND(LN(cnt) * 1e9) AS BIGINT)").as("ly"))
+      x.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(lx AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(ly AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
+          sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
+        .select(col("n").as("n_ranks"),
+          expr("CAST((1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)")
+            .as("slope_milli"),
+          expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)" +
+            " BETWEEN -2000 AND -200").as("zipfian"))
+    },
+
     // --- Count-Min point-frequency counter (certified) -------------------
     Q("q_text_cms_counts",
       """WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

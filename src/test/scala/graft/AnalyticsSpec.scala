@@ -464,6 +464,35 @@ class AnalyticsSpec extends GraftSuite {
     assert(devs.map(_._4).sum == 0)
   }
 
+  test("zipf fit equals a from-scratch BigInt regression; exact power law fits at -1") {
+    val got = SparkEntry.queries("q_text_zipf")(spark, sf).collect()(0)
+    val toks = Tables.df(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.explode(split(col("text"), " ")).as("t"))
+      .collect().map(_.getString(0))
+    val top = toks.groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.take(500)
+    def nano(x: Double) = BigInt(math.round(math.log(x) * 1e9))
+    val pts = top.zipWithIndex.map { case ((_, c), i) => (nano(i + 1.0), nano(c.toDouble)) }
+    val n = BigInt(pts.length)
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slope = (BigInt(1000) * (n * sxy - sx * sy)) / (n * sxx - sx * sx)
+    assert((got.getLong(0), got.getLong(1), got.getBoolean(2)) ==
+      ((pts.length.toLong, slope.toLong, slope >= -2000 && slope <= -200)))
+    // an exact rank^-1 law must fit at slope ~ -1000 milli
+    val s = spark
+    import s.implicits._
+    val ideal = (1 to 500).flatMap(r => Seq.fill(math.max(100000 / r, 1))(s"w$r"))
+    val df = ideal.toDF("text").selectExpr("1L AS doc_id", "text",
+      "'en' AS lang", "'src0' AS source", "CAST(length(text) AS LONG) AS n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val z = SparkEntry.queries("q_text_zipf")(spark, dir).collect()(0)
+    assert(math.abs(z.getLong(1) + 1000L) <= 20, s"ideal zipf slope: ${z.getLong(1)}")
+    assert(z.getBoolean(2))
+  }
+
   test("cms counter: certified at a third SF; never undercounts a synthetic zipf stream") {
     val s = spark
     import s.implicits._
