@@ -4060,6 +4060,94 @@ object PipelineQueries {
             " BETWEEN -2000 AND -200").as("zipfian"))
     },
 
+    // --- Heaps' law: vocabulary growth across corpus prefixes -------------
+    Q("q_text_heaps",
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dn AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM tk),
+        |rk AS (SELECT doc_id, nt, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM dn),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dn),
+        |cut AS (SELECT CAST(ks.k AS INT) AS k, rk.doc_id AS cd
+        |        FROM (SELECT unnest(range(1, 11)) AS k) ks, nd
+        |        JOIN rk ON rk.rn = (ks.k * nd.nd) // 10),
+        |tok AS (SELECT doc_id, unnest(w) AS token FROM tk),
+        |ft AS (SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY 1),
+        |v AS (SELECT cut.k,
+        |        (SELECT CAST(SUM(nt) AS BIGINT) FROM dn WHERE doc_id <= cut.cd)
+        |          AS n_tokens_prefix,
+        |        (SELECT CAST(COUNT(*) AS BIGINT) FROM ft WHERE fd <= cut.cd)
+        |          AS vocab_prefix
+        |      FROM cut),
+        |x AS (SELECT k, n_tokens_prefix, vocab_prefix,
+        |        CAST(ROUND(LN(n_tokens_prefix) * 1e9) AS BIGINT) AS lx,
+        |        CAST(ROUND(LN(vocab_prefix) * 1e9) AS BIGINT) AS ly
+        |      FROM v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CAST(lx AS HUGEINT)) AS HUGEINT) AS sx,
+        |        CAST(SUM(CAST(ly AS HUGEINT)) AS HUGEINT) AS sy,
+        |        CAST(SUM(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+        |        CAST(SUM(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+        |      FROM x)
+        |SELECT x.k, x.n_tokens_prefix, x.vocab_prefix,
+        |  CAST((1000 * (m.n * m.sxy - m.sx * m.sy))
+        |       // (m.n * m.sxx - m.sx * m.sx) AS BIGINT) AS beta_milli,
+        |  (1000 * (m.n * m.sxy - m.sx * m.sy))
+        |    // (m.n * m.sxx - m.sx * m.sx) BETWEEN 1 AND 999 AS heaps_ok
+        |FROM x, m ORDER BY x.k""".stripMargin) { (s, d) =>
+      // Zipf's companion law and the OTHER corpus-health diagnostic:
+      // vocabulary grows as V ∝ N^β with β ∈ (0, 1) for natural text —
+      // β → 1 means the corpus never repeats itself (random strings, id
+      // floods: a tokenizer trained on it will thrash), β near 0 means
+      // the corpus is saturated template text. Measured on the 10
+      // doc_id-ordered corpus prefixes: prefix boundaries are the exact
+      // k·n/10-th order statistics of doc_id, a token's first
+      // occurrence is MIN(doc_id) — an order-free aggregate, no
+      // per-prefix re-scan — and V(k)/N(k) come from one vocab-scale ×
+      // 10-cutoff broadcast comparison. β is the same nano-integerized
+      // log-log regression as q_text_zipf (every ln term an integer
+      // BEFORE summing; exact DECIMAL(38)/HUGEINT moments; one integer
+      // division to milli). The rank window runs over the distinct-doc
+      // frame (the documented low-cardinality caveat; the
+      // q_cur_token_budget two-pass is the 100 TB spelling), and the 10
+      // cutoffs are bounded driver model state.
+      val dn = t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      Qh.materializedWith(dn) {
+        val nd = dn.count()
+        val ks = (1 to 10).map(k => k.toLong * nd / 10)
+        val wN = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cuts = dn.withColumn("rn", count(lit(1)).over(wN))
+          .filter(col("rn").isin(ks: _*))
+          .select("rn", "doc_id").collect()
+          .map(r => (ks.indexOf(r.getLong(0)) + 1, r.getLong(1)))
+        val s2 = s
+        import s2.implicits._
+        val cutDf = broadcast(cuts.toSeq.toDF("k", "cd"))
+        val ft = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(min("doc_id").as("fd"))
+        val vk = ft.crossJoin(cutDf).filter(col("fd") <= col("cd"))
+          .groupBy("k").agg(count(lit(1)).as("vocab_prefix"))
+        val nk = dn.crossJoin(cutDf).filter(col("doc_id") <= col("cd"))
+          .groupBy("k").agg(sum("nt").as("n_tokens_prefix"))
+        val x = nk.join(vk, "k")
+          .withColumn("lx", expr("CAST(ROUND(LN(n_tokens_prefix) * 1e9) AS BIGINT)"))
+          .withColumn("ly", expr("CAST(ROUND(LN(vocab_prefix) * 1e9) AS BIGINT)"))
+        val m = x.agg(count(lit(1)).as("n"),
+          sum(expr("CAST(lx AS DECIMAL(38,0))")).as("sx"),
+          sum(expr("CAST(ly AS DECIMAL(38,0))")).as("sy"),
+          sum(expr("CAST(lx AS DECIMAL(38,0)) * ly")).as("sxy"),
+          sum(expr("CAST(lx AS DECIMAL(38,0)) * lx")).as("sxx"))
+        x.crossJoin(broadcast(m))
+          .select(col("k"), col("n_tokens_prefix"), col("vocab_prefix"),
+            expr("CAST((1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)")
+              .as("beta_milli"),
+            expr("(1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)" +
+              " BETWEEN 1 AND 999").as("heaps_ok"))
+          .orderBy("k")
+      }
+    },
+
     // --- Count-Min point-frequency counter (certified) -------------------
     Q("q_text_cms_counts",
       """WITH v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -493,6 +493,33 @@ class AnalyticsSpec extends GraftSuite {
     assert(z.getBoolean(2))
   }
 
+  test("heaps fit equals a from-scratch prefix recount; vocabulary growth is monotone") {
+    val got = SparkEntry.queries("q_text_heaps")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(got.map(_._1).toSeq == (1 to 10))
+    val docs = Tables.df(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1))).sortBy(_._1)
+    val nd = docs.length
+    val pts = (1 to 10).map { k =>
+      val prefix = docs.take(k * nd / 10)
+      (prefix.map(_._2.length.toLong).sum, prefix.flatMap(_._2).distinct.length.toLong)
+    }
+    got.zip(pts).foreach { case (g, (n, v)) =>
+      assert((g._2, g._3) == ((n, v)), s"k=${g._1}")
+    }
+    def nano(x: Double) = BigInt(math.round(math.log(x) * 1e9))
+    val xy = pts.map { case (n, v) => (nano(n.toDouble), nano(v.toDouble)) }
+    val nn = BigInt(10)
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxy, sxx) = (xy.map(p => p._1 * p._2).sum, xy.map(p => p._1 * p._1).sum)
+    val beta = (BigInt(1000) * (nn * sxy - sx * sy)) / (nn * sxx - sx * sx)
+    got.foreach(g => assert(g._4 == beta.toLong && g._5 == (beta >= 1 && beta <= 999)))
+    // prefixes nest, so both token and vocab counts are monotone
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.toSeq)
+  }
+
   test("cms counter: certified at a third SF; never undercounts a synthetic zipf stream") {
     val s = spark
     import s.implicits._
