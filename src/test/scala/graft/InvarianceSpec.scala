@@ -91,9 +91,21 @@ class InvarianceSpec extends GraftSuite {
     "q_text_cms_counts",    // round 11: CMS partials merge elementwise —
                             //   estimates identical at any layout; probe
                             //   set is a total order
-    "q_cur_shard_manifest") // round 11: prefix-sum shard assignment +
+    "q_cur_shard_manifest", // round 11: prefix-sum shard assignment +
                             //   modular fingerprints must be identical
                             //   at any partition count
+    "q_dedup_sig_estimate", // round 11: per-seed min-hash signatures and
+                            //   integer moments across merge orders
+    "q_text_zipf",          // round 11: nano-integerized regression
+                            //   moments must be merge-order-free
+    "q_text_heaps",         // round 11: order-statistic cutoffs +
+                            //   first-occurrence MIN aggregate across
+                            //   layouts
+    "q_agg_jackknife",      // round 11: LOO integer means + exact
+                            //   squared-deviation sums at any
+                            //   parallelism
+    "q_events_active_incremental") // round 11: stored sketch readback +
+                            //   delta union across layouts
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
