@@ -4060,6 +4060,47 @@ object PipelineQueries {
             " BETWEEN -2000 AND -200").as("zipfian"))
     },
 
+    // --- Good-Turing unseen-mass coverage ---------------------------------
+    Q("q_text_coverage",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |v AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST((1000000 * SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))
+        |    // SUM(cnt) AS BIGINT) AS unseen_ppm
+        |FROM v GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      // Good-Turing coverage — "how much of this source's vocabulary
+      // have we NOT seen yet?" The Turing estimator says the
+      // probability the NEXT token is novel ≈ N₁/N (the singleton
+      // share), which is the sampling-coverage diagnostic behind
+      // crawl-scheduling decisions (a source with high unseen mass
+      // rewards more crawling; one near zero is exhausted) and the
+      // quantity Heaps' β integrates over time. Reported per source
+      // with the raw frequency-of-frequency counts (N₁, N₂ — the
+      // inputs any Simple-Good-Turing smoother needs downstream) in
+      // EXACT integers: one (source, token) two-phase count, one
+      // source-level rollup, ppm by floor division — nothing floats.
+      // Shape: the same two-phase economics as q_text_vocab; the
+      // frequency-of-frequency rollup collapses map-side to
+      // |sources| rows.
+      val v = t(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+      v.groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("n2"),
+          expr("(1000000 * sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END))" +
+            " div sum(cnt)").as("unseen_ppm"))
+        .orderBy("source")
+    },
+
     // --- Heaps' law: vocabulary growth across corpus prefixes -------------
     Q("q_text_heaps",
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -493,6 +493,26 @@ class AnalyticsSpec extends GraftSuite {
     assert(z.getBoolean(2))
   }
 
+  test("coverage equals a from-scratch frequency-of-frequency recount per source") {
+    val got = SparkEntry.queries("q_text_coverage")(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val bySrc = Tables.df(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, docs) =>
+      val cnts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map(_._2.length.toLong).toSeq
+      val (n, n1) = (cnts.sum, cnts.count(_ == 1).toLong)
+      assert(got(src) == ((n, cnts.length.toLong, n1,
+        cnts.count(_ == 2).toLong, 1000000L * n1 / n)), src)
+    }
+    // the Turing bound: unseen mass is a probability share, under 1e6 ppm
+    got.values.foreach(v => assert(v._5 >= 0 && v._5 <= 1000000L))
+  }
+
   test("heaps fit equals a from-scratch prefix recount; vocabulary growth is monotone") {
     val got = SparkEntry.queries("q_text_heaps")(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
