@@ -839,13 +839,45 @@ object PipelineQueries {
     * source-table version. No data is read; at 100 TB this is one
     * file-listing the scan does anyway. */
   private def tableFingerprint(d: String, table: String): String = {
+    // Local-FS walk BY DESIGN: the gate corpus is local parquet, and the
+    // signature needs only (relative path, size, mtime) per data file. A
+    // non-local deployment would key the same signature off a Hadoop
+    // FileSystem.listFiles walk. Fail loudly on a missing path — silently
+    // fingerprinting nothing would defeat the stale-artifact protection
+    // this exists to provide (serving pairs built from a corpus that has
+    // since moved). Recursive, so nested/Hive-partitioned table dirs
+    // fingerprint their real leaves, not just the top-level entries.
     val root = new java.io.File(s"$d/$table.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().filter(_.isFile).sortBy(_.getName).toSeq
-      else Seq(root)
-    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    require(root.exists,
+      s"tableFingerprint: ${root.getPath} does not exist (local-FS corpus expected)")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val files = walk(root)
+    require(files.nonEmpty, s"tableFingerprint: no data files under ${root.getPath}")
+    val sig = files
+      .map(f => s"${root.toPath.relativize(f.toPath)}:${f.length}:${f.lastModified}")
+      .mkString("|")
     java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
+  }
+
+  /** Delete superseded fingerprint-keyed artifact dirs (`<prefix><fp>` for
+    * fp ≠ the current one) under the cache dir. A stale dir can never be
+    * served again — its fingerprint no longer matches the corpus — so this
+    * is pure garbage collection; called under [[SourceQueries.materialize]]'s
+    * lock right after the current build commits, so a concurrent query in
+    * this JVM is always reading the surviving (current) dir. */
+  private def pruneStaleArtifacts(cacheBase: String, prefix: String, keep: String): Unit = {
+    val dir = new java.io.File(cacheBase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (dir.isDirectory)
+      dir.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
+        .foreach(rm)
   }
 
   private def corpusFingerprint(d: String): String = tableFingerprint(d, "documents")
@@ -866,6 +898,8 @@ object PipelineQueries {
   private[graft] def ensureLshIndex(s: SparkSession, d: String): String = {
     val base = s"${SourceQueries.cacheDir(d)}/lsh_idx3_${corpusFingerprint(d)}"
     SourceQueries.materialize(s"$base/commit") {
+      pruneStaleArtifacts(SourceQueries.cacheDir(d), "lsh_idx3_",
+        new java.io.File(base).getName)
       val sh = shingled(s, d).persist()
       try {
         val buckets = bandKeys(sh)
@@ -1704,8 +1738,9 @@ object PipelineQueries {
     Qh.materializedWith(keep: _*)(
       lv.crossJoin(broadcast(tot))
         .select(col("r"), col("n_pairs"),
-          expr("(1000 * n_pairs) div nt").as("reach_milli"),
-          (expr("(1000 * n_pairs) div nt") >= 900).as("at_eff_radius"),
+          expr("(CAST(1000 AS DECIMAL(38,0)) * n_pairs) div nt").as("reach_milli"),
+          (expr("(CAST(1000 AS DECIMAL(38,0)) * n_pairs) div nt") >= 900)
+            .as("at_eff_radius"),
           (abs(col("est") - col("n_pairs")) <= lit(0.1) * col("n_pairs"))
             .as("hll_ok"))
         .orderBy("r"))
@@ -1753,6 +1788,8 @@ object PipelineQueries {
   private[graft] def ensureDaySketches(s: SparkSession, d: String): String = {
     val base = s"${SourceQueries.cacheDir(d)}/dayhll_${tableFingerprint(d, "events")}"
     SourceQueries.materialize(s"$base/commit") {
+      pruneStaleArtifacts(SourceQueries.cacheDir(d), "dayhll_",
+        new java.io.File(base).getName)
       val ud = t(s, d, "events")
         .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
         .distinct().persist()
@@ -4157,10 +4194,19 @@ object PipelineQueries {
         val ks = (1 to 10).map(k => k.toLong * nd / 10)
         val wN = Window.orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cuts = dn.withColumn("rn", count(lit(1)).over(wN))
-          .filter(col("rn").isin(ks: _*))
+        val rankDoc = dn.withColumn("rn", count(lit(1)).over(wN))
+          .filter(col("rn").isin(ks.distinct: _*))
           .select("rn", "doc_id").collect()
-          .map(r => (ks.indexOf(r.getLong(0)) + 1, r.getLong(1)))
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // One cut PER k — the oracle's ks × rk join shape. On corpora
+        // with nd < 10 the k·nd/10 ranks collide (and k with cut rank 0
+        // drop out because no rn = 0 row exists); deriving each k's cut
+        // from the rank map reproduces exactly the oracle's one-row-per-
+        // joined-k behavior instead of labeling only the first k per
+        // duplicate rank.
+        val cuts = ks.zipWithIndex.collect {
+          case (rk, i) if rankDoc.contains(rk) => (i + 1, rankDoc(rk))
+        }
         val s2 = s
         import s2.implicits._
         val cutDf = broadcast(cuts.toSeq.toDF("k", "cd"))

@@ -108,14 +108,16 @@ object EventStreams {
     * (unbounded — Spark rejects distinct aggregates in streaming for
     * exactly this reason), while the HLL buffer is one 2^12-register
     * sketch per open day window regardless of user volume. Emits each
-    * finalized day once (append mode): (day, dau_est, heavy = est >
-    * threshold). The estimate is DETERMINISTIC (fixed-seed register
+    * finalized day once (append mode): (day_start, dau_est, heavy =
+    * est > heavyThreshold — the alerting flag a live DAU dashboard
+    * keys on). The estimate is DETERMINISTIC (fixed-seed register
     * hashing, order-insensitive unions), so StreamingSpec pins stream ≡
     * the identical batch expression AND within 10% of batch exact
     * distinct — the same certification the batch twin carries in-plan. */
   def dauSketch(
       events: DataFrame,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      heavyThreshold: Long = 1000L): DataFrame =
     events
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
@@ -123,6 +125,7 @@ object EventStreams {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("dau_est"))
       .select(col("window.start").as("day_start"),
         col("dau_est").cast("long").as("dau_est"))
+      .withColumn("heavy", col("dau_est") > lit(heavyThreshold))
 
   /** Hopping (sliding) window counts — the streaming twin of the batch
     * `q_events_hopping` catalog query: every event lands in

@@ -247,6 +247,10 @@ class StreamingSpec extends GraftSuite {
       q.processAllAvailable()
       val streamed = spark.sql("SELECT * FROM dau_sink ORDER BY day_start").collect()
         .map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      // the alerting flag is derived from the emitted estimate itself
+      assert(spark.sql("SELECT dau_est, heavy FROM dau_sink").collect()
+        .forall(r => r.getBoolean(1) == (r.getLong(0) > 1000L)),
+        "heavy must equal dau_est > heavyThreshold")
       // batch twin: the IDENTICAL expression over the static frame
       // (sketch estimates are deterministic), finalized days only
       val batch = EventStreams.dauSketch(evDf).orderBy("day_start").collect()
