@@ -114,6 +114,50 @@ class AnalyticsSpec extends GraftSuite {
     assert(got.contains("tie_hi") && !got.contains("tie_lo"))
   }
 
+  test("attribution is skew-capped: bot-day fixture matches brute force, " +
+      "prior-day candidates are pre-aggregated below the join") {
+    // Round-11 verdict watch item: a bot user with a 10⁴-touch day must
+    // not fan out per purchase. Purchases sit MID-day (so the same-day
+    // as-of leg matters: the day's max touch falls AFTER them and must
+    // not win) and on later days (so the prior-day pre-aggregated leg
+    // carries the day winner).
+    val s = spark
+    import s.implicits._
+    val base = 1700000000000L
+    val bot = for (i <- 0 until 10000) yield
+      (3L, base + i * 8000L, (100000 + i).toLong,
+        if (i % 2 == 0) "bot_click" else "bot_view", 0.0)
+    val purchases = Seq(
+      (3L, base + 43200000L, 900001L, "purchase", 7.0),  // mid-bot-day
+      (3L, base + 86400000L + 3600000L, 900002L, "purchase", 9.0), // day after
+      (3L, base + 3L * 86400000L, 900003L, "purchase", 11.0))
+    val evs = bot ++ purchases
+    val ev = evs.toDF("user_id", "ms", "event_id", "event_type", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+    val df = queries.PipelineQueries.lastTouchAttribution(ev)
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val brute = evs.filter(_._4 == "purchase").map { case (u, pts, _, _, v) =>
+      val cands = evs.filter(t => t._1 == u && t._4 != "purchase" &&
+        t._2 < pts && t._2 >= pts - 7L * 86400000L)
+      val touch = if (cands.isEmpty) "_organic"
+        else cands.maxBy(t => (t._2, t._3))._4
+      touch -> v
+    }.groupBy(_._1).map { case (k, vs) =>
+      k -> ((vs.size.toLong,
+        vs.map(x => BigDecimal(x._2).setScale(2)).sum.toDouble))
+    }
+    assert(got == brute, s"got=$got brute=$brute")
+    // Structural pin of the skew cap: at least one join in the optimized
+    // plan has the per-(user, day) candidate Aggregate BELOW it — the
+    // pre-aggregation runs before, not after, the purchase join.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.exists(_.children.exists(c =>
+        c.collectFirst { case a: Aggregate => a }.isDefined)),
+      "expected a pre-aggregated (per-user-day max touch) join side")
+  }
+
   test("duplicated-ngram fractions are consistent and symmetric across the dup relation") {
     val d = SparkEntry.queries("q_text_dup_ngram")(spark, sf).collect()
     d.foreach { r =>
