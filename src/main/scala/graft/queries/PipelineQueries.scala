@@ -898,8 +898,15 @@ object PipelineQueries {
       else Seq(f)
     val files = walk(root)
     require(files.nonEmpty, s"tableFingerprint: no data files under ${root.getPath}")
+    // Path component: relative to the table root for directory tables
+    // (unchanged format — existing artifact keys stay valid); a
+    // single-FILE table would relativize to the empty string, so fall
+    // back to its name to keep the component meaningful (round-12
+    // ADVICE). Deterministic either way.
+    def rel(f: java.io.File): String =
+      if (root.isFile) f.getName else root.toPath.relativize(f.toPath).toString
     val sig = files
-      .map(f => s"${root.toPath.relativize(f.toPath)}:${f.length}:${f.lastModified}")
+      .map(f => s"${rel(f)}:${f.length}:${f.lastModified}")
       .mkString("|")
     java.security.MessageDigest.getInstance("MD5").digest(sig.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
@@ -907,19 +914,34 @@ object PipelineQueries {
 
   /** Delete superseded fingerprint-keyed artifact dirs (`<prefix><fp>` for
     * fp ≠ the current one) under the cache dir. A stale dir can never be
-    * served again — its fingerprint no longer matches the corpus — so this
-    * is pure garbage collection; called under [[SourceQueries.materialize]]'s
-    * lock right after the current build commits, so a concurrent query in
-    * this JVM is always reading the surviving (current) dir. */
+    * KEYED again — its fingerprint no longer matches the corpus — so this
+    * is garbage collection; called under [[SourceQueries.materialize]]'s
+    * lock AFTER the current build's commit marker lands (round-12 ADVICE:
+    * it used to run before the write, contradicting this doc), so within
+    * this JVM any query that re-resolves the fingerprint reads the
+    * surviving (current) dir.
+    *
+    * CACHE CONTRACT (cross-process): the lock is JVM-local and readers
+    * hold no lock, so the `/tmp/graft_src` cache assumes ONE graft JVM
+    * at a time per corpus dir — the gate's serial reality. A second
+    * process racing this prune, or an in-flight lazy scan of a frame
+    * resolved before an in-place corpus rewrite, can have stale files
+    * deleted underneath it; the failure is LOUD (FileNotFound on read),
+    * never a silently-wrong result, because a pruned dir's fingerprint
+    * can no longer be served to a fresh resolution. An age guard skips
+    * dirs touched in the last 10 min so an overlapping build in another
+    * JVM is never reaped mid-write. */
   private def pruneStaleArtifacts(cacheBase: String, prefix: String, keep: String): Unit = {
     val dir = new java.io.File(cacheBase)
+    val graceMs = 10L * 60 * 1000
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
     if (dir.isDirectory)
       dir.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep
+          && f.lastModified < System.currentTimeMillis() - graceMs)
         .foreach(rm)
   }
 
@@ -941,8 +963,6 @@ object PipelineQueries {
   private[graft] def ensureLshIndex(s: SparkSession, d: String): String = {
     val base = s"${SourceQueries.cacheDir(d)}/lsh_idx3_${corpusFingerprint(d)}"
     SourceQueries.materialize(s"$base/commit") {
-      pruneStaleArtifacts(SourceQueries.cacheDir(d), "lsh_idx3_",
-        new java.io.File(base).getName)
       val sh = shingled(s, d).persist()
       try {
         val buckets = bandKeys(sh)
@@ -976,6 +996,10 @@ object PipelineQueries {
           .parquet(s"$base/pairs")
         s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$base/commit")
+        // GC superseded-fingerprint dirs only AFTER this build committed
+        // (still under materialize's lock — see the cache contract).
+        pruneStaleArtifacts(SourceQueries.cacheDir(d), "lsh_idx3_",
+          new java.io.File(base).getName)
       } finally sh.unpersist()
     }
     base
@@ -1831,8 +1855,6 @@ object PipelineQueries {
   private[graft] def ensureDaySketches(s: SparkSession, d: String): String = {
     val base = s"${SourceQueries.cacheDir(d)}/dayhll_${tableFingerprint(d, "events")}"
     SourceQueries.materialize(s"$base/commit") {
-      pruneStaleArtifacts(SourceQueries.cacheDir(d), "dayhll_",
-        new java.io.File(base).getName)
       val ud = t(s, d, "events")
         .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
         .distinct().persist()
@@ -1844,6 +1866,8 @@ object PipelineQueries {
           .parquet(s"$base/sketches")
         s.range(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$base/commit")
+        pruneStaleArtifacts(SourceQueries.cacheDir(d), "dayhll_",
+          new java.io.File(base).getName)
       } finally ud.unpersist()
     }
     base

@@ -148,14 +148,23 @@ class AnalyticsSpec extends GraftSuite {
         vs.map(x => BigDecimal(x._2).setScale(2)).sum.toDouble))
     }
     assert(got == brute, s"got=$got brute=$brute")
-    // Structural pin of the skew cap: at least one join in the optimized
-    // plan has the per-(user, day) candidate Aggregate BELOW it — the
-    // pre-aggregation runs before, not after, the purchase join.
+    // Structural pin of the skew cap: a join side must CONTAIN the
+    // per-(user, day) candidate Aggregate — i.e. an Aggregate grouping on
+    // exactly {tuid, tday} sits BELOW some join. The final rollup join
+    // also has an Aggregate child (groupBy event_id), so asserting "any
+    // Aggregate under any join" would pass even without the skew cap
+    // (round-12 ADVICE: vacuous) — pin the grouping KEYS instead, so a
+    // regression to post-join max_by aggregation fails here.
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    def isUserDayAgg(a: Aggregate): Boolean = {
+      val names = a.groupingExpressions.collect { case n: NamedExpression => n.name }
+      names.toSet == Set("tuid", "tday")
+    }
     assert(joins.exists(_.children.exists(c =>
-        c.collectFirst { case a: Aggregate => a }.isDefined)),
-      "expected a pre-aggregated (per-user-day max touch) join side")
+        c.collectFirst { case a: Aggregate if isUserDayAgg(a) => a }.isDefined)),
+      "expected the per-(tuid, tday) max-touch Aggregate below a join")
   }
 
   test("duplicated-ngram fractions are consistent and symmetric across the dup relation") {
