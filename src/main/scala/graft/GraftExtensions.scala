@@ -19,6 +19,13 @@ import org.apache.spark.sql.types.{BinaryType, DoubleType, LongType, StringType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL:2011 GROUPS window frames: Spark's parser lacks the frame mode,
+    // so a delegating parser rewrites the text into the proven dense_rank
+    // composition before parsing (graft.plans.GroupsFrames; the reference
+    // enum carries GROUPS, datafusion.proto:651-676). One regex probe per
+    // statement when no GROUPS frame is present.
+    ext.injectParser((_, delegate) => new graft.plans.GroupsFrameParser(delegate))
+
     def register(name: String, usage: String)(builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((
         FunctionIdentifier(name),

@@ -1,0 +1,274 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** SQL:2011 GROUPS window frames as a pre-parse text rewrite.
+  *
+  * Spark 4.1.2's parser has no GROUPS frame mode (the reference carries
+  * the enum — datafusion.proto:651-676 — though its own tests never
+  * exercise it), but GROUPS semantics compose exactly: `dense_rank()`
+  * over the same (partition, order) assigns each peer group one integer,
+  * and a RANGE frame over that integer counts GROUPS. q_window_groups_emul
+  * proved the composition against the DuckDB oracle; this rewrite makes
+  * the SQL TEXT spelling run verbatim —
+  *
+  * {{{
+  *   SELECT k, sum(v) OVER (PARTITION BY p ORDER BY k
+  *                          GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW)
+  *   FROM t  ORDER BY k
+  * }}}
+  *
+  * becomes
+  *
+  * {{{
+  *   SELECT k, sum(v) OVER (PARTITION BY p ORDER BY __gdr0
+  *                          RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+  *   FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k)
+  *           AS __gdr0 FROM t) __groups_rw
+  *   ORDER BY k
+  * }}}
+  *
+  * Scope (unsupported shapes fail LOUDLY with the reason — never parse
+  * to wrong semantics): GROUPS frames must sit in the OUTERMOST select
+  * list of a `SELECT ... FROM ...` block (an optional WITH prefix and an
+  * outer ORDER BY / LIMIT / OFFSET tail are fine); the block may not use
+  * DISTINCT, GROUP BY, HAVING, or set operations at top level, because
+  * `SELECT *` hoisting through those changes meaning. Bounds:
+  * UNBOUNDED/`n` PRECEDING, CURRENT ROW, `n` FOLLOWING/UNBOUNDED
+  * FOLLOWING — the full BETWEEN grid. The scanner is quote-aware
+  * (`'…'`, `"…"`, backticks) and paren-depth-aware, so identifiers or
+  * literals containing the keywords cannot confuse it.
+  *
+  * Wired into every Engine/wire-server session by
+  * [[graft.GraftExtensions]] via `injectParser` ([[GroupsFrameParser]]);
+  * plain sessions can call [[GroupsFrames.rewrite]] directly.
+  */
+object GroupsFrames {
+
+  /** Cheap guard: "GROUPS" only counts as a frame when followed by a
+    * frame token (BETWEEN / UNBOUNDED / CURRENT / a number) — `AS groups`
+    * stays an ordinary identifier. */
+  def hasGroupsFrame(sql: String): Boolean =
+    java.util.regex.Pattern
+      .compile("(?is)\\bGROUPS\\s+(BETWEEN|UNBOUNDED|CURRENT|\\d)")
+      .matcher(sql).find()
+
+  private def fail(why: String, sql: String): Nothing =
+    throw new IllegalArgumentException(
+      s"GROUPS-frame rewrite: unsupported statement shape ($why). " +
+        s"Supported: GROUPS frames in the outermost select list of a " +
+        s"SELECT ... FROM ... block (optional WITH prefix / trailing " +
+        s"ORDER BY / LIMIT), no top-level DISTINCT / GROUP BY / HAVING / " +
+        s"set ops. Statement: $sql")
+
+  /** Character classes the scanner treats as quote delimiters. Backslash
+    * escapes inside single quotes are honored; doubled quotes ('' "" )
+    * read as close-then-reopen, which is equivalent for depth purposes. */
+  private val Quotes = Set('\'', '"', '`')
+
+  /** Index of the char closing the quote opened at `i` (or end). */
+  private def skipQuote(s: String, i: Int): Int = {
+    val q = s.charAt(i)
+    var j = i + 1
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c == '\\' && q == '\'') j += 1
+      else if (c == q) return j
+      j += 1
+    }
+    s.length - 1
+  }
+
+  /** True when the paren opened at `open` starts a subquery (first token
+    * inside is SELECT) — those spans are OPAQUE to the scanner: a GROUPS
+    * frame inside one belongs to a different select block and must not
+    * be rewritten against this block's dense_rank column. */
+  private def startsSubquery(s: String, open: Int): Boolean = {
+    var j = open + 1
+    while (j < s.length && s.charAt(j).isWhitespace) j += 1
+    s.regionMatches(true, j, "SELECT", 0, 6) &&
+      (j + 6 >= s.length ||
+        (!s.charAt(j + 6).isLetterOrDigit && s.charAt(j + 6) != '_'))
+  }
+
+  /** Index of the ')' matching the '(' at `open`, quote-aware. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Quotes(c)) i = skipQuote(s, i)
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    s.length - 1 // unbalanced; the real parser will say so
+  }
+
+  /** Visit every character of THIS select block with its paren depth:
+    * quoted spans and subquery parens are skipped wholesale, so a
+    * visited position is guaranteed to belong to the outer statement,
+    * whatever its expression-paren depth (CAST(... OVER (...) ...)). */
+  private def scan(s: String)(f: (Int, Int) => Unit): Unit = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Quotes(c)) i = skipQuote(s, i)
+      else if (c == '(' && startsSubquery(s, i)) i = matchParen(s, i)
+      else if (c == '(') { f(i, depth); depth += 1 }
+      else if (c == ')') { depth -= 1; f(i, depth) }
+      else f(i, depth)
+      i += 1
+    }
+  }
+
+  /** Start indexes of word-boundary, case-insensitive `word` occurrences
+    * at paren depth 0, outside quotes and subqueries. `word` may be a
+    * regex fragment (multi-word keywords). */
+  private def topLevel(s: String, word: String): Seq[Int] =
+    keyword(s, word, topOnly = true)
+
+  /** Like [[topLevel]] but at ANY expression depth (still outside quotes
+    * and subqueries) — where OVER clauses live. */
+  private def visible(s: String, word: String): Seq[Int] =
+    keyword(s, word, topOnly = false)
+
+  private def keyword(s: String, word: String, topOnly: Boolean): Seq[Int] = {
+    val p = java.util.regex.Pattern.compile("(?is)\\b" + word + "\\b")
+    val m = p.matcher(s)
+    val starts = Seq.newBuilder[Int]
+    while (m.find()) starts += m.start()
+    val all = starts.result()
+    if (all.isEmpty) return Nil
+    val ok = scala.collection.mutable.Set[Int]()
+    val want = all.toSet
+    scan(s)((i, d) => if ((d == 0 || !topOnly) && want(i)) ok += i)
+    all.filter(ok)
+  }
+
+  private val BoundLo =
+    "(UNBOUNDED\\s+PRECEDING|\\d+\\s+PRECEDING|CURRENT\\s+ROW|\\d+\\s+FOLLOWING)"
+  private val BoundHi =
+    "(UNBOUNDED\\s+FOLLOWING|\\d+\\s+PRECEDING|CURRENT\\s+ROW|\\d+\\s+FOLLOWING)"
+  private val WindowBody = java.util.regex.Pattern.compile(
+    "(?is)^\\s*(?:PARTITION\\s+BY\\s+(.+?)\\s+)?ORDER\\s+BY\\s+(.+?)\\s*" +
+      "GROUPS\\s+BETWEEN\\s+" + BoundLo + "\\s+AND\\s+" + BoundHi + "\\s*$")
+
+  private case class Spec(partition: Option[String], order: String, alias: String)
+
+  /** Rewrite GROUPS frames into the dense_rank composition; identity for
+    * statements without a GROUPS frame. Throws on unsupported shapes. */
+  def rewrite(sql: String): String = {
+    if (!hasGroupsFrame(sql)) return sql
+    // WITH prefix: CTE bodies are parenthesized, so the statement's own
+    // SELECT is the first depth-0 one.
+    val selStarts = topLevel(sql, "SELECT")
+    if (selStarts.isEmpty) fail("no top-level SELECT", sql)
+    val prefix = sql.substring(0, selStarts.head)
+    val body = sql.substring(selStarts.head)
+
+    // Locate every `OVER (` span belonging to THIS select block (any
+    // expression depth — CAST(sum(x) OVER (...) AS ...) is typical —
+    // but never inside a subquery) and match its parens.
+    val overPat = java.util.regex.Pattern.compile("(?is)OVER\\s*\\(")
+    val overStarts = visible(body, "OVER").filter { i =>
+      val m = overPat.matcher(body); m.region(i, body.length); m.lookingAt()
+    }
+    // (start of OVER, open-paren index, close-paren index)
+    val spans = overStarts.map { i =>
+      val open = body.indexOf('(', i)
+      (i, open, matchParen(body, open))
+    }
+
+    val specs = scala.collection.mutable.LinkedHashMap[String, Spec]()
+    var rewrittenAny = false
+    val sb = new StringBuilder
+    var cursor = 0
+    spans.foreach { case (i, open, close) =>
+      val win = body.substring(open + 1, close)
+      if (hasGroupsFrame(win)) {
+        val m = WindowBody.matcher(win)
+        if (!m.matches())
+          fail("GROUPS frame window must be PARTITION BY ... ORDER BY ... " +
+            "GROUPS BETWEEN <bound> AND <bound>", sql)
+        val part = Option(m.group(1)).map(_.trim)
+        val order = m.group(2).trim
+        val (lo, hi) = (m.group(3).replaceAll("\\s+", " ").toUpperCase,
+          m.group(4).replaceAll("\\s+", " ").toUpperCase)
+        val key = part.map(_.toLowerCase.replaceAll("\\s+", " ")).getOrElse("") +
+          "|" + order.toLowerCase.replaceAll("\\s+", " ")
+        val spec = specs.getOrElseUpdate(key,
+          Spec(part, order, s"__gdr${specs.size}"))
+        sb.append(body.substring(cursor, i))
+        val partSql = spec.partition.map(p => s"PARTITION BY $p ").getOrElse("")
+        sb.append(s"OVER (${partSql}ORDER BY ${spec.alias} RANGE BETWEEN $lo AND $hi)")
+        cursor = close + 1
+        rewrittenAny = true
+      }
+    }
+    sb.append(body.substring(cursor))
+    if (!rewrittenAny)
+      fail("GROUPS frame not in the outermost select list", sql)
+    val newBody = sb.toString
+
+    // Statement surgery: SELECT <list> FROM <core> [ORDER BY/LIMIT tail].
+    val fromIdx = topLevel(newBody, "FROM").headOption
+      .getOrElse(fail("no top-level FROM", sql))
+    val selectPart = newBody.substring(0, fromIdx)
+    if (topLevel(selectPart, "DISTINCT").nonEmpty)
+      fail("SELECT DISTINCT with a GROUPS frame", sql)
+    val fromTail = newBody.substring(fromIdx + 4)
+    Seq("GROUP\\s+BY", "HAVING", "UNION", "INTERSECT", "EXCEPT", "WINDOW")
+      .foreach(k => if (topLevel(fromTail, k).nonEmpty)
+        fail(s"top-level ${k.replace("\\s+", " ")} with a GROUPS frame", sql))
+    val tailIdx = (topLevel(fromTail, "ORDER\\s+BY") ++
+      topLevel(fromTail, "LIMIT") ++ topLevel(fromTail, "OFFSET")).sorted.headOption
+    val (fromCore, outerTail) = tailIdx match {
+      case Some(ix) => (fromTail.substring(0, ix), fromTail.substring(ix))
+      case None     => (fromTail, "")
+    }
+    val ranks = specs.values.map { sp =>
+      val partSql = sp.partition.map(p => s"PARTITION BY $p ").getOrElse("")
+      s"DENSE_RANK() OVER (${partSql}ORDER BY ${sp.order}) AS ${sp.alias}"
+    }.mkString(", ")
+    val out = s"$prefix$selectPart FROM (SELECT *, $ranks FROM $fromCore) __groups_rw $outerTail"
+    if (hasGroupsFrame(out))
+      fail("GROUPS frame outside the outermost select list (subquery/CTE body)", sql)
+    out
+  }
+}
+
+/** Delegating [[ParserInterface]] that applies [[GroupsFrames.rewrite]]
+  * to statement text before the real parser sees it. Injected by
+  * [[graft.GraftExtensions]]; the `hasGroupsFrame` guard keeps the
+  * per-statement overhead to one regex probe. */
+class GroupsFrameParser(delegate: ParserInterface) extends ParserInterface {
+  private def rw(sqlText: String): String = GroupsFrames.rewrite(sqlText)
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(rw(sqlText))
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(rw(sqlText), ctx)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(rw(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

