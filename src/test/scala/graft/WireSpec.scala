@@ -66,6 +66,49 @@ class WireSpec extends GraftSuite with BeforeAndAfterAll {
     } finally conn.close()
   }
 
+  test("large SELECT streams incrementally: partition-batched jobs, bounded driver materialization") {
+    // The WireServer scale contract: a big result is served via
+    // incremental collect (toLocalIterator — one Spark job per partition
+    // as the client drains the cursor), never a single collect() that
+    // materializes everything on the driver. Observable signature over a
+    // real socket: draining N partitions of rows fires MULTIPLE jobs on
+    // the server session. A collect()-style operation would fire exactly
+    // one job before the first row arrives.
+    val nParts = 8
+    val nRows = 80000L
+    spark.sql("DROP TABLE IF EXISTS wire_big")
+    spark.range(0, nRows, 1, nParts).toDF("id")
+      .write.saveAsTable("wire_big") // persistent catalog: visible to wire sessions
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val conn = connect()
+    try {
+      val st = conn.createStatement()
+      st.setFetchSize(5000) // below the 10k server cap; forces many round trips
+      val rs = st.executeQuery("SELECT id FROM wire_big")
+      var n = 0L
+      var sum = 0L
+      while (rs.next()) { n += 1; sum += rs.getLong(1) }
+      st.close()
+      assert(n == nRows, s"drained $n rows")
+      assert(sum == nRows * (nRows - 1) / 2, "content intact across fetch batches")
+      // listener events are queued async; poll until they land
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (jobs.get() < 2 && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(jobs.get() >= 2,
+        s"expected partition-batched jobs (incremental collect), saw ${jobs.get()} — " +
+          "a single job means the server collect()ed the result on the driver")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      conn.close()
+      spark.sql("DROP TABLE IF EXISTS wire_big")
+    }
+  }
+
   test("remote join runs through the same Catalyst session surface") {
     val sql =
       """SELECT c.c_mktsegment, COUNT(*) AS n
