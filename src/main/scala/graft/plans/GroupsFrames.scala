@@ -166,9 +166,11 @@ object GroupsFrames {
   def rewrite(sql: String): String = {
     if (!hasGroupsFrame(sql)) return sql
     // WITH prefix: CTE bodies are parenthesized, so the statement's own
-    // SELECT is the first depth-0 one.
+    // SELECT is the first depth-0 one. No top-level SELECT at all (DDL,
+    // a comment that tripped the guard): nothing to rewrite — pass
+    // through, the real parser owns the statement.
     val selStarts = topLevel(sql, "SELECT")
-    if (selStarts.isEmpty) fail("no top-level SELECT", sql)
+    if (selStarts.isEmpty) return sql
     val prefix = sql.substring(0, selStarts.head)
     val body = sql.substring(selStarts.head)
 
@@ -212,8 +214,13 @@ object GroupsFrames {
       }
     }
     sb.append(body.substring(cursor))
-    if (!rewrittenAny)
-      fail("GROUPS frame not in the outermost select list", sql)
+    // No OVER clause of THIS select block carries a GROUPS frame: the
+    // token was an identifier ("WHERE groups BETWEEN 1 AND 5") or a
+    // frame buried in a subquery — pass through untouched and let the
+    // real parser accept the former / reject the latter with its own
+    // (loud) syntax error. Only statements we PARTIALLY rewrote may
+    // never fall through (checked after surgery below).
+    if (!rewrittenAny) return sql
     val newBody = sb.toString
 
     // Statement surgery: SELECT <list> FROM <core> [ORDER BY/LIMIT tail].

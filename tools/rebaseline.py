@@ -37,6 +37,7 @@ NEW_ROWS = {
     "q_cur_pack_stats": "round 11: packed-window manifest — per-window doc counts / segment resets / gap-free certification; per-doc explode into only overlapped windows + one seq_id agg",
     "q_cur_mad_outliers": "round 11: robust median/MAD outlier gate — exact integer order-stats on the value-distinct frame, one corpus count pass",
     "q_text_psi_bysource": "round 11: PSI drift matrix vs the reference source — hashed-256-bucket features, nano fixed-point terms on the model grid",
+    "q_window_groups_sql": "round 13: GROUPS frame in literal SQL text — GroupsFrames rewrite to the dense_rank composition (same plan shape as q_window_groups_emul: two window passes over one o_orderstatus shuffle)",
 }
 
 
