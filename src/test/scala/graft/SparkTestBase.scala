@@ -39,6 +39,19 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Targeted test-log hygiene (round-12 ADVICE #8): two categories of
+    // EXPECTED warnings drowned real ones in `sbt test` stderr (round-12
+    // count: 934 WindowExec "no partition defined" lines on the
+    // documented metadata-sized frames — k-row model grids, certified
+    // scalar rollups — whose single-partition shape PlanShapeSpec pins
+    // deliberately; 71 ResolveWriteToStream temp-checkpoint notices from
+    // StreamingSpec's intentionally-ephemeral sinks). Silence exactly
+    // those two loggers, TEST sessions only — Bench/Verify keep them.
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel("org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+    Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream", Level.ERROR)
     GraftMetrics.register(s)
     s
   }
