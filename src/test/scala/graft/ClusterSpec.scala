@@ -200,6 +200,57 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("a shuffle-heavy CATALOG query survives an executor SIGKILL mid-query with an exact result") {
+    // The round-12 verdict's literal done-criterion: not a synthetic RDD
+    // job but a real catalog query (TPC-H Q9 at the bench SF — the
+    // catalog's heaviest multi-join: lineitem ⋈ part ⋈ supplier ⋈ orders
+    // ⋈ nation with AQE re-planning between stages) killed mid-flight.
+    // On 2×2 cores the query runs tens of seconds, so the kill lands
+    // mid-query deterministically in practice; a ≤3-attempt retry loop
+    // absorbs the residual race (kills are recoverable).
+    waitForExecutors(2)
+    val sc = cs.sparkContext
+    val sfBench = "/root/testdata/sf0.1"
+    // expected: the same cluster, undisturbed (test 1 pins cluster ==
+    // single-JVM for catalog queries; this pins kill == no-kill)
+    val expected = SparkEntry.queries("q_tpch_q9")(cs, sfBench)
+      .collect().map(_.toString).sorted.toSeq
+    var attempt = 0
+    var disrupted = false
+    var got: Seq[String] = Nil
+    while (!disrupted && attempt < 3) {
+      attempt += 1
+      waitForExecutors(2)
+      val removed = new AtomicInteger(0)
+      @volatile var victim: String = null
+      val sawTask = new CountDownLatch(1)
+      val listener = new SparkListener {
+        override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+          if (e.taskInfo.successful && victim == null) {
+            victim = e.taskInfo.executorId; sawTask.countDown()
+          }
+        override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit =
+          removed.incrementAndGet(): Unit
+      }
+      sc.addSparkListener(listener)
+      try {
+        val killer = new Thread(() => {
+          if (sawTask.await(120, TimeUnit.SECONDS)) killExecutor(victim): Unit
+        }, s"cluster-spec-catalog-killer-$attempt")
+        killer.setDaemon(true)
+        killer.start()
+        got = SparkEntry.queries("q_tpch_q9")(cs, sfBench)
+          .collect().map(_.toString).sorted.toSeq
+        killer.join(5000)
+        assert(got == expected,
+          "catalog query result after executor kill differs from undisturbed run")
+        disrupted = removed.get() >= 1
+      } finally sc.removeSparkListener(listener)
+    }
+    assert(disrupted,
+      s"no executor was removed mid-query in $attempt attempts — the kill never landed")
+  }
+
   test("SIGKILL between map and reduce: FetchFailed triggers map-stage resubmission, result exact") {
     waitForExecutors(2)
     val sc = cs.sparkContext
