@@ -1155,6 +1155,44 @@ object PipelineQueries {
       .groupBy("token").agg(count(lit(1)).as("cnt"), first("n_total").as("n_total"))
   }
 
+  /** Self-sizing Misra-Gries top-k — the operational answer to the fixed-m
+    * query's loud "raise m" failure (the round-13 sf1 scale-up smoke hit
+    * exactly that: a 10×-vocabulary corpus where m=100 can no longer
+    * certify top-20). Try m, certify the exact recount, and on failure
+    * escalate m ×4 and re-sketch; certification is the same dual rule as
+    * q_text_heavy_hitters: (a) k rows returned and the kth recount clears
+    * N/(m+1) — the MG bound, so no dropped token can displace a returned
+    * one; or (b) zero corpus tokens outside the candidate set (candidates
+    * = whole vocabulary — the small-corpus regime). Each attempt is two
+    * bounded passes (m×partitions sketch shuffle + broadcast recount), so
+    * the total cost is ⌈log₄(m_final/m₀)⌉+1 sketch passes and memory stays
+    * O(m_final) — never a vocabulary-sized shuffle. Returns (exact top-k,
+    * the m that certified). Throws past mMax: certification never
+    * silently degrades to plausible-but-wrong. */
+  private[graft] def heavyHittersAdaptive(
+      toks: DataFrame, k: Int, m0: Int, mMax: Int): (DataFrame, Int) = {
+    var m = m0
+    while (m <= mMax) {
+      val rec = Qh.materializedWith()(heavyHittersRecount(toks, m))
+      val topk = rec.orderBy(col("cnt").desc, col("token")).limit(k)
+      val cert = topk.agg(count(lit(1)).as("k_rows"), min("cnt").as("kth"),
+        max("n_total").as("n_total")).collect()(0)
+      val certA = cert.getLong(0) == k.toLong &&
+        cert.getLong(1) * (m + 1) > cert.getLong(2)
+      def certB = toks
+        .join(broadcast(rec.select("token")), Seq("token"), "left_anti")
+        .agg(count(lit(1))).collect()(0).getLong(0) == 0L
+      if (certA || certB) return (topk.select("token", "cnt"), m)
+      System.err.println(
+        s"[graft] heavy-hitters: m=$m cannot certify top-$k, escalating to ${m * 4}")
+      m *= 4
+    }
+    throw new IllegalStateException(
+      s"heavyHittersAdaptive: top-$k uncertifiable even at m=$mMax — " +
+        "the frequency distribution is too flat for a sketch top-k; " +
+        "use the exact vocabulary rollup instead")
+  }
+
   private def minhashPairsFrom(sh: DataFrame, bucketCap: Int): DataFrame = {
     val bands = bandKeys(sh)
     // Bounded-at-the-map-side bucket materialization: partial buffers
@@ -4414,6 +4452,25 @@ object PipelineQueries {
             "result; raise m or lower k")
       }
       topk.select("token", "cnt")
+    },
+
+    Q("q_text_heavy_hitters_scaled",
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+      // The SCALE PATH for the row above: same two-pass MG shape, but m
+      // self-sizes — on a corpus whose vocabulary outgrows m=100 (the
+      // round-13 sf1 scale-up smoke: 10× vocabulary, q_text_heavy_hitters
+      // refuses loudly) this escalates m ×4 per uncertified attempt until
+      // the MG bound certifies the exact top-20, paying log₄ extra
+      // bounded sketch passes instead of ever shipping a vocabulary-sized
+      // shuffle or an uncertified answer. At the gate SFs it certifies at
+      // m₀ and costs exactly what q_text_heavy_hitters costs; PipelineSpec
+      // pins the escalation on an adversarial flat-tail fixture; the cap
+      // keeps pathological flat distributions loud, not infinite.
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      heavyHittersAdaptive(toks, k = 20, m0 = 100, mMax = 102400)._1
     },
 
     // --- tf·idf: top-3 characteristic terms per document ----------------

@@ -923,6 +923,33 @@ class PipelineSpec extends GraftSuite {
       s"expected the certification guard to fire, got: $e")
   }
 
+  test("adaptive heavy hitters escalates m until the MG bound certifies, then matches brute force") {
+    // The scale path for the loud failure above (and the round-13 sf1
+    // smoke's one failure): 30 hot tokens ×200 over a 10k-singleton
+    // tail. At m=2 the sketch can't even hold 20 candidates; at m=32
+    // the kth count (200) doesn't clear N/(m+1); only at m=128 does the
+    // MG bound certify (200·129 = 25 800 > N = 16 000) — so the helper
+    // must escalate exactly to 128 and the certified top-20 must equal
+    // a from-scratch brute-force count.
+    val s = spark
+    import s.implicits._
+    val hot = (0 until 30).flatMap(i => Seq.fill(200)(f"hot$i%02d"))
+    val cold = (0 until 10000).map(i => s"cold$i")
+    val toks = scala.util.Random.shuffle(hot ++ cold).toDF("token").repartition(4)
+    val (topk, m) = graft.queries.PipelineQueries.heavyHittersAdaptive(
+      toks, k = 20, m0 = 2, mMax = 1 << 20)
+    assert(m == 128, s"expected escalation 2 -> 8 -> 32 -> 128, certified at m=$m")
+    val got = topk.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val brute = (hot ++ cold).groupBy(identity).view
+      .map { case (t, vs) => (t, vs.size.toLong) }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(got == brute, s"got=$got")
+    // and past the cap it throws rather than serving uncertified results
+    val e = intercept[IllegalStateException](
+      graft.queries.PipelineQueries.heavyHittersAdaptive(toks, 20, 2, 8))
+    assert(e.getMessage.contains("uncertifiable"), e.getMessage)
+  }
+
   test("q_text_repetition signals equal per-doc Scala recounts") {
     def round9(x: Double): Double =
       BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
