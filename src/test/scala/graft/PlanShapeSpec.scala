@@ -44,6 +44,19 @@ class PlanShapeSpec extends GraftSuite {
     assert(!readSchema.contains("l_tax"), s"column pruning failed: $readSchema")
   }
 
+  test("q_window_groups_sql: the rewrite's dense_rank and GROUPS windows share ONE hash shuffle") {
+    // The GROUPS parser rewrite hoists a dense_rank subquery; a naive
+    // plan would shuffle on o_orderstatus twice (once per Window). Both
+    // windows share the partition key, so Catalyst must plan a single
+    // hashpartitioning exchange feeding both passes (the final ORDER BY
+    // adds its own rangepartitioning — that one is expected).
+    val p = plan("q_window_groups_sql")
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hashpartitioning exchange, found $hashEx:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 3,
+      s"expected three window passes (dense_rank + dr + grp_sum) over the one shuffle:\n$p")
+  }
+
   test("q_join_semi/anti compile to semi/anti hash joins, not inner+distinct") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
