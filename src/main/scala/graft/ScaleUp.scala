@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
   *    (n_chars is recomputed to stay consistent). doc_id shifts by
   *    10⁷ per replica, far above the +10⁶ delta-batch convention, and
   *    10⁷ % 10 = 0 keeps the `doc_id % 10` delta fraction at 1/10.
-  *  - `embeddings.embedding`: component 0 gets a tiny per-replica
-  *    offset so replicas aren't exact duplicate points (top-k would
-  *    otherwise be all ties); neighborhoods within a replica are
-  *    untouched.
+  *  - `embeddings.embedding`: replica r shifts by 10·r along axis r —
+  *    far beyond any within-replica distance (components are
+  *    sub-unit), so the replicas become N well-separated clusters,
+  *    each preserving the original neighborhood geometry, and every
+  *    top-k stays within its replica. A tiny jitter would instead
+  *    leave each vector's nearest neighbors = its own near-coincident
+  *    replica copies — a degenerate ANN workload (round-13 review
+  *    finding), the embedding analog of what verbatim text copies do
+  *    to dedup.
   *
   * Usage: `sbt "runMain graft.ScaleUp [srcDir dstDir reps]"`, defaults
   * `/root/testdata/sf0.1 /tmp/graft_sf1 10`; then
@@ -80,7 +85,7 @@ object ScaleUp {
       val base = shifted(t("embeddings"), r, "vec_id")
       if (r == 0) base
       else base.withColumn("embedding",
-        expr(s"transform(embedding, (x, i) -> IF(i = 0, CAST(x + ${r}e-3 AS FLOAT), x))"))
+        expr(s"transform(embedding, (x, i) -> IF(i = $r, CAST(x + ${10 * r}.0 AS FLOAT), x))"))
     }
     spark.stop()
   }

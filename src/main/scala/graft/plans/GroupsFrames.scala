@@ -83,25 +83,45 @@ object GroupsFrames {
     s.length - 1
   }
 
+  /** Index of the last char of the comment starting at `i`, or -1 when
+    * no comment starts there. `--` runs to end of line, bracketed
+    * comments to the closing `*`/`/` — an apostrophe inside either
+    * ("-- user's total") must not open a phantom quote. */
+  private def skipComment(s: String, i: Int): Int = {
+    if (s.startsWith("--", i)) {
+      val nl = s.indexOf('\n', i)
+      if (nl < 0) s.length - 1 else nl
+    } else if (s.startsWith("/*", i)) {
+      val end = s.indexOf("*/", i + 2)
+      if (end < 0) s.length - 1 else end + 1
+    } else -1
+  }
+
   /** True when the paren opened at `open` starts a subquery (first token
-    * inside is SELECT) — those spans are OPAQUE to the scanner: a GROUPS
-    * frame inside one belongs to a different select block and must not
-    * be rewritten against this block's dense_rank column. */
+    * inside is SELECT, or WITH — a parenthesized CTE'd derived table) —
+    * those spans are OPAQUE to the scanner: a GROUPS frame inside one
+    * belongs to a different select block and must not be rewritten
+    * against this block's dense_rank column. */
   private def startsSubquery(s: String, open: Int): Boolean = {
     var j = open + 1
     while (j < s.length && s.charAt(j).isWhitespace) j += 1
-    s.regionMatches(true, j, "SELECT", 0, 6) &&
-      (j + 6 >= s.length ||
-        (!s.charAt(j + 6).isLetterOrDigit && s.charAt(j + 6) != '_'))
+    def tok(w: String): Boolean =
+      s.regionMatches(true, j, w, 0, w.length) &&
+        (j + w.length >= s.length ||
+          (!s.charAt(j + w.length).isLetterOrDigit && s.charAt(j + w.length) != '_'))
+    tok("SELECT") || tok("WITH")
   }
 
-  /** Index of the ')' matching the '(' at `open`, quote-aware. */
+  /** Index of the ')' matching the '(' at `open`, quote- and
+    * comment-aware. */
   private def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Quotes(c)) i = skipQuote(s, i)
+      val cm = skipComment(s, i)
+      if (cm >= 0) i = cm
+      else if (Quotes(c)) i = skipQuote(s, i)
       else if (c == '(') depth += 1
       else if (c == ')') { depth -= 1; if (depth == 0) return i }
       i += 1
@@ -110,15 +130,18 @@ object GroupsFrames {
   }
 
   /** Visit every character of THIS select block with its paren depth:
-    * quoted spans and subquery parens are skipped wholesale, so a
-    * visited position is guaranteed to belong to the outer statement,
-    * whatever its expression-paren depth (CAST(... OVER (...) ...)). */
+    * quoted spans, comments, and subquery parens are skipped wholesale,
+    * so a visited position is guaranteed to belong to the outer
+    * statement, whatever its expression-paren depth
+    * (CAST(... OVER (...) ...)). */
   private def scan(s: String)(f: (Int, Int) => Unit): Unit = {
     var depth = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (Quotes(c)) i = skipQuote(s, i)
+      val cm = skipComment(s, i)
+      if (cm >= 0) i = cm
+      else if (Quotes(c)) i = skipQuote(s, i)
       else if (c == '(' && startsSubquery(s, i)) i = matchParen(s, i)
       else if (c == '(') { f(i, depth); depth += 1 }
       else if (c == ')') { depth -= 1; f(i, depth) }
@@ -161,6 +184,20 @@ object GroupsFrames {
 
   private case class Spec(partition: Option[String], order: String, alias: String)
 
+  /** (start of OVER, open-paren index, close-paren index) for every OVER
+    * clause visible in this select block. */
+  private def overSpans(body: String): Seq[(Int, Int, Int)] = {
+    val overPat = java.util.regex.Pattern.compile("(?is)OVER\\s*\\(")
+    visible(body, "OVER")
+      .filter { i =>
+        val m = overPat.matcher(body); m.region(i, body.length); m.lookingAt()
+      }
+      .map { i =>
+        val open = body.indexOf('(', i)
+        (i, open, matchParen(body, open))
+      }
+  }
+
   /** Rewrite GROUPS frames into the dense_rank composition; identity for
     * statements without a GROUPS frame. Throws on unsupported shapes. */
   def rewrite(sql: String): String = {
@@ -177,15 +214,7 @@ object GroupsFrames {
     // Locate every `OVER (` span belonging to THIS select block (any
     // expression depth — CAST(sum(x) OVER (...) AS ...) is typical —
     // but never inside a subquery) and match its parens.
-    val overPat = java.util.regex.Pattern.compile("(?is)OVER\\s*\\(")
-    val overStarts = visible(body, "OVER").filter { i =>
-      val m = overPat.matcher(body); m.region(i, body.length); m.lookingAt()
-    }
-    // (start of OVER, open-paren index, close-paren index)
-    val spans = overStarts.map { i =>
-      val open = body.indexOf('(', i)
-      (i, open, matchParen(body, open))
-    }
+    val spans = overSpans(body)
 
     val specs = scala.collection.mutable.LinkedHashMap[String, Spec]()
     var rewrittenAny = false
@@ -243,9 +272,32 @@ object GroupsFrames {
       val partSql = sp.partition.map(p => s"PARTITION BY $p ").getOrElse("")
       s"DENSE_RANK() OVER (${partSql}ORDER BY ${sp.order}) AS ${sp.alias}"
     }.mkString(", ")
-    val out = s"$prefix$selectPart FROM (SELECT *, $ranks FROM $fromCore) __groups_rw $outerTail"
-    if (hasGroupsFrame(out))
-      fail("GROUPS frame outside the outermost select list (subquery/CTE body)", sql)
+    // Wrapper alias: hoisting FROM into a subquery hides the original
+    // relation's name, so `t.k` in the select list would stop resolving.
+    // For the common single-relation FROM, reuse its visible name
+    // (explicit alias if given, else the table name's last segment) as
+    // the wrapper alias — qualified references keep working. Joins /
+    // derived tables fall back to a synthetic alias; table-qualified
+    // references through THOSE are out of scope (Spark raises
+    // UNRESOLVED_COLUMN loudly).
+    val SingleRel = "(?is)^\\s*([\\w.]+)(?:\\s+(?:AS\\s+)?(\\w+))?\\s*$".r
+    val relPart = topLevel(fromCore, "WHERE").headOption
+      .map(fromCore.substring(0, _)).getOrElse(fromCore)
+    val wrapAlias = relPart match {
+      case SingleRel(tbl, alias) =>
+        Option(alias).getOrElse(tbl.split('.').last)
+      case _ => "__groups_rw"
+    }
+    val out = s"$prefix$selectPart FROM (SELECT *, $ranks FROM $fromCore) $wrapAlias $outerTail"
+    // A GROUPS frame surviving in a VISIBLE OVER clause of the output
+    // means the surgery left work behind — fail loudly. (Plain
+    // `hasGroupsFrame(out)` would false-positive on an identifier named
+    // `groups` next to BETWEEN elsewhere in the statement; buried
+    // subquery frames pass through for the real parser to reject.)
+    val leftover = overSpans(out.substring(selStarts.head))
+      .exists { case (_, o, c) => hasGroupsFrame(out.substring(o + 1, c)) }
+    if (leftover)
+      fail("GROUPS frame left unrewritten after surgery", sql)
     out
   }
 }

@@ -928,20 +928,31 @@ object PipelineQueries {
     * resolved before an in-place corpus rewrite, can have stale files
     * deleted underneath it; the failure is LOUD (FileNotFound on read),
     * never a silently-wrong result, because a pruned dir's fingerprint
-    * can no longer be served to a fresh resolution. An age guard skips
-    * dirs touched in the last 10 min so an overlapping build in another
-    * JVM is never reaped mid-write. */
+    * can no longer be served to a fresh resolution. Eligibility per
+    * stale dir: a COMMITTED dir (its `commit/_SUCCESS` exists) prunes
+    * immediately — it can only ever be read, and a reader fails loudly;
+    * an UNCOMMITTED dir (in-flight build in another process, or crashed
+    * debris) prunes only when its RECURSIVELY newest mtime is older
+    * than the grace window, so a concurrent writer still flushing part
+    * files is never reaped mid-write and can never be left with a
+    * hole-y tree that later gains a valid commit marker (round-13
+    * review finding). */
   private def pruneStaleArtifacts(cacheBase: String, prefix: String, keep: String): Unit = {
     val dir = new java.io.File(cacheBase)
     val graceMs = 10L * 60 * 1000
+    val cutoff = System.currentTimeMillis() - graceMs
+    def newest(f: java.io.File): Long =
+      if (f.isDirectory)
+        (f.lastModified +: Option(f.listFiles()).getOrElse(Array.empty).map(newest).toSeq).max
+      else f.lastModified
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
     if (dir.isDirectory)
-      dir.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep
-          && f.lastModified < System.currentTimeMillis() - graceMs)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
+        .filter(f => new java.io.File(f, "commit/_SUCCESS").exists || newest(f) < cutoff)
         .foreach(rm)
   }
 
@@ -1188,9 +1199,12 @@ object PipelineQueries {
       m *= 4
     }
     throw new IllegalStateException(
-      s"heavyHittersAdaptive: top-$k uncertifiable even at m=$mMax — " +
-        "the frequency distribution is too flat for a sketch top-k; " +
-        "use the exact vocabulary rollup instead")
+      s"heavy hitters: MG sketch cannot certify exact top-$k even at m=$mMax " +
+        "(the kth candidate's count is within the N/(m+1) drop bound and " +
+        "tokens fell outside the candidate set — a dropped token could " +
+        "outrank the result, so serving it would be uncertified). " +
+        "Raise mMax or lower k; a distribution this flat wants the exact " +
+        "vocabulary rollup instead (top-k is uncertifiable by frequency sketch)")
   }
 
   private def minhashPairsFrom(sh: DataFrame, bucketCap: Int): DataFrame = {
@@ -4425,33 +4439,14 @@ object PipelineQueries {
       //     gate regime when the bound is too tight to certify) — else
       //     fail loudly. FunctionsSpec stress-tests the m < vocabulary
       //     regime and the error bound on adversarial streams.
-      val m = 100
+      // Fixed m by design: this row pins the "refuse loudly rather than
+      // serve uncertified" contract — m0 == mMax means heavyHittersAdaptive
+      // makes exactly one attempt and throws on failure (the sketch/
+      // recount/certify machinery is shared with the _scaled row below,
+      // so the certification rule can never drift between them).
       val toks = t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
-      // pass 2 once: the ≤m-row recount is checkpointed, so the top-20
-      // output and the certification scalars both read it without
-      // re-scanning the corpus
-      val rec = Qh.materializedWith()(heavyHittersRecount(toks, m))
-      val topk = rec.orderBy(col("cnt").desc, col("token")).limit(20)
-      val cert = topk
-        .agg(count(lit(1)).as("k_rows"), min("cnt").as("kth"), max("n_total").as("n_total"))
-        .collect()(0)
-      val certified = cert.getLong(0) == 20L &&
-        cert.getLong(1) * (m + 1) > cert.getLong(2)
-      if (!certified) {
-        val nUncand = toks
-          .join(broadcast(rec.select("token")), Seq("token"), "left_anti")
-          .agg(count(lit(1))).collect()(0).getLong(0)
-        // min/max are null on an empty recount — print them safely
-        def sc(i: Int): String = if (cert.isNullAt(i)) "-" else cert.getLong(i).toString
-        if (nUncand > 0) throw new IllegalStateException(
-          s"q_text_heavy_hitters: MG sketch (m=$m) cannot certify exact top-20: " +
-            s"${cert.getLong(0)} candidate rows, 20th count ${sc(1)} " +
-            s"<= N/(m+1) with N=${sc(2)}, and $nUncand tokens fell " +
-            "out of the candidate set — a dropped token could outrank the " +
-            "result; raise m or lower k")
-      }
-      topk.select("token", "cnt")
+      heavyHittersAdaptive(toks, k = 20, m0 = 100, mMax = 100)._1
     },
 
     Q("q_text_heavy_hitters_scaled",

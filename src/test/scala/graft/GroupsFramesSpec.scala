@@ -106,6 +106,46 @@ class GroupsFramesSpec extends GraftSuite {
     assert(e3.getMessage.contains("DISTINCT"), e3.getMessage)
   }
 
+  test("comments, qualified references, and mixed identifier+frame statements (review hardening)") {
+    fixture()
+    // (1) an apostrophe inside a line comment must not open a phantom
+    // quote that hides FROM from the scanner
+    val withComment = spark.sql(
+      """SELECT id, SUM(v) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s -- user's total
+        |FROM gf_t ORDER BY id""".stripMargin).collect()
+    assert(withComment.length == 7)
+    // (2) single-relation FROM keeps its visible name as the wrapper
+    // alias, so table-qualified references still resolve after hoisting
+    val qualified = spark.sql(
+      """SELECT gf_t.id, SUM(gf_t.v) OVER (ORDER BY gf_t.k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_t WHERE gf_t.k > 0 ORDER BY gf_t.id""".stripMargin).collect()
+    assert(qualified.length == 7)
+    // and with an explicit alias
+    val aliased = spark.sql(
+      """SELECT t.id, SUM(t.v) OVER (ORDER BY t.k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_t AS t ORDER BY t.id""".stripMargin).collect()
+    assert(aliased.length == 7)
+    // (3) a column named `groups` used with BETWEEN alongside a REAL
+    // GROUPS frame: the frame rewrites, the identifier must not trip the
+    // leftover-frame check
+    spark.sql("SELECT id, k, v, k AS groups FROM gf_t").createOrReplaceTempView("gf_g")
+    val mixed = spark.sql(
+      """SELECT id, SUM(v) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_g WHERE groups BETWEEN 1 AND 5 ORDER BY id""".stripMargin).collect()
+    assert(mixed.length == 7)
+    // (4) a parenthesized (WITH ... SELECT ...) derived table is opaque:
+    // its buried GROUPS frame passes through for Spark's parser to
+    // reject loudly — never rewritten against the outer block
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException](spark.sql(
+      """SELECT a FROM (WITH c AS (SELECT * FROM gf_t)
+        |  SELECT SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+        |  FROM c) d""".stripMargin))
+  }
+
   test("'groups' as an identifier is untouched; statements without GROUPS frames are identity") {
     val sql1 = "SELECT k AS groups, v FROM gf_t WHERE k > 0 ORDER BY groups"
     assert(GroupsFrames.rewrite(sql1) eq sql1) // identity, same instance
