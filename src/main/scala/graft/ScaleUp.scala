@@ -23,15 +23,20 @@ import org.apache.spark.sql.functions._
   *    (n_chars is recomputed to stay consistent). doc_id shifts by
   *    10⁷ per replica, far above the +10⁶ delta-batch convention, and
   *    10⁷ % 10 = 0 keeps the `doc_id % 10` delta fraction at 1/10.
-  *  - `embeddings.embedding`: replica r shifts by 10·r along axis r —
-  *    far beyond any within-replica distance (components are
-  *    sub-unit), so the replicas become N well-separated clusters,
-  *    each preserving the original neighborhood geometry, and every
-  *    top-k stays within its replica. A tiny jitter would instead
-  *    leave each vector's nearest neighbors = its own near-coincident
-  *    replica copies — a degenerate ANN workload (round-13 review
-  *    finding), the embedding analog of what verbatim text copies do
-  *    to dedup.
+  *  - `embeddings.embedding`: replica r CYCLICALLY ROTATES coordinates
+  *    by r positions. A coordinate rotation is orthogonal, so every
+  *    within-replica dot product, norm, L2 distance, AND cosine is
+  *    preserved exactly — the honest scale-up is 10× density in the
+  *    SAME space, not 10 far-apart copies. Two rejected alternatives
+  *    (round-13 review): a tiny jitter leaves each vector's neighbors
+  *    = its own near-coincident copies (degenerate L2 top-k), and a
+  *    large axis shift preserves L2 but drives within-replica COSINES
+  *    toward 1 and freezes hyperplane sign bits (degenerate
+  *    cosine/LSH workload). Rotation has neither failure: a vector and
+  *    its rotated twin correlate only at the embedding's lag-r
+  *    autocorrelation (small for real embeddings). Requires
+  *    reps ≤ dim (rotation by dim would be the identity — an exact
+  *    duplicate replica).
   *
   * Usage: `sbt "runMain graft.ScaleUp [srcDir dstDir reps]"`, defaults
   * `/root/testdata/sf0.1 /tmp/graft_sf1 10`; then
@@ -81,11 +86,14 @@ object ScaleUp {
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$r"))
         .withColumn("n_chars", length(col("text")))
     }
+    val dim = t("embeddings").selectExpr("size(embedding)").head().getInt(0)
+    require(reps <= dim,
+      s"reps=$reps > embedding dim $dim: replica $dim's rotation would be the identity")
     write("embeddings") { r =>
       val base = shifted(t("embeddings"), r, "vec_id")
       if (r == 0) base
       else base.withColumn("embedding",
-        expr(s"transform(embedding, (x, i) -> IF(i = $r, CAST(x + ${10 * r}.0 AS FLOAT), x))"))
+        expr(s"transform(embedding, (x, i) -> element_at(embedding, ((i + $r) % $dim) + 1))"))
     }
     spark.stop()
   }

@@ -104,7 +104,16 @@ object GroupsFrames {
     * against this block's dense_rank column. */
   private def startsSubquery(s: String, open: Int): Boolean = {
     var j = open + 1
-    while (j < s.length && s.charAt(j).isWhitespace) j += 1
+    // skip whitespace AND comments — "( /* hint */ SELECT ..." is still
+    // a subquery; the scanner is comment-aware everywhere else, so this
+    // probe must be too (round-13 review)
+    var moved = true
+    while (moved) {
+      moved = false
+      while (j < s.length && s.charAt(j).isWhitespace) { j += 1; moved = true }
+      val cm = if (j < s.length) skipComment(s, j) else -1
+      if (cm >= 0) { j = cm + 1; moved = true }
+    }
     def tok(w: String): Boolean =
       s.regionMatches(true, j, w, 0, w.length) &&
         (j + w.length >= s.length ||

@@ -1183,6 +1183,7 @@ object PipelineQueries {
   private[graft] def heavyHittersAdaptive(
       toks: DataFrame, k: Int, m0: Int, mMax: Int): (DataFrame, Int) = {
     var m = m0
+    var last = "" // diagnostics from the final failed attempt
     while (m <= mMax) {
       val rec = Qh.materializedWith()(heavyHittersRecount(toks, m))
       val topk = rec.orderBy(col("cnt").desc, col("token")).limit(k)
@@ -1190,21 +1191,31 @@ object PipelineQueries {
         max("n_total").as("n_total")).collect()(0)
       val certA = cert.getLong(0) == k.toLong &&
         cert.getLong(1) * (m + 1) > cert.getLong(2)
-      def certB = toks
+      // certB (candidates = whole vocabulary) is only POSSIBLE when the
+      // sketch came back unsaturated — a full m-entry map almost always
+      // means vocabulary > m. Gating the corpus-scan anti-join on that
+      // keeps each failed attempt at two corpus passes, not three; the
+      // one false negative (vocabulary exactly m, all retained) just
+      // escalates once more and certifies there.
+      val recCount = rec.count()
+      def certB = recCount < m && toks
         .join(broadcast(rec.select("token")), Seq("token"), "left_anti")
         .agg(count(lit(1))).collect()(0).getLong(0) == 0L
       if (certA || certB) return (topk.select("token", "cnt"), m)
-      System.err.println(
-        s"[graft] heavy-hitters: m=$m cannot certify top-$k, escalating to ${m * 4}")
+      def sc(i: Int): String = if (cert.isNullAt(i)) "-" else cert.getLong(i).toString
+      last = s"${sc(0)} candidate rows returned (sketch kept $recCount), " +
+        s"kth count ${sc(1)} <= N/(m+1) with N=${sc(2)}"
+      if (m * 4 <= mMax)
+        System.err.println(
+          s"[graft] heavy-hitters: m=$m cannot certify top-$k ($last), escalating to ${m * 4}")
       m *= 4
     }
     throw new IllegalStateException(
       s"heavy hitters: MG sketch cannot certify exact top-$k even at m=$mMax " +
-        "(the kth candidate's count is within the N/(m+1) drop bound and " +
-        "tokens fell outside the candidate set — a dropped token could " +
-        "outrank the result, so serving it would be uncertified). " +
-        "Raise mMax or lower k; a distribution this flat wants the exact " +
-        "vocabulary rollup instead (top-k is uncertifiable by frequency sketch)")
+        s"($last — a dropped token could outrank the result, so serving it " +
+        "would be uncertified). Raise mMax or lower k; a distribution this " +
+        "flat wants the exact vocabulary rollup instead (top-k is " +
+        "uncertifiable by frequency sketch)")
   }
 
   private def minhashPairsFrom(sh: DataFrame, bucketCap: Int): DataFrame = {

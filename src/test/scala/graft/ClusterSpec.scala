@@ -223,6 +223,7 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
       waitForExecutors(2)
       val removed = new AtomicInteger(0)
       @volatile var victim: String = null
+      @volatile var killedAt = 0L // nanos; 0 = kill never landed
       val sawTask = new CountDownLatch(1)
       val listener = new SparkListener {
         override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
@@ -235,16 +236,25 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
       sc.addSparkListener(listener)
       try {
         val killer = new Thread(() => {
-          if (sawTask.await(120, TimeUnit.SECONDS)) killExecutor(victim): Unit
+          if (sawTask.await(120, TimeUnit.SECONDS) && killExecutor(victim))
+            killedAt = System.nanoTime()
         }, s"cluster-spec-catalog-killer-$attempt")
         killer.setDaemon(true)
         killer.start()
         got = SparkEntry.queries("q_tpch_q9")(cs, sfBench)
           .collect().map(_.toString).sorted.toSeq
+        val doneAt = System.nanoTime()
         killer.join(5000)
         assert(got == expected,
           "catalog query result after executor kill differs from undisturbed run")
-        disrupted = removed.get() >= 1
+        // "mid-query" must mean mid-query: the SIGKILL completed BEFORE
+        // the collect returned (a kill landing after completion proves
+        // nothing), and the scheduler actually observed the loss — the
+        // removal event rides the async listener bus, so poll for it
+        // instead of reading the counter racily (round-13 review).
+        val deadline = System.nanoTime() + 15L * 1000000000L
+        while (removed.get() < 1 && System.nanoTime() < deadline) Thread.sleep(100)
+        disrupted = killedAt != 0 && killedAt < doneAt && removed.get() >= 1
       } finally sc.removeSparkListener(listener)
     }
     assert(disrupted,
