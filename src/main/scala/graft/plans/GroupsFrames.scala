@@ -33,11 +33,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * }}}
   *
   * Scope (unsupported shapes fail LOUDLY with the reason — never parse
-  * to wrong semantics): GROUPS frames must sit in the OUTERMOST select
-  * list of a `SELECT ... FROM ...` block (an optional WITH prefix and an
-  * outer ORDER BY / LIMIT / OFFSET tail are fine); the block may not use
-  * DISTINCT, GROUP BY, HAVING, or set operations at top level, because
-  * `SELECT *` hoisting through those changes meaning. Bounds:
+  * to wrong semantics): each `SELECT ... FROM ...` block is rewritten
+  * independently — the outermost statement AND, since round 14, every
+  * subquery / CTE body (the rewriter recurses into parenthesized
+  * SELECT/WITH spans before handling the outer block, so a GROUPS frame
+  * inside a CTE runs instead of refusing). Within the block that carries
+  * the frame: no DISTINCT, GROUP BY, HAVING, set operations, or star
+  * projection (`*` / `alias.*`) at top level, because `SELECT *` hoisting
+  * through those changes meaning (a star would silently absorb the
+  * synthetic `__gdr` rank columns). Bounds:
   * UNBOUNDED/`n` PRECEDING, CURRENT ROW, `n` FOLLOWING/UNBOUNDED
   * FOLLOWING — the full BETWEEN grid. The scanner is quote-aware
   * (`'…'`, `"…"`, backticks) and paren-depth-aware, so identifiers or
@@ -207,18 +211,50 @@ object GroupsFrames {
       }
   }
 
+  /** Pre-pass: recursively rewrite GROUPS frames inside every
+    * subquery/CTE-body paren (the spans [[scan]] treats as opaque), so a
+    * frame in a CTE body or derived table runs instead of refusing. Each
+    * parenthesized SELECT/WITH block is an independent statement with its
+    * own FROM, so [[rewrite]] applies to it verbatim; unsupported shapes
+    * inside still fail loudly through the recursive call. */
+  private def rewriteSubqueries(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val cm = skipComment(sql, i)
+      if (cm >= 0) { sb.append(sql.substring(i, cm + 1)); i = cm + 1 }
+      else if (Quotes(c)) {
+        val e = skipQuote(sql, i); sb.append(sql.substring(i, e + 1)); i = e + 1
+      } else if (c == '(' && startsSubquery(sql, i)) {
+        val close = matchParen(sql, i)
+        if (close < sql.length && sql.charAt(close) == ')') {
+          sb.append('(').append(rewrite(sql.substring(i + 1, close))).append(')')
+          i = close + 1
+        } else { // unbalanced — the real parser owns the error
+          sb.append(sql.substring(i)); i = sql.length
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Rewrite GROUPS frames into the dense_rank composition; identity for
-    * statements without a GROUPS frame. Throws on unsupported shapes. */
+    * statements without a GROUPS frame. Throws on unsupported shapes.
+    * Recurses into subquery and CTE-body select blocks first — each block
+    * is rewritten against its own dense_rank column — then handles the
+    * outermost block. */
   def rewrite(sql: String): String = {
     if (!hasGroupsFrame(sql)) return sql
+    val pre = rewriteSubqueries(sql)
     // WITH prefix: CTE bodies are parenthesized, so the statement's own
     // SELECT is the first depth-0 one. No top-level SELECT at all (DDL,
     // a comment that tripped the guard): nothing to rewrite — pass
     // through, the real parser owns the statement.
-    val selStarts = topLevel(sql, "SELECT")
-    if (selStarts.isEmpty) return sql
-    val prefix = sql.substring(0, selStarts.head)
-    val body = sql.substring(selStarts.head)
+    val selStarts = topLevel(pre, "SELECT")
+    if (selStarts.isEmpty) return pre
+    val prefix = pre.substring(0, selStarts.head)
+    val body = pre.substring(selStarts.head)
 
     // Locate every `OVER (` span belonging to THIS select block (any
     // expression depth — CAST(sum(x) OVER (...) AS ...) is typical —
@@ -253,12 +289,12 @@ object GroupsFrames {
     }
     sb.append(body.substring(cursor))
     // No OVER clause of THIS select block carries a GROUPS frame: the
-    // token was an identifier ("WHERE groups BETWEEN 1 AND 5") or a
-    // frame buried in a subquery — pass through untouched and let the
-    // real parser accept the former / reject the latter with its own
-    // (loud) syntax error. Only statements we PARTIALLY rewrote may
+    // token was an identifier ("WHERE groups BETWEEN 1 AND 5"), or the
+    // frames all lived in subqueries/CTE bodies and the pre-pass already
+    // rewrote them — return the pre-pass text and let the real parser
+    // own whatever remains. Only statements we PARTIALLY rewrote may
     // never fall through (checked after surgery below).
-    if (!rewrittenAny) return sql
+    if (!rewrittenAny) return pre
     val newBody = sb.toString
 
     // Statement surgery: SELECT <list> FROM <core> [ORDER BY/LIMIT tail].
@@ -267,6 +303,25 @@ object GroupsFrames {
     val selectPart = newBody.substring(0, fromIdx)
     if (topLevel(selectPart, "DISTINCT").nonEmpty)
       fail("SELECT DISTINCT with a GROUPS frame", sql)
+    // Star projections: the wrapper subquery appends synthetic __gdr
+    // columns, so a top-level `*` (or `alias.*`) would silently expand
+    // to include them — a schema change, violating the never-misparse
+    // contract. A projection star is a depth-0 `*` whose next visible
+    // depth-0 character is `,` or end-of-list; a multiplication star is
+    // always followed by an operand (`a * b`, `2 * (x+y)`).
+    var starProj = false
+    var prevWasStar = false
+    scan(selectPart) { (i, d) =>
+      val ch = selectPart.charAt(i)
+      if (!ch.isWhitespace) {
+        if (prevWasStar && ch == ',') starProj = true
+        prevWasStar = d == 0 && ch == '*'
+      }
+    }
+    if (starProj || prevWasStar) // trailing `*` = last select item
+      fail("star projection (`*` / `alias.*`) with a GROUPS frame — the " +
+        "rewrite wrapper adds synthetic __gdr columns that the star would " +
+        "silently absorb; list the columns explicitly", sql)
     val fromTail = newBody.substring(fromIdx + 4)
     Seq("GROUP\\s+BY", "HAVING", "UNION", "INTERSECT", "EXCEPT", "WINDOW")
       .foreach(k => if (topLevel(fromTail, k).nonEmpty)

@@ -1191,14 +1191,17 @@ object PipelineQueries {
         max("n_total").as("n_total")).collect()(0)
       val certA = cert.getLong(0) == k.toLong &&
         cert.getLong(1) * (m + 1) > cert.getLong(2)
-      // certB (candidates = whole vocabulary) is only POSSIBLE when the
-      // sketch came back unsaturated — a full m-entry map almost always
-      // means vocabulary > m. Gating the corpus-scan anti-join on that
-      // keeps each failed attempt at two corpus passes, not three; the
-      // one false negative (vocabulary exactly m, all retained) just
-      // escalates once more and certifies there.
+      // certB (candidates = whole vocabulary): gate the corpus-scan
+      // anti-join on the sketch coming back unsaturated (recCount < m —
+      // a full m-entry map almost always means vocabulary > m), so each
+      // failed attempt stays at two corpus passes, not three. BUT a
+      // saturated sketch can still be the whole vocabulary (vocab exactly
+      // m, all retained), so on the FINAL possible attempt (m*4 > mMax,
+      // which includes every fixed-m caller where m0 == mMax) the gate
+      // lifts: spending one extra pass there beats throwing on a corpus
+      // the anti-join can certify (round-13 ADVICE).
       val recCount = rec.count()
-      def certB = recCount < m && toks
+      def certB = (recCount < m || m.toLong * 4 > mMax) && toks
         .join(broadcast(rec.select("token")), Seq("token"), "left_anti")
         .agg(count(lit(1))).collect()(0).getLong(0) == 0L
       if (certA || certB) return (topk.select("token", "cnt"), m)

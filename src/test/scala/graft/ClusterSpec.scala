@@ -92,18 +92,24 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
     * not used: the JDK returns an empty commandLine for these processes
     * (their -cp argument alone is ~1 MB), so match on the raw
     * /proc/<pid>/cmdline bytes instead. `marker` narrows to a specific
-    * executor ("--executor-id 1 "). */
-  private def executorPids(marker: String = ""): Seq[Long] =
+    * executor ("--executor-id 1 "). Every match must also carry THIS
+    * application's id (passed to the backend as `--app-id`): a bare
+    * class-name scan would sweep up — and the checkpoint test would
+    * SIGKILL — executors of unrelated Spark apps co-running on the host. */
+  private def executorPids(marker: String = ""): Seq[Long] = {
+    val appTag = s"--app-id ${cs.sparkContext.applicationId} "
     new java.io.File("/proc").listFiles((_, n) => n.forall(_.isDigit)).toSeq
       .flatMap { d =>
         try {
           val cmd = new String(java.nio.file.Files.readAllBytes(
             new java.io.File(d, "cmdline").toPath)).replace('\u0000', ' ')
-          if (cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(marker))
+          if (cmd.contains("CoarseGrainedExecutorBackend") &&
+              cmd.contains(appTag) && cmd.contains(marker))
             Some(d.getName.toLong)
           else None
         } catch { case _: Throwable => None } // raced process exit
       }
+  }
 
   private def killPid(pid: Long): Boolean =
     ProcessHandle.of(pid).map[Boolean] { p =>

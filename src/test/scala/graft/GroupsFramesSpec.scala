@@ -95,15 +95,77 @@ class GroupsFramesSpec extends GraftSuite {
     val e1 = intercept[IllegalArgumentException](spark.sql(
       "SELECT k, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM gf_t GROUP BY k"))
     assert(e1.getMessage.contains("GROUP BY"), e1.getMessage)
-    // GROUPS buried in a subquery: outside the rewrite's reach — passes
-    // through untouched and Spark's own parser rejects it loudly
-    val e2 = intercept[org.apache.spark.sql.catalyst.parser.ParseException](spark.sql(
-      "SELECT * FROM (SELECT id, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf_t) x"))
-    assert(String.valueOf(e2.getMessage).nonEmpty)
     // DISTINCT
     val e3 = intercept[IllegalArgumentException](spark.sql(
       "SELECT DISTINCT SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM gf_t"))
     assert(e3.getMessage.contains("DISTINCT"), e3.getMessage)
+    // star projection in the frame-carrying block: the wrapper's synthetic
+    // __gdr column would silently join the star's expansion — refuse
+    // (round-13 ADVICE). Bare star, trailing star, and qualified star.
+    Seq(
+      "SELECT *, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf_t",
+      "SELECT SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s, * FROM gf_t",
+      "SELECT t.*, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf_t t"
+    ).foreach { q =>
+      val e = intercept[IllegalArgumentException](spark.sql(q))
+      assert(e.getMessage.contains("star projection"), s"$q => ${e.getMessage}")
+    }
+    // ...but a multiplication star is NOT a projection star
+    assert(spark.sql(
+      """SELECT id, v * 2 AS d, 2 * (v + 1) AS e,
+        |  SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_t""".stripMargin).count() == 7)
+    // count(*) is inside parens — also not a projection star
+    assert(spark.sql(
+      """SELECT id, COUNT(*) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c
+        |FROM gf_t""".stripMargin).count() == 7)
+  }
+
+  test("GROUPS frames inside subqueries and CTE bodies are rewritten recursively (round-14)") {
+    fixture()
+    // buried in a derived table: each block rewrites against its own
+    // dense_rank column; the OUTER star is fine (outer block carries no
+    // frame, so no wrapper is added around it)
+    val sub = spark.sql(
+      """SELECT * FROM (SELECT id, SUM(v) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf_t) x
+        |ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = Seq(0L -> 10.0, 1L -> 60.0, 2L -> 60.0, 3L -> 57.0,
+      4L -> 57.0, 5L -> 57.0, 6L -> 107.0)
+    assert(sub.toSeq == want, sub.mkString(","))
+    // in a CTE body (the JDBC-user shape from the round-13 verdict)
+    val cte = spark.sql(
+      """WITH w AS (
+        |  SELECT id, SUM(v) OVER (ORDER BY k
+        |    GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |  FROM gf_t)
+        |SELECT id, s FROM w ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(cte.toSeq == want, cte.mkString(","))
+    // a (WITH ... SELECT ...) derived table — previously a loud refusal
+    val nested = spark.sql(
+      """SELECT a FROM (WITH c AS (SELECT * FROM gf_t)
+        |  SELECT id, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+        |  FROM c) d ORDER BY a""".stripMargin).collect()
+    assert(nested.length == 7)
+    // frames in BOTH the CTE body and the outer block: two independent
+    // rewrites, each against its own rank column
+    val both = spark.sql(
+      """WITH w AS (
+        |  SELECT id, k, v, SUM(v) OVER (ORDER BY k
+        |    GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM gf_t)
+        |SELECT id, run, MAX(run) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m
+        |FROM w ORDER BY id""".stripMargin).collect()
+    assert(both.length == 7)
+    // unsupported shape INSIDE a subquery still fails loudly through the
+    // recursion (DISTINCT in the frame-carrying inner block)
+    val e = intercept[IllegalArgumentException](spark.sql(
+      """SELECT s FROM (SELECT DISTINCT SUM(v) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf_t) x""".stripMargin))
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
   }
 
   test("comments, qualified references, and mixed identifier+frame statements (review hardening)") {
@@ -137,13 +199,17 @@ class GroupsFramesSpec extends GraftSuite {
         |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
         |FROM gf_g WHERE groups BETWEEN 1 AND 5 ORDER BY id""".stripMargin).collect()
     assert(mixed.length == 7)
-    // (4) a parenthesized (WITH ... SELECT ...) derived table is opaque:
-    // its buried GROUPS frame passes through for Spark's parser to
-    // reject loudly — never rewritten against the outer block
-    intercept[org.apache.spark.sql.catalyst.parser.ParseException](spark.sql(
+    // (4) a parenthesized (WITH ... SELECT ...) derived table is rewritten
+    // by the round-14 recursion as its own block — never against the
+    // OUTER block's dense_rank column (covered in the recursive-rewrite
+    // test below); here just pin that the rewrite stays block-local: the
+    // outer statement gains no __gdr wrapper of its own
+    val rw = GroupsFrames.rewrite(
       """SELECT a FROM (WITH c AS (SELECT * FROM gf_t)
-        |  SELECT SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
-        |  FROM c) d""".stripMargin))
+        |  SELECT id, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+        |  FROM c) d""".stripMargin)
+    assert(rw.trim.startsWith("SELECT a FROM ("), rw)
+    assert(rw.contains("__gdr0"), rw)
   }
 
   test("'groups' as an identifier is untouched; statements without GROUPS frames are identity") {

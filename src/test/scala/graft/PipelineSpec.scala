@@ -950,6 +950,24 @@ class PipelineSpec extends GraftSuite {
     assert(e.getMessage.contains("uncertifiable"), e.getMessage)
   }
 
+  test("fixed-m heavy hitters certifies a whole-vocabulary corpus even with a saturated sketch") {
+    // round-13 ADVICE regression: vocabulary EXACTLY m, all retained —
+    // the sketch comes back saturated (recCount == m) but the candidate
+    // set IS the whole vocabulary, so the anti-join certifies. The certB
+    // gate must lift on the final attempt (m0 == mMax here) instead of
+    // throwing. certA cannot fire: the 20th count is 1 and 1·101 <= N.
+    val s = spark
+    import s.implicits._
+    val toks = ((0 until 19).flatMap(i => Seq.fill(100)(f"hot$i%02d")) ++
+      (0 until 81).map(i => f"cold$i%02d")).toDF("token").repartition(4)
+    val (topk, m) = graft.queries.PipelineQueries.heavyHittersAdaptive(
+      toks, k = 20, m0 = 100, mMax = 100)
+    assert(m == 100)
+    val got = topk.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.take(19).forall(_._2 == 100L) && got(19) == ("cold00", 1L),
+      got.mkString(","))
+  }
+
   test("q_text_repetition signals equal per-doc Scala recounts") {
     def round9(x: Double): Double =
       BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
