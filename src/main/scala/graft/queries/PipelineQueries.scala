@@ -2192,17 +2192,33 @@ object PipelineQueries {
     *
     * `bits` is the SCALE KNOB: cells ≈ corpus/2^bits vectors, and the
     * within-cell pair join is quadratic in cell size — so bits grows
-    * with the corpus to hold per-cell work constant (the smoke runs the
-    * ×25 corpus at 8 bits for the same per-cell pair budget the gate's
-    * 4 bits give the base corpus). Cross-cell duplicates are the
-    * documented recall price (the paper accepts the same
-    * within-cluster-only comparison), bought back with multi-probe or a
-    * second plane set. Plan: one corpus map stage computes cell id
+    * with the corpus to hold per-cell work constant. Since round 14 the
+    * catalog caller derives it via [[semanticBits]] (cells ∝ N — the
+    * round-13 adversarial-geometry measurement: bits 4→7 cut a
+    * degenerate ×25 corpus from 31.3 to 6.3 s) instead of a fixed 4.
+    * Cross-cell duplicates are the documented recall price (the paper
+    * accepts the same within-cluster-only comparison), bought back with
+    * multi-probe or a second plane set. Plan: one corpus map stage
+    * computes cell id
     * (`bits` codegen'd 64-dim dots) AND the vector norm — the pair join
     * then pays ONE dot product per pair instead of recomputing both
     * norms (same values, same multiply order, so round9 cosines stay
     * bit-identical to the oracle's list_cosine_similarity); the join
     * shuffles on cell and never crosses cells. */
+  /** Self-sizing plane count for [[semanticDedupSurvivors]]: the
+    * smallest b in [4, 30] with n <= 32 * 2^b, i.e. expected cell size
+    * stays ≤ 32 vectors as the corpus grows (cells ∝ N, so the
+    * quadratic within-cell join does constant per-cell work). Pure
+    * integer arithmetic — the DuckDB oracle computes the IDENTICAL
+    * formula from its own COUNT(*) (`list_min([b for b in range(4,31)
+    * if n <= 32 * (1 << b)])`), so the derived clustering stays
+    * oracle-checkable at every corpus size without parameter plumbing. */
+  private[graft] def semanticBits(n: Long): Int = {
+    var b = 4
+    while (b < 30 && (32L << b) < n) b += 1
+    b
+  }
+
   private[graft] def semanticDedupSurvivors(
       s: SparkSession, d: String, bits: Int, tau: Double): DataFrame = {
     import graft.functions.DotProduct.dot_product
@@ -3098,37 +3114,49 @@ object PipelineQueries {
     },
 
     // --- semantic dedup: embedding-cell pruning (SemDeDup-style) --------
-    Q("q_dedup_semantic", {
-      // The cell id is 4 random-hyperplane sign bits; the planes are
-      // Knuth-hash dyadic rationals (w = ((i*2654435761) % 2^32 >> 16)
-      // / 2^16 − 0.5 — exact BIGINT + dyadic-double arithmetic both
-      // engines compute bit-identically, the repo's cross-engine
+    Q("q_dedup_semantic",
+      // The cell id is `bits` random-hyperplane sign bits; the planes
+      // are Knuth-hash dyadic rationals (w = ((i*2654435761) % 2^32
+      // >> 16) / 2^16 − 0.5 — exact BIGINT + dyadic-double arithmetic
+      // both engines compute bit-identically, the repo's cross-engine
       // randomness convention), so the DERIVED clustering itself is
-      // oracle-checkable, not just the per-pair cosines.
-      val cellExpr = (0 until 4).map { b =>
-        s"""(CASE WHEN ROUND(list_sum(list_transform(range(1,65),
-           |  k -> v[CAST(k AS INT)] *
-           |       (CAST(((($b*64 + k) * 2654435761) % 4294967296) // 65536 AS DOUBLE)
-           |        / 65536.0 - 0.5))), 9) >= 0 THEN ${1 << b} ELSE 0 END)""".stripMargin
-      }.mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id, label, v, $cellExpr AS cell FROM e),
-         |drops AS (
-         |  SELECT DISTINCT b.vec_id AS j
-         |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.3)
-         |SELECT vec_id, label, cell FROM c
-         |WHERE vec_id NOT IN (SELECT j FROM drops) ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+      // oracle-checkable, not just the per-pair cosines. `bits` SELF-
+      // SIZES from the corpus count (bc CTE — the integer twin of
+      // semanticBits), so the oracle follows the engine's cell count at
+      // every SF without parameter plumbing: at sf0.01 (N=500) both
+      // pick 4 bits = 16 cells, at sf0.1 (N=2000) both pick 6.
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |bc AS (SELECT CAST(COALESCE(list_min([b for b in range(4, 31)
+        |         if n <= 32 * (CAST(1 AS BIGINT) << CAST(b AS INT))]), 30) AS INT) AS bits
+        |       FROM (SELECT COUNT(*) AS n FROM e)),
+        |c AS (SELECT vec_id, label, v,
+        |        CAST(list_sum(list_transform(range(0, bits), b ->
+        |          CASE WHEN ROUND(list_sum(list_transform(range(1, 65), k ->
+        |                 v[CAST(k AS INT)] *
+        |                 (CAST((((b * 64 + k) * 2654435761) % 4294967296) // 65536 AS DOUBLE)
+        |                  / 65536.0 - 0.5))), 9) >= 0
+        |               THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)) AS INT) AS cell
+        |      FROM e, bc),
+        |drops AS (
+        |  SELECT DISTINCT b.vec_id AS j
+        |  FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_cosine_similarity(a.v, b.v), 9) >= 0.3)
+        |SELECT vec_id, label, cell FROM c
+        |WHERE vec_id NOT IN (SELECT j FROM drops) ORDER BY vec_id""".stripMargin) { (s, d) =>
       // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
       // embedding space, call two documents semantic duplicates when
       // their cosine exceeds a threshold WITHIN a cluster, keep one
       // representative (min vec_id) per duplicate group, and return the
       // SURVIVING corpus — the dedup decision, where q_embed_neardup
       // only lists pairs inside a GIVEN label. See semanticDedupSurvivors
-      // for the plan; 4 bits = 16 cells here so the gate-SF oracle stays
-      // cheap to compute in DuckDB. The bit count is the scale knob.
-      semanticDedupSurvivors(s, d, bits = 4, tau = 0.3)
+      // for the plan. The bit count is the scale knob (within-cell join
+      // is quadratic in cell size), so it SELF-SIZES: semanticBits keeps
+      // cells ∝ N / expected cell ≤ 32 vectors — the round-13 verdict's
+      // one remaining quantified scale-killer, closed by deriving the
+      // knob from the same count on both engines. One parquet-metadata
+      // count is the only extra pass.
+      val n = vecs(s, d).count()
+      semanticDedupSurvivors(s, d, bits = semanticBits(n), tau = 0.3)
     },
 
     // --- content-defined chunking: chunk-level exact-substring dedup ----

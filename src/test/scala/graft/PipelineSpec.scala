@@ -425,7 +425,8 @@ class PipelineSpec extends GraftSuite {
     val vecs = Tables.df(spark, sf, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    def cell(v: Array[Double]): Int = (0 until 4).map { b =>
+    val bits = graft.queries.PipelineQueries.semanticBits(vecs.length)
+    def cell(v: Array[Double]): Int = (0 until bits).map { b =>
       val dot = (1 to 64).map { k =>
         val w = (((b.toLong * 64 + k) * 2654435761L) % 4294967296L / 65536L).toDouble / 65536.0 - 0.5
         v(k - 1) * w
@@ -449,6 +450,47 @@ class PipelineSpec extends GraftSuite {
     val got = SparkEntry.queries("q_dedup_semantic")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(got == expected, s"got ${got.size} survivors, expected ${expected.size}")
+  }
+
+  test("semantic dedup self-sizes its cell count: x10 corpus chooses more cells, occupancy stays bounded") {
+    import graft.queries.PipelineQueries.semanticBits
+    // the integer sizing rule — the DuckDB oracle computes the same
+    // formula from its own COUNT(*), so these pins ARE the contract
+    assert(Seq(1L, 500L, 512L).forall(semanticBits(_) == 4))
+    assert(semanticBits(513) == 5)
+    assert(semanticBits(2000) == 6)   // sf0.1 gate corpus
+    assert(semanticBits(5000) == 8)
+    assert(semanticBits(20000) == 10) // the sf1 scale-up smoke corpus
+    assert(semanticBits(Long.MaxValue) == 30) // capped, never unbounded
+    // a base corpus and its ×10 twin (deterministic murmur3 vectors —
+    // well-spread geometry, so occupancy tracks the expected N/2^bits;
+    // a Knuth-LCG generator here would correlate with the Knuth-hash
+    // PLANES and collapse everything into a handful of cells)
+    val s = spark
+    def mk(n: Int, dir: String): Unit =
+      s.range(n).selectExpr(
+        "id AS vec_id",
+        "concat('l', CAST(id % 4 AS STRING)) AS label",
+        """transform(sequence(1, 64), k ->
+          |  CAST(hash(id, k) AS FLOAT) / 2147483648.0) AS embedding""".stripMargin)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val dBase = "/tmp/graft_test_semsize_base"
+    val d10 = "/tmp/graft_test_semsize_x10"
+    mk(500, dBase)
+    mk(5000, d10)
+    val base = SparkEntry.queries("q_dedup_semantic")(s, dBase)
+      .groupBy("cell").count().collect()
+    val x10 = SparkEntry.queries("q_dedup_semantic")(s, d10)
+      .groupBy("cell").count().collect()
+    // 500 vecs → 4 bits = ≤16 cells; 5000 → 8 bits = up to 256 cells:
+    // the ×10 corpus must actually SPREAD over many more cells...
+    assert(base.length <= 16, s"base used ${base.length} cells")
+    assert(x10.length > 64, s"x10 corpus used only ${x10.length} of 256 cells")
+    // ...and no cell may hold work quadratic in N: occupancy stays
+    // within a small factor of the expected N/2^bits = ~20 vectors
+    val maxCell = x10.map(_.getLong(1)).max
+    assert(maxCell <= 128, s"hottest cell holds $maxCell of 5000 vectors — " +
+      "per-cell pair work is no longer bounded")
   }
 
   test("CDC chunking is boundary-local: a front insertion changes only the first chunk") {
