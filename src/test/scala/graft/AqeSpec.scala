@@ -85,6 +85,31 @@ class AqeSpec extends GraftSuite {
       val plan = executedPlan(joined)
       assert(plan.contains("skew=true"), s"skew split did not engage on derived skew:\n$plan")
 
+      // Metrics-level evidence (round-13 verdict item #3), beyond the
+      // plan marker: the finalized AQE shuffle readers must carry
+      // PartialReducerPartitionSpec entries — the hot reduce partition
+      // actually split into multiple map-range sub-reads, so no single
+      // task carried the hot key's whole probe side.
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      // SparkPlan.collect stops at QueryStageExec boundaries (the wrapped
+      // plan is a field, not a child), so walk through them explicitly.
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect { case n => n }.flatMap {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: allNodes(q.plan)
+          case n => Seq(n)
+        }
+      val partialSpecs = allNodes(finalPlan).collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+          r.partitionSpecs.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+      }.sum
+      assert(partialSpecs >= 2,
+        s"expected the hot partition split into >=2 partial reducer reads, got $partialSpecs:\n$finalPlan")
+
       // The same derived-skew join answered two ways — AQE's automatic
       // partition split vs q_join_salted's manual (key, salt) spread —
       // must agree exactly.
