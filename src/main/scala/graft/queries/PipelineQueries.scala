@@ -921,20 +921,24 @@ object PipelineQueries {
     * this JVM any query that re-resolves the fingerprint reads the
     * surviving (current) dir.
     *
-    * CACHE CONTRACT (cross-process): the lock is JVM-local and readers
-    * hold no lock, so the `/tmp/graft_src` cache assumes ONE graft JVM
-    * at a time per corpus dir — the gate's serial reality. A second
-    * process racing this prune, or an in-flight lazy scan of a frame
-    * resolved before an in-place corpus rewrite, can have stale files
-    * deleted underneath it; the failure is LOUD (FileNotFound on read),
-    * never a silently-wrong result, because a pruned dir's fingerprint
-    * can no longer be served to a fresh resolution. Eligibility per
-    * stale dir: a COMMITTED dir (its `commit/_SUCCESS` exists) prunes
-    * immediately — it can only ever be read, and a reader fails loudly;
-    * an UNCOMMITTED dir (in-flight build in another process, or crashed
-    * debris) prunes only when its RECURSIVELY newest mtime is older
-    * than the grace window, so a concurrent writer still flushing part
-    * files is never reaped mid-write and can never be left with a
+    * CACHE CONTRACT (cross-process, round 14): the lock is JVM-local and
+    * readers hold no lock, so cross-JVM safety rests on the READ LEASE —
+    * every JVM that resolves a fingerprint-keyed dir drops an
+    * `_IN_USE_<pid>` marker there ([[markInUse]]), and this pruner SKIPS
+    * any superseded dir carrying a marker whose pid is still alive: that
+    * process may hold lazily-evaluated frames against the old artifact
+    * (Spark scans resolve file lists late), and its lease lapses with
+    * the pid, so no release step exists to forget. Two graft JVMs
+    * racing build/prune on one corpus dir therefore can't pull files
+    * out from under each other (ArtifactRaceSpec drives a REAL second
+    * JVM through exactly that). A recycled or foreign live pid only
+    * delays GC — conservative leak, never a lost artifact. Remaining
+    * eligibility per UNLEASED stale dir: a COMMITTED dir (its
+    * `commit/_SUCCESS` exists) prunes immediately; an UNCOMMITTED dir
+    * (in-flight build in a process that predates the lease protocol, or
+    * crashed debris) prunes only when its RECURSIVELY newest mtime is
+    * older than the grace window, so a concurrent writer still flushing
+    * part files is never reaped mid-write and can never be left with a
     * hole-y tree that later gains a valid commit marker (round-13
     * review finding). */
   private def pruneStaleArtifacts(cacheBase: String, prefix: String, keep: String): Unit = {
@@ -949,11 +953,31 @@ object PipelineQueries {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
+    def leasedByLiveProcess(f: java.io.File): Boolean =
+      Option(f.listFiles((_, n) => n.startsWith("_IN_USE_"))).getOrElse(Array.empty)
+        .exists(_.getName.stripPrefix("_IN_USE_").toLongOption
+          .exists(pid => ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
     if (dir.isDirectory)
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
+        .filterNot(leasedByLiveProcess)
         .filter(f => new java.io.File(f, "commit/_SUCCESS").exists || newest(f) < cutoff)
         .foreach(rm)
+  }
+
+  /** Drop this process's read lease on `base` (see the cache contract
+    * above): an empty `_IN_USE_<pid>` marker, created at RESOLUTION time
+    * — before any build or read — so a sibling JVM's pruner always sees
+    * the lease before this one depends on the files. Best-effort: on a
+    * filesystem refusing the touch, the pruner's commit/grace rules
+    * still make any failure loud, never silently wrong. */
+  private def markInUse(base: String): Unit = {
+    val dir = new java.io.File(base)
+    dir.mkdirs()
+    try {
+      new java.io.File(dir, s"_IN_USE_${ProcessHandle.current().pid()}")
+        .createNewFile(): Unit
+    } catch { case _: java.io.IOException => () }
   }
 
   private def corpusFingerprint(d: String): String = tableFingerprint(d, "documents")
@@ -973,6 +997,7 @@ object PipelineQueries {
     * forces a rebuild when the artifact SET itself changes. */
   private[graft] def ensureLshIndex(s: SparkSession, d: String): String = {
     val base = s"${SourceQueries.cacheDir(d)}/lsh_idx3_${corpusFingerprint(d)}"
+    markInUse(base) // read lease BEFORE build/read — see the cache contract
     SourceQueries.materialize(s"$base/commit") {
       val sh = shingled(s, d).persist()
       try {
@@ -1920,6 +1945,7 @@ object PipelineQueries {
     * [[ensureLshIndex]]; keyed on the events table's fingerprint. */
   private[graft] def ensureDaySketches(s: SparkSession, d: String): String = {
     val base = s"${SourceQueries.cacheDir(d)}/dayhll_${tableFingerprint(d, "events")}"
+    markInUse(base) // read lease BEFORE build/read — see the cache contract
     SourceQueries.materialize(s"$base/commit") {
       val ud = t(s, d, "events")
         .selectExpr("user_id", "unix_millis(CAST(ts AS TIMESTAMP)) div 86400000 AS d")
