@@ -21,6 +21,79 @@ import Qh._
 object AggregateQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.df(s, d, n)
 
+  /** Distributed per-group cumulative weight over `ord`-sorted rows —
+    * the q_cur_token_budget prefix-sum machinery generalized to grouped
+    * order statistics (round-13 verdict item #6). The naive spelling
+    * (`SUM(w) OVER (PARTITION BY grp ORDER BY ord)`) funnels each
+    * group's ENTIRE row set through one window task, so a 3-value group
+    * column sorts the whole fact table in 3 tasks — fine at gate SF,
+    * fatal at 100 TB. Here: range-repartition on (grp, ord) so every
+    * partition holds a contiguous slice of each group's sort order; one
+    * metadata-sized aggregation yields per-(pid, grp) totals, whose
+    * running sum over pid order (a ≤ partitions×|groups|-row window —
+    * the only unpartitioned-by-pid window in the plan) gives each
+    * slice's group offset; a broadcast join plus an intra-(pid, grp)
+    * ROWS cumsum then completes the exact global prefix sum with no
+    * task ever holding more than one partition slice. ROWS vs the
+    * oracle's RANGE frame: ties differ per ROW, but every
+    * value-threshold selector ("MIN(ord) WHERE cum ≥ t" and rank-range
+    * sums over equal values) is tie-order invariant — the LAST row of a
+    * tie run carries the full RANGE cum, and trimming a different
+    * duplicate of an equal value cannot change any sum. Returns the
+    * input columns plus `pid` and `cum`. */
+  private def groupedPrefix(
+      df: DataFrame, grp: String, ord: String, w: org.apache.spark.sql.Column,
+      pin: Boolean = true): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins ONE partition assignment: the range exchange
+    // samples bounds per evaluation, and this frame feeds two subplans
+    // (offsets + the cumsum) — unpinned, their pids can disagree and the
+    // offsets silently misalign (caught by the oracle on first wiring).
+    // Same discipline as q_cur_token_budget's persisted ranged frame;
+    // at 100 TB this is the documented checkpoint the two-pass
+    // algorithm pays. `pin = false` only for the plan probe, which must
+    // show the pre-checkpoint exchange structure.
+    val ranged0 = df.repartitionByRange(parts, col(grp), col(ord))
+      .withColumn("pid", spark_partition_id())
+    val ranged = if (pin) ranged0.localCheckpoint(eager = true) else ranged0
+    val offsW = Window.partitionBy(grp).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid", grp).agg(sum(w).as("pw"))
+      .withColumn("off", coalesce(sum("pw").over(offsW), lit(0L)))
+      .select(col("pid"), col(grp), col("off"))
+    val intraW = Window.partitionBy("pid", grp).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("pid", grp))
+      .withColumn("cum", col("off") + sum(w).over(intraW))
+  }
+
+  /** Exact per-group weighted median via [[groupedPrefix]] — the scale
+    * path shared by q_agg_weighted_exact (the oracle row) and
+    * q_agg_weighted_percentile (the sketch's certification baseline):
+    * smallest value whose cumulative weight reaches half the group
+    * total. Quantities are integral, so the running sums are exact
+    * BIGINTs on both engines. */
+  private def weightedMedianExact(
+      s: SparkSession, d: String, pin: Boolean = true): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity").cast("long").as("w"))
+    val tot = li.groupBy("l_returnflag").agg(sum("w").as("tot"))
+    groupedPrefix(li, "l_returnflag", "l_extendedprice", col("w"), pin)
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("l_extendedprice")).as("w_median_price"))
+  }
+
+  /** Formatted plan of the weighted-median prefix sum (the *PlanProbe
+    * convention): PlanShapeSpec pins the range exchange on the (group,
+    * value) pair and that every corpus-scale window partitions on pid —
+    * no single-partition / whole-group window survives in the exact
+    * quantile path. */
+  private[graft] def weightedMedianPlanProbe(s: SparkSession, d: String): String =
+    weightedMedianExact(s, d, pin = false).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
   val all: Seq[Q] = Seq(
 
     // TPC-H Q1 — the reference's own golden-output anchor (reference
@@ -280,15 +353,7 @@ object AggregateQueries {
       val sk = t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(wmedian(col("l_extendedprice"), col("l_quantity")).as("wm"),
           count(lit(1)).as("n"))
-      val byFlag = Window.partitionBy("l_returnflag")
-      val cumw = byFlag.orderBy("l_extendedprice")
-      val exact = t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          sum(col("l_quantity").cast("long")).over(cumw).as("cum"),
-          sum(col("l_quantity").cast("long")).over(byFlag).as("tot"))
-        .filter(col("cum") * 2 >= col("tot"))
-        .groupBy("l_returnflag")
-        .agg(min(col("l_extendedprice")).as("w_median_price"))
+      val exact = weightedMedianExact(s, d)
       sk.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("w_median_price"), col("n"),
           (abs(col("wm") - col("w_median_price")) <=
@@ -305,13 +370,15 @@ object AggregateQueries {
     // *semantics* the sketch above approximates; PipelineSpec holds the
     // sketch within 1% of this query's output.
     //
-    // Scale limitation (deliberate): l_returnflag has 3 values, so the
-    // window sorts the whole fact table into ~3 tasks — fine at gate SF
-    // where this exists to give the sketch an exact oracle pin, but NOT
-    // the 100 TB path. The scale path for weighted percentiles is the
-    // WeightedPercentile sketch above: O(maxPairs) memory per group with
-    // an associative merge, shuffling one bounded buffer per group
-    // instead of every row through a low-cardinality window partition.
+    // Scale path (round 14): the ORACLE spells the definition as a
+    // per-group RANGE window — which in Spark would sort the whole fact
+    // table into |groups| tasks (l_returnflag has 3 values) — but the
+    // ENGINE computes the identical prefix sums with the distributed
+    // two-pass machinery (groupedPrefix: range exchange on
+    // (group, value), pid-partitioned cumsums, metadata-sized offset
+    // window), so the exact answer no longer needs a whole-group window
+    // and the sketch twin is not the only 100 TB option. PlanShapeSpec
+    // pins the no-single-partition-window shape.
     Q("q_agg_weighted_exact",
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice,
@@ -323,16 +390,7 @@ object AggregateQueries {
         |SELECT l_returnflag, MIN(l_extendedprice) AS w_median_price
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      val byFlag = Window.partitionBy("l_returnflag")
-      val cumw = byFlag.orderBy("l_extendedprice") // RANGE frame: ties count fully
-      t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"),
-          sum(col("l_quantity").cast("long")).over(cumw).as("cum"),
-          sum(col("l_quantity").cast("long")).over(byFlag).as("tot"))
-        .filter(col("cum") * 2 >= col("tot"))
-        .groupBy("l_returnflag")
-        .agg(min(col("l_extendedprice")).as("w_median_price"))
-        .orderBy("l_returnflag")
+      weightedMedianExact(s, d).orderBy("l_returnflag")
     },
 
     // --- GROUPING SETS / CUBE / ROLLUP (reference datafusion.proto:
@@ -379,18 +437,20 @@ object AggregateQueries {
       // values, so which duplicate gets trimmed cannot change the sum —
       // deterministic in both engines with no tiebreak column at all.
       // Sums are decimal-exact; the single double division comes last.
-      // Scale note: exact trimming needs a per-group sort (same
-      // low-cardinality-window caveat as q_agg_weighted_exact — the
-      // documented 100 TB path is approx_percentile bounds + row-local
-      // clamp/filter, trading exactness for a two-phase sketch; this
-      // query IS the exact pin that twin is measured against).
-      val byV = Window.partitionBy("rf").orderBy("v_raw")
-      val all = Window.partitionBy("rf")
-      t(s, d, "lineitem")
+      // Scale path (round 14): ranks come from the distributed
+      // groupedPrefix machinery (weight 1 ⇒ cum IS the per-group row
+      // number) instead of a whole-group ROW_NUMBER window, so exact
+      // trimming never funnels a group through one task; the oracle
+      // keeps the window spelling (DuckDB-side scale is not the
+      // contract). Group sizes arrive by broadcast join — a second
+      // corpus aggregation, both map-side-partial.
+      val base = t(s, d, "lineitem")
         .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v_raw"),
           col("l_extendedprice").cast(D12).as("v"))
-        .withColumn("rn", row_number().over(byV))
-        .withColumn("n", count(lit(1)).over(all))
+      val sizes = base.groupBy("rf").agg(count(lit(1)).as("n"))
+      groupedPrefix(base, "rf", "v_raw", lit(1L))
+        .withColumnRenamed("cum", "rn")
+        .join(broadcast(sizes), "rf")
         .withColumn("k", expr("n div 20"))
         .groupBy("rf")
         .agg(

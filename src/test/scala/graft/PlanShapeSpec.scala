@@ -129,6 +129,23 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("hashpartitioning(pid"), p)
   }
 
+  test("exact weighted median: range exchange on (group, value), no whole-group window") {
+    // round-13 verdict item #6: the exact quantile path must not funnel
+    // each group through one window task (l_returnflag has 3 values —
+    // a whole-group window is 3 tasks at any corpus size). The
+    // distributed spelling range-partitions on (group, value) and keys
+    // every corpus-scale window on pid; the only window NOT keyed on pid
+    // runs over the ≤|partitions|×|groups|-row offset frame.
+    val p = graft.queries.AggregateQueries.weightedMedianPlanProbe(spark, sf)
+    assert(p.contains("rangepartitioning(l_returnflag"), p)
+    assert(p.contains("hashpartitioning(pid"), p)
+    // the old shape — a window partitioned by the group alone, ordered
+    // by the value (= per-group corpus sort) — must be gone
+    assert(!java.util.regex.Pattern
+      .compile("windowspecdefinition\\(l_returnflag#\\d+, l_extendedprice")
+      .matcher(p).find(), p)
+  }
+
   test("q_bucketed_join: neither side shuffles on the join key") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
