@@ -34,6 +34,7 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
   override def beforeAll(): Unit = {
     super.beforeAll()
     port = { val s = new ServerSocket(0); try s.getLocalPort finally s.close() }
+    spark.sparkContext // force the lazy shared session so SparkEnv exists
     // SparkEnv.get.conf is the context's live SparkConf (SparkContext.conf
     // itself is private[spark]); the Connect service reads the binding port
     // from it at start()
@@ -55,14 +56,16 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
   }
 
   /** Execute SQL over the wire, return the BIGINT values of column 0
-    * across all streamed Arrow batches. */
-  private def executeLongs(sql: String): Seq[Long] = {
+    * across all streamed Arrow batches. `sessionId` keys the server-side
+    * session holder — reusing one id reuses its temp views and conf,
+    * exactly like a connected client. */
+  private def executeLongs(sql: String, sessionId: String = UUID.randomUUID().toString): Seq[Long] = {
     val channel = ManagedChannelBuilder
       .forAddress("127.0.0.1", port).usePlaintext().build()
     try {
       val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
       val req = proto.ExecutePlanRequest.newBuilder()
-        .setSessionId(UUID.randomUUID().toString)
+        .setSessionId(sessionId)
         .setUserContext(proto.UserContext.newBuilder().setUserId("graft"))
         .setPlan(proto.Plan.newBuilder().setRoot(proto.Relation.newBuilder()
           .setSql(proto.SQL.newBuilder().setQuery(sql))))
@@ -79,8 +82,11 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
             try {
               while (reader.loadNextBatch()) {
                 val root = reader.getVectorSchemaRoot
-                val v = root.getVector(0).asInstanceOf[BigIntVector]
-                (0 until root.getRowCount).foreach(i => out += v.get(i))
+                // DDL results are zero-column batches — nothing to read
+                if (!root.getFieldVectors.isEmpty) {
+                  val v = root.getVector(0).asInstanceOf[BigIntVector]
+                  (0 until root.getRowCount).foreach(i => out += v.get(i))
+                }
               }
             } finally reader.close()
           }
@@ -98,5 +104,64 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
     val sql = s"SELECT COUNT(*) FROM parquet.`$sf/orders.parquet`"
     val local = spark.sql(sql).collect().head.getLong(0)
     assert(local > 0 && executeLongs(sql) == Seq(local))
+  }
+
+  test("Connect sessions are isolated: one session's temp view is invisible to another") {
+    // the WireSpec per-connection-isolation contract, carried by the
+    // second wire surface too (round-13 verdict item #7): session state
+    // (temp views) binds to the Connect session id, not the shared
+    // SparkContext
+    val a = UUID.randomUUID().toString
+    val b = UUID.randomUUID().toString
+    executeLongs("CREATE OR REPLACE TEMPORARY VIEW cw_iso AS SELECT CAST(7 AS BIGINT) AS v", a)
+    assert(executeLongs("SELECT v FROM cw_iso", a) == Seq(7L),
+      "temp view must resolve in its own session across RPCs")
+    val e = intercept[Exception](executeLongs("SELECT v FROM cw_iso", b))
+    assert(String.valueOf(e.getMessage).toUpperCase.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      String.valueOf(e.getMessage).contains("cw_iso"),
+      s"expected session B to not see session A's view, got: $e")
+    // and the engine's own session never sees either
+    assert(!spark.catalog.tableExists("cw_iso"))
+  }
+
+  test("mid-query cancellation over Connect: Interrupt kills the running job, session stays usable") {
+    val sid = UUID.randomUUID().toString
+    val slow = "SELECT COUNT(*) FROM range(2000000000) a CROSS JOIN range(64) b " +
+      "WHERE (a.id * 2654435761) % 97 = 3"
+    @volatile var outcome: Option[Throwable] = None
+    val runner = new Thread(() => {
+      outcome = try { executeLongs(slow, sid); None }
+      catch { case t: Throwable => Some(t) }
+    })
+    val before = spark.sparkContext.statusTracker.getActiveJobIds().toSet
+    runner.start()
+    // wait until the remote query's job is actually running on the
+    // shared context, so the interrupt is genuinely mid-query
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (spark.sparkContext.statusTracker.getActiveJobIds().toSet == before &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.statusTracker.getActiveJobIds().toSet != before,
+      "remote query never started a job")
+
+    val channel = ManagedChannelBuilder
+      .forAddress("127.0.0.1", port).usePlaintext().build()
+    try {
+      val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
+      val resp = stub.interrupt(proto.InterruptRequest.newBuilder()
+        .setSessionId(sid)
+        .setUserContext(proto.UserContext.newBuilder().setUserId("graft"))
+        .setInterruptType(proto.InterruptRequest.InterruptType.INTERRUPT_TYPE_ALL)
+        .build())
+      assert(resp.getInterruptedIdsCount >= 1,
+        "interrupt must report the cancelled operation id")
+    } finally channel.shutdownNow()
+
+    runner.join(60000)
+    assert(!runner.isAlive, "cancelled query's stream never terminated")
+    assert(outcome.isDefined,
+      "expected the interrupted ExecutePlan stream to fail, not return a result")
+    // the session survives the cancellation: a fresh query on the SAME
+    // session id runs to completion
+    assert(executeLongs("SELECT CAST(5 AS BIGINT)", sid) == Seq(5L))
   }
 }
