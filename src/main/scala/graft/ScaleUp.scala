@@ -34,9 +34,18 @@ import org.apache.spark.sql.functions._
   *    toward 1 and freezes hyperplane sign bits (degenerate
   *    cosine/LSH workload). Rotation has neither failure: a vector and
   *    its rotated twin correlate only at the embedding's lag-r
-  *    autocorrelation (small for real embeddings). Requires
-  *    reps ≤ dim (rotation by dim would be the identity — an exact
-  *    duplicate replica).
+  *    autocorrelation (small for real embeddings). Rotation by dim
+  *    would be the identity (an exact duplicate replica), so beyond
+  *    dim replicas the transform COMPOSES rotation with global
+  *    negation: replica r uses rotate(r % dim) then negates every
+  *    coordinate when (r / dim) is odd. Negation is orthogonal (−I),
+  *    so within-replica dots/norms/L2/cosines are still preserved
+  *    exactly, and (rotation, sign) pairs are distinct for
+  *    reps ≤ 2·dim — enough for the 100× decade derivation at
+  *    dim = 64. Cross-replica, a vector and its negated twin meet at
+  *    cosine −autocorr(r): no near-coincidence, no frozen sign bits
+  *    (the negated replica's hyperplane bits are complements — the
+  *    cells stay spread).
   *
   * Usage: `sbt "runMain graft.ScaleUp [srcDir dstDir reps]"`, defaults
   * `/root/testdata/sf0.1 /tmp/graft_sf1 10`; then
@@ -87,13 +96,15 @@ object ScaleUp {
         .withColumn("n_chars", length(col("text")))
     }
     val dim = t("embeddings").selectExpr("size(embedding)").head().getInt(0)
-    require(reps <= dim,
-      s"reps=$reps > embedding dim $dim: replica $dim's rotation would be the identity")
+    require(reps <= 2 * dim,
+      s"reps=$reps > 2*dim=${2 * dim}: the (rotation, sign) transform family is exhausted")
     write("embeddings") { r =>
       val base = shifted(t("embeddings"), r, "vec_id")
-      if (r == 0) base
+      val rot = r % dim
+      val sign = if ((r / dim) % 2 == 1) "-" else ""
+      if (rot == 0 && sign.isEmpty) base
       else base.withColumn("embedding",
-        expr(s"transform(embedding, (x, i) -> element_at(embedding, ((i + $r) % $dim) + 1))"))
+        expr(s"transform(embedding, (x, i) -> ${sign}element_at(embedding, ((i + $rot) % $dim) + 1))"))
     }
     spark.stop()
   }
