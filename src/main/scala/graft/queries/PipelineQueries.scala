@@ -1271,8 +1271,10 @@ object PipelineQueries {
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     cand
+      // hybrid verify joins: SMJ on i (slim sort, compressed fat
+      // output), shuffle_hash on j (no fat sort) — see ngramPairsFrom
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")).hint("shuffle_hash"), "j")
       .select(col("i"), col("j"),
         round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
           size(array_union(col("sha"), col("shb"))), 9).as("jac"))
@@ -1405,10 +1407,28 @@ object PipelineQueries {
     // |a∩b| via the codegen'd IntersectCount (one hash-probe pass, no
     // intersection/union array materialization); |a∪b| is then pure
     // arithmetic over the (distinct-element) sizes.
+    // HYBRID verify joins, each measured on the sf10 decade corpus
+    // (graft.Profile stage listener):
+    //  - join-on-i stays sort-merge: it sorts only SLIM inputs (16-byte
+    //    candidate pairs; narrow doc rows), and its fat OUTPUT leaves
+    //    sorted by i — consecutive rows repeat the same sha array, so
+    //    the exchange feeding join-on-j LZ4-compresses ~3× better than
+    //    an unsorted stream (hinting BOTH joins ballooned the sweep
+    //    twin's shuffle write 8 → 22 GB).
+    //  - join-on-j is hinted shuffle_hash: the default SMJ would sort
+    //    the pair-scale stream WITH its carried 60-long arrays (the one
+    //    corpus-quadratic-payload sort in the family — 37 GB of spill,
+    //    85% of the sweep twin's task time at sf10); hashing builds
+    //    from the doc-scale sh side (provably the small one: docs ≪
+    //    candidate pairs whenever the index emits anything) and streams
+    //    the fat side unsorted.
+    // A third alternative — widening these exchanges ∝ corpus bytes —
+    // was measured and REJECTED: per-task overheads across the ~20
+    // corpus-pass stages doubled total CPU at 7× width.
     val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
     cand
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")).hint("shuffle_hash"), "j")
       .select(col("i"), col("j"),
         ic.as("n_common"),
         round(ic.cast("double") /
@@ -1539,10 +1559,12 @@ object PipelineQueries {
       .select(least(col("a"), col("b")).as("i"), greatest(col("a"), col("b")).as("j"))
       .distinct()
       .repartition(sp, col("i")) // keep the verify stage wide under AQE
+    // hybrid verify joins — SMJ on i, shuffle_hash on j; see
+    // ngramPairsFrom for the measurements
     val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
     cand
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")).hint("shuffle_hash"), "j")
       .select(col("i"), col("j"),
         ic.as("n_common"),
         round(ic.cast("double") / least(size(col("sha")), size(col("shb"))), 9)
@@ -1799,11 +1821,13 @@ object PipelineQueries {
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
       .repartition(sp, col("i"))
+    // hybrid verify joins — SMJ on i, shuffle_hash on j; see
+    // ngramPairsFrom (this twin owned the 37 GB fat sort-spill)
     val ic = graft.functions.IntersectCount.intersect_count(col("sha"), col("shb"))
     val union = size(col("sha")) + size(col("shb")) - ic
     cand
       .join(sh.select(col("doc_id").as("i"), col("sh").as("sha")), "i")
-      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")), "j")
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("shb")).hint("shuffle_hash"), "j")
       .select(ic.as("inter"), union.as("u"))
       .filter(lit(2) * col("inter") >= col("u"))
       .select(expr("(10 * inter) div u").cast("int").as("bucket"))

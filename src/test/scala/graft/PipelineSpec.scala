@@ -461,6 +461,7 @@ class PipelineSpec extends GraftSuite {
     assert(semanticBits(2000) == 6)   // sf0.1 gate corpus
     assert(semanticBits(5000) == 8)
     assert(semanticBits(20000) == 10) // the sf1 scale-up smoke corpus
+    assert(semanticBits(200000) == 13) // the sf10 decade corpus: 8192 cells
     assert(semanticBits(Long.MaxValue) == 30) // capped, never unbounded
     // a base corpus and its ×10 twin (deterministic murmur3 vectors —
     // well-spread geometry, so occupancy tracks the expected N/2^bits;

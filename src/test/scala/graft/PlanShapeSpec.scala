@@ -79,6 +79,12 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("InMemoryTableScan".r.findAllIn(p).size >= 4,
       s"expected postings x2 + both verify-join sides on InMemoryTableScan:\n$p")
+    // the j-side verify join must HASH, never sort-merge: SMJ would sort
+    // the pair-scale stream with its carried shingle arrays — the one
+    // corpus-quadratic-payload sort in the family (37 GB of spill at the
+    // sf10 decade corpus; see ngramPairsFrom's hybrid-join commentary)
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle_hash verify join on j:\n$p")
   }
 
   test("hot paths run inside WholeStageCodegen spans (custom expressions included)") {
