@@ -136,7 +136,12 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
     val before = spark.sparkContext.statusTracker.getActiveJobIds().toSet
     runner.start()
     // wait until the remote query's job is actually running on the
-    // shared context, so the interrupt is genuinely mid-query
+    // shared context, so the interrupt is genuinely mid-query. This is
+    // best-effort under sbt's parallel suites (ANOTHER suite's job on
+    // the shared context can trip the change detector first), so the
+    // interrupt below additionally RETRIES until the server reports an
+    // interrupted operation id — a one-shot interrupt racing the RPC's
+    // arrival at the server read 0 ids and flaked a full-suite run.
     val deadline = System.nanoTime() + 30e9.toLong
     while (spark.sparkContext.statusTracker.getActiveJobIds().toSet == before &&
       System.nanoTime() < deadline) Thread.sleep(100)
@@ -147,12 +152,18 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
       .forAddress("127.0.0.1", port).usePlaintext().build()
     try {
       val stub = proto.SparkConnectServiceGrpc.newBlockingStub(channel)
-      val resp = stub.interrupt(proto.InterruptRequest.newBuilder()
-        .setSessionId(sid)
-        .setUserContext(proto.UserContext.newBuilder().setUserId("graft"))
-        .setInterruptType(proto.InterruptRequest.InterruptType.INTERRUPT_TYPE_ALL)
-        .build())
-      assert(resp.getInterruptedIdsCount >= 1,
+      var interrupted = 0
+      val iDeadline = System.nanoTime() + 30e9.toLong
+      while (interrupted == 0 && runner.isAlive && System.nanoTime() < iDeadline) {
+        val resp = stub.interrupt(proto.InterruptRequest.newBuilder()
+          .setSessionId(sid)
+          .setUserContext(proto.UserContext.newBuilder().setUserId("graft"))
+          .setInterruptType(proto.InterruptRequest.InterruptType.INTERRUPT_TYPE_ALL)
+          .build())
+        interrupted = resp.getInterruptedIdsCount
+        if (interrupted == 0) Thread.sleep(200)
+      }
+      assert(interrupted >= 1,
         "interrupt must report the cancelled operation id")
     } finally channel.shutdownNow()
 
