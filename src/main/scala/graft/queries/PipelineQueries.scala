@@ -435,16 +435,22 @@ object PipelineQueries {
           .as("q"))
     e.persist()
     try {
-      // k = 16 cells, NOT the customary √n: adaptive k was measured at
-      // the ×10 smoke (62 cells over 3.8k vectors: 59.3 s vs 47.3 s at
-      // k=16). On THIS corpus — 64-d near-uniform synthetic vectors —
-      // cell radii barely shrink with k (distance concentration), so
-      // pass-2 bounds stay loose regardless while the per-vector probe
-      // fan-out grows with k; small k wins. On a real clustered corpus
-      // the trade flips and k should scale ~√n — the constant is a
-      // data-profile decision, not a structural one (the result is
-      // EXACT either way; k only moves cost between the passes).
-      val nCells = 16
+      // Cell count SELF-SIZES to pin per-cell occupancy, floored at 16:
+      // the candidate stage joins each vector's 4 probe cells against
+      // the other side's cell members, so candidates ≈ n × 4 × (n/k) —
+      // QUADRATIC in the corpus at any fixed k. The sf10 decade run
+      // proved it the hard way: fixed k=16 put ~400M rows in the
+      // persisted candidate frame and OOM-killed the 8g context (the
+      // same cells-∝-N law as semanticBits, reconfirmed). k = n/512
+      // keeps ~256 vectors per cell per side — the occupancy the ×10
+      // smoke measured as the cost sweet spot (62 cells over 3.8k
+      // vectors read 59.3 s vs 47.3 s at 16: on this distance-
+      // concentrated synthetic corpus, larger k buys little pruning, so
+      // the floor keeps every gate/sf1 plan exactly as measured) — and
+      // candidates stay ≈ 2048·n, linear. The result is EXACT at any k
+      // (the triangle-inequality refinement guarantees it); k only
+      // moves cost between the passes, so the oracle is untouched.
+      val nCells = math.max(16, (e.count() / 512L).toInt)
       // iters = 1: the triangle-inequality refinement below makes the
       // final top-4 EXACT for ANY quantizer, so extra Lloyd iterations
       // buy no correctness — only a (data-dependent) shift of work
@@ -481,35 +487,74 @@ object PipelineQueries {
           .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
         def rArr(side: Int) = array((0 until nCells).map(c =>
           lit(radii.getOrElse((side, c), -1L))): _*) // -1 = cell empty on that side
+        // Pair distance via the CODEGEN'D DotProduct over the norm
+        // expansion d64 = |qa|² + |qb|² − 2·qa·qb, with norms
+        // precomputed per VECTOR: the naive zip_with+aggregate spelling
+        // is an interpreted higher-order function that allocates a
+        // 64-element array per evaluated PAIR — at the sf10 decade
+        // corpus (pass-2 stream ~n² pairs on this pruning-hostile
+        // geometry) that allocation churn was GC-bound at ~25% CPU
+        // efficiency. Exactness is preserved bit-for-bit: quantized
+        // coords |q_i| ≤ 2048, so every product, the 64-term dot, and
+        // the norm sums are integers far below 2^53 — each double op is
+        // exact and the final cast back to long is the same integer the
+        // long arithmetic produced.
+        val normC = expr("cast(aggregate(q, 0L, (acc, v) -> acc + v * v) as double)")
         val xs = binned.filter(col("label") === 0)
-          .select(col("vec_id").as("x"), col("q").as("qa"),
+          .select(col("vec_id").as("x"), col("q").cast("array<double>").as("qa"),
+            normC.as("na"),
             col("cell").as("xc"), col("pcs").as("xpc"), col("d2s").as("xd2s"))
         val ys = binned.filter(col("label") === 1)
-          .select(col("vec_id").as("y"), col("q").as("qb"),
+          .select(col("vec_id").as("y"), col("q").cast("array<double>").as("qb"),
+            normC.as("nb"),
             col("cell").as("yc"), col("pcs").as("ypc"), col("d2s").as("yd2s"))
-        val d64c =
-          expr("aggregate(zip_with(qa, qb, (u, v) -> (u - v) * (u - v)), 0L, (acc, v) -> acc + v)")
+        val d64c = (col("na") + col("nb") -
+          lit(2.0) * graft.functions.DotProduct.dot_product(col("qa"), col("qb")))
+          .cast("long")
         val candA = xs.withColumn("pc", explode(col("xpc")))
           .join(ys, col("pc") === col("yc"))
           .select(col("x"), col("y"), d64c.as("d64"))
         val candB = ys.withColumn("pc", explode(col("ypc")))
           .join(xs, col("pc") === col("xc"))
           .select(col("x"), col("y"), d64c.as("d64"))
-        // a pair found from both directions carries the same exact
-        // integer distance twice — the groupBy is pure dedup
-        val cand1 = candA.unionByName(candB)
-          .groupBy("x", "y").agg(min("d64").as("d64"))
-        cand1.persist()
+        // The candidate STREAMS never materialize: a window/persist
+        // spelling of per-vector top-4 holds the whole candidate set,
+        // whose size is GEOMETRY-dependent — on this distance-
+        // concentrated corpus the pass-2 bounds prune nothing and the
+        // stream approaches n² pairs per side (the sf10 decade run
+        // OOM'd the 8g context materializing it through the window and
+        // the result checkpoint, at ANY cell count). bounded_min_pairs
+        // reduces each stream task-locally to ≤ 4 (d64, id) pairs per
+        // vector per partition — the exact row_number()-over-(d64, id)
+        // semantics, map-side combined — so memory is O(vectors) and
+        // the returned frame is ≤ 8n rows at any geometry. Each pair is
+        // aggregated for BOTH sides in one pass via a role explode (one
+        // shuffle, not two), and bounded min-k's associativity lets
+        // pass 2 merge with pass 1's top-4 instead of re-reading the
+        // pass-1 stream. Downstream per-side top-4 windows over the
+        // returned frame remain exact: it contains each side's true
+        // top-4 (the refinement theorem above is unchanged — only the
+        // reduction moved from window to aggregate).
+        import graft.functions.BoundedMinPairs.bounded_min_pairs
+        def roled(df: DataFrame) = df.select(explode(array(
+            struct(lit(0).as("side"), col("x").as("k"), col("y").as("o"), col("d64").as("dd")),
+            struct(lit(1).as("side"), col("y").as("k"), col("x").as("o"), col("d64").as("dd")))).as("r"))
+          .select(col("r.side").as("side"), col("r.k").as("k"),
+            col("r.o").as("o"), col("r.dd").as("dd"))
+        def top4(df: DataFrame) = df.groupBy("side", "k")
+          .agg(bounded_min_pairs(col("dd"), col("o"), 4).as("nn"))
+        def nnPairs(df: DataFrame) = df
+          .select(col("side"), col("k"), explode(col("nn")).as("p"))
+          .select(col("side"), col("k"), col("p.o").as("o"), col("p.d").as("dd"))
+        val t1 = top4(roled(candA.unionByName(candB)))
+        t1.persist()
         try {
           // current 4th-best per vector (MaxValue when under-filled —
           // forces a full re-probe of every populated cell)
-          def d4Of(key: String, tie: String) = cand1
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(key).orderBy(col("d64"), col(tie))))
-            .filter(col("rn") <= 4)
-            .groupBy(key).agg(max("d64").as("dm"), count(lit(1)).as("nc"))
-            .select(col(key),
-              when(col("nc") < 4, lit(Long.MaxValue)).otherwise(col("dm")).as("d4"))
+          def d4Of(side: Int, key: String) = t1.filter(col("side") === side)
+            .select(col("k").as(key),
+              when(size(col("nn")) < 4, lit(Long.MaxValue))
+                .otherwise(element_at(col("nn"), 4).getField("d")).as("d4"))
           // cells this vector must additionally probe: unprobed,
           // populated on the other side, and lower bound not worse
           // than the current 4th-best
@@ -522,21 +567,31 @@ object PipelineQueries {
                 .otherwise(floor(lb * lb * lit(0.999999999)).cast("long"))
               !array_contains(col(pcs), c) && rr >= 0 && lb2 <= col("d4")
             })
-          val cand2x = xs.join(d4Of("x", "y"), Seq("x"), "left")
+          val cand2x = xs.join(d4Of(0, "x"), Seq("x"), "left")
             .withColumn("d4", coalesce(col("d4"), lit(Long.MaxValue)))
-            .select(col("x"), col("qa"),
+            .select(col("x"), col("qa"), col("na"),
               explode(addCells("xd2s", "xpc", rArr(1))).as("pc"))
             .join(ys, col("pc") === col("yc"))
             .select(col("x"), col("y"), d64c.as("d64"))
-          val cand2y = ys.join(d4Of("y", "x"), Seq("y"), "left")
+          val cand2y = ys.join(d4Of(1, "y"), Seq("y"), "left")
             .withColumn("d4", coalesce(col("d4"), lit(Long.MaxValue)))
-            .select(col("y"), col("qb"),
+            .select(col("y"), col("qb"), col("nb"),
               explode(addCells("yd2s", "ypc", rArr(0))).as("pc"))
             .join(xs, col("pc") === col("xc"))
             .select(col("x"), col("y"), d64c.as("d64"))
-          use(cand1.unionByName(cand2x).unionByName(cand2y)
+          // final exact per-side top-4 = top-4 over (pass-1 top-4 ∪
+          // pass-2 stream); emit both sides' lists as (x, y, d64) pairs
+          // — the same exact duplicate carries the same distance, so
+          // the groupBy is pure dedup
+          val t2 = top4(nnPairs(t1)
+            .unionByName(roled(cand2x.unionByName(cand2y))))
+          use(nnPairs(t2)
+            .select(
+              when(col("side") === 0, col("k")).otherwise(col("o")).as("x"),
+              when(col("side") === 0, col("o")).otherwise(col("k")).as("y"),
+              col("dd").as("d64"))
             .groupBy("x", "y").agg(min("d64").as("d64")))
-        } finally cand1.unpersist()
+        } finally t1.unpersist()
       } finally binned.unpersist()
     } finally e.unpersist()
   }
