@@ -273,6 +273,26 @@ class PipelineSpec extends GraftSuite {
     assert(expected.nonEmpty)
   }
 
+  test("mutualNnCells follows the √n law at decade points (floor 16, cap 2^16)") {
+    // round-15 verdict item #1: the cell law must not regress to either
+    // failure mode — fixed k (quadratic candidates) or k ∝ n (quadratic
+    // assignment + unbounded driver model). √n is the unique power law
+    // balancing the two; pin it across ten decades.
+    import graft.queries.PipelineQueries.mutualNnCells
+    assert(mutualNnCells(0L) == 16 && mutualNnCells(100L) == 16) // floor
+    assert(mutualNnCells(1000L) == 32)
+    assert(mutualNnCells(1000000L) == 1000)
+    assert(mutualNnCells(100000000L) == 10000)
+    assert(mutualNnCells(10000000000L) == 65536) // cap: bounded driver model
+    assert(mutualNnCells(1000000000000L) == 65536)
+    // sub-quadratic both ways at every decade: k·n and (n/k)·n ≪ n²
+    (3 to 12).foreach { dec =>
+      val n = math.pow(10, dec).toLong
+      val k = mutualNnCells(n).toLong
+      assert(k * n <= 70000L * n && n / k <= n / 16)
+    }
+  }
+
   test("kcenterGreedy: hand-computed line fixture and the Gonzalez invariant") {
     val s = spark
     import s.implicits._

@@ -371,6 +371,16 @@ class PlanShapeSpec extends GraftSuite {
     // IVF cell id (pass 1) and on the refinement cells (pass 2)
     val p = graft.queries.PipelineQueries.mutualNnPlanProbe(spark, sf)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // round-15 verdict item #1: plan size must stay O(1) in the corpus.
+    // The rejected spelling inlined the k×64 quantized-centroid matrix
+    // and the k-cell radius vector as literal expression nodes — under
+    // the √n cell law that is Θ(√n·64) literals, printed as mega-lines
+    // in the formatted explain. The broadcast-frame spelling keeps
+    // every expression line short; pin that no line carries an inlined
+    // model (the centroid matrix alone would exceed this bound at the
+    // gate's own cell count).
+    val widest = p.linesIterator.map(_.length).max
+    assert(widest < 4000, s"plan has a $widest-char line — inlined model literals? $p")
   }
 
   test("q_ann_ivf_index probe prunes cell partitions at planning time") {

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BoundedMinSet, FreqSketch, TopKAggregator}
+import graft.functions.{BoundedMinPairs, BoundedMinSet, FreqSketch, TopKAggregator}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.types.LongType
@@ -100,6 +100,41 @@ class PropertySpec extends GraftSuite {
       val ids = java.util.Arrays.copyOf(merged.ids, merged.used).toSeq
       val expect = xs.distinct.sorted.take(6)
       ids == expect && merged.total == xs.size.toLong
+    })
+  }
+
+  test("BoundedMinPairs: chunked update + serde round-trip + merge equals k-smallest distinct pairs") {
+    // round-14 verdict item: the gate only ever runs k=4 ≤ the initial
+    // buffer, so the `used < k` growth branch of insert() never
+    // executes end-to-end. k=7 forces growth (initial capacity is
+    // min(k, 4) pairs); the dense (d, id) domain forces exact-duplicate
+    // dedupe (the both-probe-directions case), (same-d, different-id)
+    // ties, full-buffer merges, and serde of every partial.
+    val expr = BoundedMinPairs(
+      BoundReference(0, LongType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k = 7)
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      xs <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+      chunk <- Gen.choose(1, 40)
+      seed <- Gen.long
+    } yield (xs, chunk, seed)
+    check(Prop.forAll(gen) { case (xs, chunk, seed) =>
+      val parts = xs.grouped(math.max(1, chunk)).map { part =>
+        val buf = part.foldLeft(expr.createAggregationBuffer()) { case (b, (d, i)) =>
+          expr.update(b, InternalRow(d, i))
+        }
+        // every partial crosses the wire in a real shuffle
+        expr.deserialize(expr.serialize(buf))
+      }.toSeq
+      val merged =
+        if (parts.isEmpty) expr.createAggregationBuffer()
+        else new scala.util.Random(seed).shuffle(parts)
+          .reduceLeft((a, b) => expr.merge(a, b))
+      val got = (0 until merged.used)
+        .map(i => (merged.arr(2 * i), merged.arr(2 * i + 1)))
+      val expect = xs.distinct.sorted.take(7)
+      got == expect
     })
   }
 
