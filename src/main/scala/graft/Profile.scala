@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
-import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Stage-level profiler for local iteration: runs the named catalog
   * queries once (same session shape as [[Bench]]) with a listener that
@@ -48,11 +48,16 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val stages = mutable.Map[Int, StageAgg]()
+    // Written on the listener-bus thread, read/cleared on main: a plain
+    // map would drop or misattribute trailing stage-completion events
+    // (the main thread must also drain the bus before reading — see
+    // waitUntilEmpty below), corrupting the very attribution this tool
+    // exists for.
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, StageAgg]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
-        val a = stages.getOrElseUpdate(e.stageInfo.stageId, StageAgg())
+        val a = stages.computeIfAbsent(e.stageInfo.stageId, _ => StageAgg())
         a.taskMs += m.executorRunTime
         a.gcMs += m.jvmGCTime
         a.cpuMs += m.executorCpuTime / 1000000L
@@ -65,6 +70,10 @@ object Profile {
 
     def mb(b: Long): String = f"${b / 1048576.0}%.0fM"
     for (name <- names; r <- 1 to runs) {
+      // drain stragglers from the PREVIOUS query before clearing, and
+      // again before reading this run's aggregates — stage completions
+      // are delivered asynchronously on the bus thread
+      org.apache.spark.graftshim.CoreShims.drainListenerBus(spark.sparkContext)
       stages.clear()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
@@ -72,12 +81,13 @@ object Profile {
       val wall = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      val tot = stages.values
+      org.apache.spark.graftshim.CoreShims.drainListenerBus(spark.sparkContext)
+      val tot = stages.values.asScala
       println(f"[profile] $name run$r wall=$wall%.1fs stages=${stages.size} " +
         f"task=${tot.map(_.taskMs).sum / 1000.0}%.0fs cpu=${tot.map(_.cpuMs).sum / 1000.0}%.0fs " +
         f"gc=${tot.map(_.gcMs).sum / 1000.0}%.0fs spill=${mb(tot.map(_.spill).sum)} " +
         f"shufW=${mb(tot.map(_.shufW).sum)}")
-      for ((id, a) <- stages.toSeq.sortBy(-_._2.taskMs).take(5))
+      for ((id, a) <- stages.asScala.toSeq.sortBy(-_._2.taskMs).take(5))
         println(f"[profile]   stage$id task=${a.taskMs / 1000.0}%.1fs cpu=${a.cpuMs / 1000.0}%.1fs " +
           f"gc=${a.gcMs / 1000.0}%.1fs spill=${mb(a.spill)} shufR=${mb(a.shufR)} " +
           f"shufW=${mb(a.shufW)} ${a.name}")

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -46,7 +46,10 @@ case class BoundedMinPairs(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MinPairsBuf]
-  with ExpectsInputTypes with BinaryLike[Expression] {
+  // ImplicitCast (not just Expects): int distances/ids coerce to the
+  // bigint contract instead of failing analysis — the numeric-aggregate
+  // convention (round-14 advice)
+  with ImplicitCastInputTypes with BinaryLike[Expression] {
   require(k > 0)
 
   override def left: Expression = d

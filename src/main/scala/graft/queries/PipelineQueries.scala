@@ -1903,6 +1903,18 @@ object PipelineQueries {
     Qh.materializedWith(shStr)(sweepPairsFrom(shStr, sp, NgramDfCap))
   }
 
+  /** Formatted plan of the threshold-sweep pair pipeline over a
+    * persisted shingle frame — for PlanShapeSpec (this twin owned the
+    * 37 GB fat sort-spill the shuffle_hash hint kills; the hint must
+    * stay pinned here, not only on the jaccard sibling). */
+  private[graft] def sweepPlanProbe(s: SparkSession, d: String): String = {
+    val sp = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val shStr = shingled(s, d, sp).persist()
+    try sweepPairsFrom(shStr, sp, NgramDfCap).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    finally shStr.unpersist()
+  }
+
   private def sweepPairsFrom(shStr: DataFrame, sp: Int, cap: Int): DataFrame = {
     val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
     val posts = shStr.select(col("doc_id"),

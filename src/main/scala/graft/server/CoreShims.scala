@@ -12,4 +12,12 @@ import org.apache.spark.SparkContext
 object CoreShims {
   def setContextConf(sc: SparkContext, key: String, value: String): Unit =
     sc.conf.set(key, value): Unit
+
+  /** Drain the listener bus (`private[spark]`): block until every event
+    * posted so far has been delivered to every listener. [[graft.Profile]]
+    * reads listener-built per-stage aggregates right after an action
+    * returns — without the drain, trailing stage-completion events land
+    * after the read (or after the clear, bleeding into the next run). */
+  def drainListenerBus(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

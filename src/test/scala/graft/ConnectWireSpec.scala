@@ -163,8 +163,15 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
         interrupted = resp.getInterruptedIdsCount
         if (interrupted == 0) Thread.sleep(200)
       }
+      // distinguish the two zero-id exits (round-14 advice): the loop
+      // also ends when the runner dies first — i.e. the driven query
+      // completed or failed before any interrupt RPC landed, a fixture
+      // problem (query too fast), not an interrupt-semantics failure.
       assert(interrupted >= 1,
-        "interrupt must report the cancelled operation id")
+        if (!runner.isAlive)
+          s"query terminated before any interrupt landed (outcome=$outcome) — " +
+            "the driven query must run long enough to be interrupted"
+        else "interrupt must report the cancelled operation id")
     } finally channel.shutdownNow()
 
     runner.join(60000)

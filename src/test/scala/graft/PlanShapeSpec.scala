@@ -72,6 +72,10 @@ class PlanShapeSpec extends GraftSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
       s"expected band keys + both verify-join sides on InMemoryTableScan:\n$p")
+    // same hybrid-verify-join discipline as the ngram family: the
+    // j-side join must hash, never sort the fat candidate stream
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle_hash verify join on j:\n$p")
   }
 
   test("q_dedup_ngram_jaccard: no CartesianProduct; 4 shingle consumers read one cache") {
@@ -549,6 +553,11 @@ class PlanShapeSpec extends GraftSuite {
     val p = graft.queries.PipelineQueries.containmentPlanProbe(spark, sf)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p) // the df-table broadcast onto postings
+    // round-14 advice: the hinted j-side hash verify join was pinned
+    // only on the jaccard twin — a refactor dropping the hint HERE
+    // would silently reintroduce the 37 GB fat sort-spill at scale
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle_hash verify join on j:\n$p")
   }
 
   test("q_dedup_editdist: deletion-neighborhood blocking plans no cartesian product") {
@@ -562,6 +571,13 @@ class PlanShapeSpec extends GraftSuite {
     // no nested-loop anywhere in the executed shape
     val p = plan("q_dedup_threshold_sweep")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the checkpointed public plan hides the verify joins — pin the
+    // inner pipeline's hinted j-side hash join via its own probe (the
+    // sweep twin is the query that actually hit the 37 GB sort-spill)
+    val inner = graft.queries.PipelineQueries.sweepPlanProbe(spark, sf)
+    assert(!inner.contains("CartesianProduct"), inner)
+    assert(inner.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle_hash verify join on j:\n$inner")
   }
 
   test("q_cur_dsir scoring broadcasts the B-row model; tokens never shuffle by content") {
