@@ -74,10 +74,25 @@ object Bench {
     // Best-of-N (default 2) damps JIT/GC noise; a failure in any run
     // marks the query failed.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = names.map { n =>
+    // LOAD SENTINEL (round-14 verdict #4): three rounds have burned
+    // adjudication time on phantom >2× flags that were co-run box load,
+    // not code (rounds 2, 8/9, 14 — all reproduced at ≤2× on a quiet
+    // box). Re-time one fixed, cheap, plan-stable query every
+    // `sentinelEvery` queries and once more at the end; the series goes
+    // into the JSON line so tools/bench_flags.py can machine-attribute
+    // a flag to load: a query flagged inside a window where the
+    // SENTINEL itself read >2× its own series minimum was measured on a
+    // loaded box, not by a plan regression.
+    val sentinelName = "q1_pricing_summary"
+    val sentinelEvery = 30
+    if (!names.contains(sentinelName)) runOnce(sentinelName) // warm it under subsets too
+    val sentinel = scala.collection.mutable.ArrayBuffer[Double]()
+    val results = names.zipWithIndex.map { case (n, i) =>
+      if (i % sentinelEvery == 0) sentinel += runOnce(sentinelName)
       val times = (1 to runs).map(_ => runOnce(n))
       n -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    sentinel += runOnce(sentinelName) // closing reading bounds the last window
     // Locale.ROOT: the default-locale f-interpolator would print decimal
     // commas on e.g. a de_DE JVM and corrupt the JSON line.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -86,8 +101,10 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = ok.map(_._2).sum
+    val sentJson = "{\"name\":\"" + sentinelName + "\",\"every\":" + sentinelEvery +
+      ",\"times\":" + sentinel.map(num).mkString("[", ",", "]") + "}"
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size},"sentinel":$sentJson}"""
     println(line)
     // The driver keeps only the log TAIL; at 94 queries the JSON line is
     // ~2.5 KB and its head can be cut off (BENCH_r04 recorded
