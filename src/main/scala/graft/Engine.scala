@@ -306,6 +306,9 @@ object Engine {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-state custom aggregates must hash, not sort-fall-back at
+      // 128 groups — see the Bench session builder note
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // CBO on engine-wide: ANALYZE'd tables get stats-driven join
       // strategy AND join order (q_join_stats_broadcast /

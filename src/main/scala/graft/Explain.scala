@@ -8,8 +8,13 @@ import org.apache.spark.sql.execution.ExplainMode
   * subset). */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names = if (args.length > 1) args.drop(1).toSeq
+    // --exec: run the query first, then print the FINAL adaptive plan —
+    // AQE stamps [codegen id :] only on the executed plan, so this is
+    // the only way to audit WholeStageCodegen coverage from the CLI
+    val exec = args.contains("--exec")
+    val rest = args.filterNot(_ == "--exec")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (rest.length > 1) rest.drop(1).toSeq
       else Seq("q1_pricing_summary", "q_join_inner_agg", "q_dedup_minhash",
         "q_ann_bruteforce", "q_topk")
     val spark = SparkSession.builder()
@@ -21,8 +26,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution
-        .explainString(ExplainMode.fromString("formatted")))
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (exec) df.collect()
+      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }

@@ -2978,10 +2978,12 @@ object PipelineQueries {
     // --- kNN-graph refinement: neighbors-of-neighbors (NN-descent) ------
     Q("q_ann_nndescent",
       s"""WITH sm AS (SELECT $RpSignsSql AS s),
+         |st AS (SELECT 10 * GREATEST(1, CAST(CEIL(COUNT(*) / 20000.0) AS BIGINT))
+         |         AS stride FROM embeddings),
          |e AS (SELECT vec_id,
          |        [CAST(floor(x * 1024.0) AS BIGINT)
          |         for x in CAST(embedding AS DOUBLE[])] AS q
-         |      FROM embeddings WHERE vec_id % 10 = 0),
+         |      FROM embeddings WHERE vec_id % (SELECT stride FROM st) = 0),
          |p AS (SELECT vec_id,
          |        [CAST(list_sum([q[j] * sm.s[k][j] for j in range(1, 65)])
          |           AS BIGINT) for k in range(1, 17)] AS p
@@ -3036,15 +3038,25 @@ object PipelineQueries {
       // operator has real work to do. Determinism: quantized integer
       // distances (floor(x*1024), exact), (dist, id) tiebreaks
       // everywhere. Shape for 100 TB: the all-pairs here runs on a
-      // BOUNDED deterministic sample (vec_id % 10 = 0) exactly like
-      // IVF trains its codebook on a sample; at corpus scale the
-      // initial graph comes from LSH/IVF buckets and each NN-descent
-      // round is EDGE-scale (k^2 candidate pairs per vertex, one
-      // (u)-keyed shuffle to re-rank) — never all-pairs. The sketch
-      // init is why the round has headroom to show: d16 ranks are JL-
-      // noisy (q_embed_rp measures the distortion), d64 re-ranking
-      // repairs them.
-      val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      // SIZE-BOUNDED deterministic sample — stride = 10·⌈n/20000⌉, so
+      // the sample never exceeds ~2000 vectors no matter the corpus
+      // (round-15 decade finding: the old fixed `% 10` was a fixed
+      // FRACTION, so the "sample" all-pairs was n²/100 — 400M
+      // interpreted pair evals plus three window sorts over them at
+      // sf10, a >29× wall; a recall HARNESS must be corpus-size-
+      // independent exactly like IVF's codebook training). Both engines
+      // derive the stride from the same COUNT(*), so the oracle stays
+      // exact at every SF, and every gate/sf1 stride is 10 — bit-
+      // identical to the old rule. At corpus scale the initial graph
+      // comes from LSH/IVF buckets and each NN-descent round is
+      // EDGE-scale (k^2 candidate pairs per vertex, one (u)-keyed
+      // shuffle to re-rank) — never all-pairs. The sketch init is why
+      // the round has headroom to show: d16 ranks are JL-noisy
+      // (q_embed_rp measures the distortion), d64 re-ranking repairs
+      // them.
+      val total = t(s, d, "embeddings").count()
+      val stride = 10L * math.max(1L, math.ceil(total / 20000.0).toLong)
+      val e = t(s, d, "embeddings").filter(col("vec_id") % stride === 0)
         .select(col("vec_id"),
           expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")
             .as("q"))
@@ -5459,12 +5471,54 @@ object PipelineQueries {
       // label, never all-pairs across the corpus. At 100 TB the cell id
       // comes from k-means/IVF instead of a given label; the plan shape
       // is identical.
+      //
+      // The within-cell verification is CHUNK-SPLIT (round-15 decade
+      // finding): joining on the label alone gives parallelism = |labels|
+      // ≈ 10 tasks, so each label's quadratic pair set lands on ONE core
+      // and the sf10 decade read >30× sf1 while 22 of 32 cores idled.
+      // Each side also carries chunk ids — a's own chunk + an exploded
+      // b-chunk, b's own chunk + an exploded a-chunk — so the SAME exact
+      // pair set re-keys as (label, ca, cb): |labels|·B² join keys, each
+      // holding (cell/B)² verification work. Explode cost is n·B slim
+      // rows per side — linear — against a quadratic work pool now
+      // spread across every core; at 1000 executors B sizes to
+      // occupancy²/task-target the same way. Norms are precomputed per
+      // VECTOR (the mutual-NN norm-expansion convention): the cosine
+      // needs one codegen'd dot per pair instead of three, and the
+      // value is bit-identical (same sqrt/multiply tree, reassociated
+      // only across rows, not within the double expression).
+      import graft.functions.DotProduct.dot_product
+      val nChunks = 8
       val e = vecs(s, d)
-      val a = e.select(col("vec_id").as("i"), col("label"), col("v"))
-      val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("v").as("qv"))
-      a.join(b, col("label") === col("lb") && col("i") < col("j"))
-        .select(col("i"), col("j"), cosine(col("v"), col("qv")).as("cs"))
-        .filter(col("cs") >= 0.4)
+      val a = e.select(col("vec_id").as("i"), col("label"), col("v"),
+          sqrt(dot_product(col("v"), col("v"))).as("na"),
+          pmod(col("vec_id"), lit(nChunks)).cast("int").as("ca"))
+        .withColumn("cb", explode(sequence(lit(0), lit(nChunks - 1))))
+      val b = e.select(col("vec_id").as("j"), col("label").as("lb"), col("v").as("qv"),
+          sqrt(dot_product(col("v"), col("v"))).as("nb"),
+          pmod(col("vec_id"), lit(nChunks)).cast("int").as("cb"))
+        .withColumn("ca", explode(sequence(lit(0), lit(nChunks - 1))))
+      // The exact threshold is on round(cs, 9), but Spark's Round on
+      // doubles allocates a BigDecimal PER EVALUATION — at ~2 µs per
+      // pair it was 80% of the verify loop (round-15 decade profile; a
+      // post-projection `filter(round >= 0.4)` spelling gets pushed
+      // straight back into the join condition, so the rewrite must
+      // change the predicate itself). round-half-up(x, 9) >= 0.4 is
+      // EXACTLY x >= 0.3999999995 for doubles: the nearest double to
+      // that boundary round-trips to the decimal "0.3999999995" itself
+      // (shortest-representation law), so BigDecimal.valueOf rounds it
+      // up, every greater double is above the boundary, and every
+      // lesser double is below — PipelineSpec's round-boundary test
+      // pins the equivalence over the adjacent-double grid against the
+      // engine's own Round. The join condition
+      // carries only the raw primitive compare; Round survives solely
+      // in the projection, evaluated once per SURVIVOR.
+      val rawCs = dot_product(col("a.v"), col("b.qv")) / (col("a.na") * col("b.nb"))
+      a.as("a").join(b.as("b"),
+          col("a.label") === col("b.lb") && col("a.ca") === col("b.ca") &&
+            col("a.cb") === col("b.cb") && col("a.i") < col("b.j") &&
+            rawCs >= 0.3999999995)
+        .select(col("a.i").as("i"), col("b.j").as("j"), round(rawCs, 9).as("cs"))
         .orderBy("i", "j")
     },
 

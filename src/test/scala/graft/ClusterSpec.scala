@@ -160,6 +160,9 @@ class ClusterSpec extends GraftSuite with BeforeAndAfterAll {
         org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-state custom aggregates must hash, not sort-fall-back at
+      // 128 groups — see the Bench session builder note
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -273,6 +273,29 @@ class PipelineSpec extends GraftSuite {
     assert(expected.nonEmpty)
   }
 
+  test("round(x,9) >= 0.4 is exactly x >= 0.3999999995 on the adjacent-double grid") {
+    // q_embed_neardup's verify loop replaces the per-pair BigDecimal
+    // Round with a raw primitive compare; this pins the equivalence
+    // against the ENGINE's own Round over every double within 50 ulps
+    // of the boundary plus the coarse neighborhood — if Spark's Round
+    // semantics or the shortest-representation law ever shifted, this
+    // fails before the oracle gate does.
+    val s = spark
+    import s.implicits._
+    val boundary = 0.3999999995
+    val grid = (
+      (-50 to 50).scanLeft(boundary) { (x, _) => Math.nextUp(x) }.toSeq ++
+      (-50 to 50).scanLeft(boundary) { (x, _) => Math.nextDown(x) }.toSeq ++
+      Seq(0.39999999949, 0.39999999951, 0.3999999994, 0.3999999996,
+        0.399999999, 0.4, 0.4000000001, 0.39, 0.41)).distinct
+    val got = grid.toDF("x")
+      .select(col("x"), (org.apache.spark.sql.functions.round(col("x"), 9) >= 0.4).as("rounded"),
+        (col("x") >= boundary).as("raw"))
+      .collect()
+    val bad = got.filter(r => r.getBoolean(1) != r.getBoolean(2))
+    assert(bad.isEmpty, bad.map(r => f"${r.getDouble(0)}%.17g: round=${r.getBoolean(1)} raw=${r.getBoolean(2)}").mkString(";"))
+  }
+
   test("mutualNnCells follows the √n law at decade points (floor 16, cap 2^16)") {
     // round-15 verdict item #1: the cell law must not regress to either
     // failure mode — fixed k (quadratic candidates) or k ∝ n (quadratic

@@ -35,6 +35,17 @@ object SparkTestBase {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
+      // Graft's TypedImperativeAggregates (bounded_min_pairs/set, the
+      // sketches) all carry BOUNDED per-group state by design (the caps
+      // convention) — with Spark's default 128-key limit their partial
+      // aggregation falls back to SORT-based after the first 128 groups,
+      // turning a map-side k-reduction into a sort of the whole input
+      // stream (the mutual-NN sf10 candidate stream: ~1.4G rows, the
+      // round-15 decade wall). 2^17 keys x the designed worst ~600 B
+      // state is ~75 MB per task — inside the execution budget — while
+      // genuinely unbounded-cardinality groupings (gram postings) still
+      // fall back past the threshold as they should.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
