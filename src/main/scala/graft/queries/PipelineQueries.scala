@@ -651,6 +651,16 @@ object PipelineQueries {
     math.min(1L << 16, math.max(16L,
       math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
 
+  /** q_ann_nndescent's sample-stride law: stride = 10·⌈n/20000⌉, so the
+    * recall harness's all-pairs sample never exceeds ~2000 vectors at
+    * any corpus size (the round-15 decade fix — `% 10` was a fixed
+    * FRACTION, i.e. an n²/100 "sample"), while every gate/sf1 corpus
+    * (n ≤ 20000) keeps the historical stride of exactly 10. The oracle
+    * SQL derives the identical value from COUNT(*). PipelineSpec pins
+    * the law at decade points. */
+  private[graft] def nndescentStride(n: Long): Long =
+    10L * math.max(1L, math.ceil(n / 20000.0).toLong)
+
 
   /** The candidate generator's physical plan (PlanShapeSpec: cell-keyed
     * hash joins, no CartesianProduct — the catalog query's public plan
@@ -3054,8 +3064,7 @@ object PipelineQueries {
       // the round has headroom to show: d16 ranks are JL-noisy
       // (q_embed_rp measures the distortion), d64 re-ranking repairs
       // them.
-      val total = t(s, d, "embeddings").count()
-      val stride = 10L * math.max(1L, math.ceil(total / 20000.0).toLong)
+      val stride = nndescentStride(t(s, d, "embeddings").count())
       val e = t(s, d, "embeddings").filter(col("vec_id") % stride === 0)
         .select(col("vec_id"),
           expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1024.0) as bigint))")

@@ -316,6 +316,23 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("nndescentStride bounds the sample at ~2000 vectors at every decade") {
+    // round-15 decade fix: the recall harness's all-pairs must run on a
+    // SIZE-bounded sample, never a fixed fraction — and gate/sf1
+    // corpora must keep the historical stride 10 so their oracle rows
+    // are bit-identical to the pre-fix recording.
+    import graft.queries.PipelineQueries.nndescentStride
+    assert(nndescentStride(200L) == 10)    // sf0.01
+    assert(nndescentStride(2000L) == 10)   // sf0.1
+    assert(nndescentStride(20000L) == 10)  // sf1: boundary, still 10
+    assert(nndescentStride(200000L) == 100)    // sf10
+    assert(nndescentStride(2000000L) == 1000)  // sf100
+    (3 to 12).foreach { dec =>
+      val n = math.pow(10, dec).toLong
+      assert(n / nndescentStride(n) <= 2000L, s"sample unbounded at 10^$dec")
+    }
+  }
+
   test("kcenterGreedy: hand-computed line fixture and the Gonzalez invariant") {
     val s = spark
     import s.implicits._

@@ -110,6 +110,22 @@ class PlanShapeSpec extends GraftSuite {
     }
   }
 
+  test("q_embed_neardup verifies through a 3-key chunked equi join with no Round in the loop") {
+    // Both round-15 decade fixes pinned: (a) the within-label verify
+    // join must key on (label, ca, cb) — chunk-split parallelism, not
+    // one task per label — and never degrade to a nested loop; (b) the
+    // cosine threshold must stay a raw primitive compare in the join
+    // condition: a `round(...)` there is the per-pair BigDecimal that
+    // cost ~80% of the verify loop before Catalyst's pushdown was
+    // designed around.
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Left keys [3]"), s"expected the 3-key chunked join:\n$p")
+    val cond = p.linesIterator.filter(_.contains("Join condition")).mkString(";")
+    assert(cond.nonEmpty && !cond.contains("round("),
+      s"Round leaked back into the verify join condition: $cond")
+  }
+
   test("q_ann_bruteforce broadcasts the query vector (no shuffle of corpus)") {
     val p = plan("q_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
