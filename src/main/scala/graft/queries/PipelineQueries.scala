@@ -560,30 +560,32 @@ object PipelineQueries {
         // reduces each stream task-locally to ≤ 4 (d64, id) pairs per
         // vector per partition — the exact row_number()-over-(d64, id)
         // semantics, map-side combined — so memory is O(vectors) and
-        // the returned frame is ≤ 8n rows at any geometry. Each pair is
-        // aggregated for BOTH sides in one pass via a role explode (one
-        // shuffle, not two), and bounded min-k's associativity lets
+        // the returned frame is ≤ 8n rows at any geometry. Each side
+        // aggregates ONLY its own probe stream (round 15 — the earlier
+        // role-explode fed every enumerated pair to both sides' top-4,
+        // doubling the dominant stage's aggregation traffic; the
+        // refinement theorem never needed that: side-s exactness
+        // requires only that side-s's own probes cover side-s's true
+        // top-4, and a d4 bound from fewer candidates is LOOSER, i.e.
+        // strictly conservative). Bounded min-k's associativity lets
         // pass 2 merge with pass 1's top-4 instead of re-reading the
         // pass-1 stream. Downstream per-side top-4 windows over the
         // returned frame remain exact: it contains each side's true
         // top-4 (the refinement theorem above is unchanged — only the
         // reduction moved from window to aggregate).
-        def roled(df: DataFrame) = df.select(explode(array(
-            struct(lit(0).as("side"), col("x").as("k"), col("y").as("o"), col("d64").as("dd")),
-            struct(lit(1).as("side"), col("y").as("k"), col("x").as("o"), col("d64").as("dd")))).as("r"))
-          .select(col("r.side").as("side"), col("r.k").as("k"),
-            col("r.o").as("o"), col("r.dd").as("dd"))
-        def top4(df: DataFrame) = df.groupBy("side", "k")
-          .agg(bounded_min_pairs(col("dd"), col("o"), 4).as("nn"))
-        def nnPairs(df: DataFrame) = df
-          .select(col("side"), col("k"), explode(col("nn")).as("p"))
-          .select(col("side"), col("k"), col("p.o").as("o"), col("p.d").as("dd"))
-        val t1 = top4(roled(candA.unionByName(candB)))
-        t1.persist()
+        def top4By(df: DataFrame, key: String, other: String) =
+          df.groupBy(col(key).as("k"))
+            .agg(bounded_min_pairs(col("d64"), col(other), 4).as("nn"))
+        def nnPairsBy(df: DataFrame) = df
+          .select(col("k"), explode(col("nn")).as("p"))
+          .select(col("k"), col("p.o").as("o"), col("p.d").as("d64"))
+        val s0 = top4By(candA, "x", "y")
+        val s1 = top4By(candB, "y", "x")
+        s0.persist(); s1.persist()
         try {
           // current 4th-best per vector (MaxValue when under-filled —
           // forces a full re-probe of every populated cell)
-          def d4Of(side: Int, key: String) = t1.filter(col("side") === side)
+          def d4Of(side: DataFrame, key: String) = side
             .select(col("k").as(key),
               when(size(col("nn")) < 4, lit(Long.MaxValue))
                 .otherwise(element_at(col("nn"), 4).getField("d")).as("d4"))
@@ -595,10 +597,10 @@ object PipelineQueries {
           // O(n·k) map-side stream filtered on the spot, instead of an
           // O(n·k) persisted array column riding every downstream
           // exchange.
-          def extraProbes(side: Int, key: String) =
+          def extraProbes(side: Int, pass1: DataFrame, key: String) =
             binned.filter(col("label") === side)
               .select(col("vec_id").as(key), col("qd"), col("vnorm"), col("pcs"))
-              .join(d4Of(side, key), Seq(key), "left")
+              .join(d4Of(pass1, key), Seq(key), "left")
               .withColumn("d4", coalesce(col("d4"), lit(Long.MaxValue)))
               .withColumn("jk", pmod(col(key), lit(1L)))
               .join(broadcast(cent), Seq("jk"))
@@ -612,27 +614,29 @@ object PipelineQueries {
                 .otherwise(floor(col("lb") * col("lb") * lit(0.999999999)).cast("long"))
                 <= col("d4"))
               .select(col(key), col("qd"), col("vnorm"), col("cid").as("pc"))
-          val cand2x = extraProbes(0, "x")
+          val cand2x = extraProbes(0, s0, "x")
             .withColumnRenamed("qd", "qa").withColumnRenamed("vnorm", "na")
             .join(ys, col("pc") === col("yc"))
             .select(col("x"), col("y"), d64c.as("d64"))
-          val cand2y = extraProbes(1, "y")
+          val cand2y = extraProbes(1, s1, "y")
             .withColumnRenamed("qd", "qb").withColumnRenamed("vnorm", "nb")
             .join(xs, col("pc") === col("xc"))
             .select(col("x"), col("y"), d64c.as("d64"))
           // final exact per-side top-4 = top-4 over (pass-1 top-4 ∪
-          // pass-2 stream); emit both sides' lists as (x, y, d64) pairs
-          // — the same exact duplicate carries the same distance, so
-          // the groupBy is pure dedup
-          val t2 = top4(nnPairs(t1)
-            .unionByName(roled(cand2x.unionByName(cand2y))))
-          use(nnPairs(t2)
-            .select(
-              when(col("side") === 0, col("k")).otherwise(col("o")).as("x"),
-              when(col("side") === 0, col("o")).otherwise(col("k")).as("y"),
-              col("dd").as("d64"))
+          // that side's pass-2 stream); emit both sides' lists as
+          // (x, y, d64) pairs — the same exact duplicate carries the
+          // same distance, so the groupBy is pure dedup
+          val f0 = top4By(nnPairsBy(s0)
+              .select(col("k").as("x"), col("o").as("y"), col("d64"))
+              .unionByName(cand2x), "x", "y")
+          val f1 = top4By(nnPairsBy(s1)
+              .select(col("o").as("x"), col("k").as("y"), col("d64"))
+              .unionByName(cand2y), "y", "x")
+          use(nnPairsBy(f0).select(col("k").as("x"), col("o").as("y"), col("d64"))
+            .unionByName(
+              nnPairsBy(f1).select(col("o").as("x"), col("k").as("y"), col("d64")))
             .groupBy("x", "y").agg(min("d64").as("d64")))
-        } finally t1.unpersist()
+        } finally { s0.unpersist(); s1.unpersist() }
       } finally binned.unpersist()
     } finally e.unpersist()
   }
