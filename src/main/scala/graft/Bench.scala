@@ -98,12 +98,21 @@ object Bench {
     val sentinelEvery = 30
     if (!names.contains(sentinelName)) runOnce(sentinelName) // warm it under subsets too
     val sentinel = scala.collection.mutable.ArrayBuffer[Double]()
+    // Each sentinel reading is best-of-2 like the queries it adjudicates
+    // (round-15 ADVICE): a single GC/JIT blip in a lone reading would
+    // inflate both adjacent windows past 2× and bench_flags would then
+    // LOAD-attribute every flag in them — a genuine regression could ride
+    // a noisy sentinel through the gate.
+    def sentinelReading(): Double = {
+      val a = runOnce(sentinelName); val b = runOnce(sentinelName)
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
     val results = names.zipWithIndex.map { case (n, i) =>
-      if (i % sentinelEvery == 0) sentinel += runOnce(sentinelName)
+      if (i % sentinelEvery == 0) sentinel += sentinelReading()
       val times = (1 to runs).map(_ => runOnce(n))
       n -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    sentinel += runOnce(sentinelName) // closing reading bounds the last window
+    sentinel += sentinelReading() // closing reading bounds the last window
     // Locale.ROOT: the default-locale f-interpolator would print decimal
     // commas on e.g. a de_DE JVM and corrupt the JSON line.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -114,8 +123,12 @@ object Bench {
     val total = ok.map(_._2).sum
     val sentJson = "{\"name\":\"" + sentinelName + "\",\"every\":" + sentinelEvery +
       ",\"times\":" + sentinel.map(num).mkString("[", ",", "]") + "}"
+    // Explicit run order (round-15 ADVICE): bench_flags.py maps queries to
+    // sentinel windows by run index — give it the order outright instead
+    // of relying on JSON-object key order surviving every parser.
+    val orderJson = names.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size},"sentinel":$sentJson}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"order":$orderJson,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size},"sentinel":$sentJson}"""
     println(line)
     // The driver keeps only the log TAIL; at 94 queries the JSON line is
     // ~2.5 KB and its head can be cut off (BENCH_r04 recorded

@@ -27,7 +27,11 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      if (exec) df.collect()
+      // noop sink, not collect(): AQE finalization only needs the plan to
+      // EXECUTE — materializing the full frame on the driver can OOM it
+      // for large results where the bench's noop write of the same plan
+      // would not (round-15 ADVICE).
+      if (exec) df.write.format("noop").mode("overwrite").save()
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     spark.stop()

@@ -650,10 +650,34 @@ object PipelineQueries {
     * pass-1 candidates are ≈ 4·n·(n/k) = 4·n^1.5. PipelineSpec pins
     * the law at decade points so it cannot silently regress to either
     * failure mode (fixed k ⇒ quadratic candidates; k ∝ n ⇒ quadratic
-    * assignment). */
-  private[graft] def mutualNnCells(n: Long): Int =
+    * assignment).
+    *
+    * REGIME CHANGE PAST THE CAP (round-15 verdict): once n exceeds
+    * 2³² ≈ 4.3×10⁹ vectors the cap binds, per-cell occupancy grows as
+    * n/65536, and pass-1 candidates revert toward n²/65536 —
+    * super-linear, the law's √n guarantee no longer holds. That is two
+    * decades beyond any tested corpus; the production path at that
+    * scale is to swap the exhaustive pass-1 for IVF-pruned candidate
+    * enumeration (probe only the nearest cells, as q_ann_ivf does)
+    * rather than raising the cap. [[mutualNnCellsCapBinds]] makes the
+    * regime change LOUD so a future decade run is not silently
+    * super-linear. */
+  private[graft] def mutualNnCells(n: Long): Int = {
+    if (mutualNnCellsCapBinds(n))
+      System.err.println(
+        s"[graft] mutualNnCells: 2^16-cell cap binds at n=$n — per-cell " +
+          "occupancy now grows as n/65536 and pass-1 candidate volume is " +
+          "super-linear; swap pass-1 for IVF-pruned candidates at this scale")
     math.min(1L << 16, math.max(16L,
       math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong)).toInt
+  }
+
+  /** True exactly when ⌈√n⌉ exceeds the 2¹⁶ cap, i.e. when
+    * [[mutualNnCells]] leaves its designed √n regime (n > 2³²). Split
+    * out so PipelineSpec can pin the boundary without capturing
+    * stderr. */
+  private[graft] def mutualNnCellsCapBinds(n: Long): Boolean =
+    math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong > (1L << 16)
 
   /** q_ann_nndescent's sample-stride law: stride = 10·⌈n/20000⌉, so the
     * recall harness's all-pairs sample never exceeds ~2000 vectors at

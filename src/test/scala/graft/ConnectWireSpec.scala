@@ -140,9 +140,18 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
     val hsql = "SELECT xxhash64(CAST(count(*) AS STRING), " +
       "CAST(coalesce(bit_xor(xxhash64(*)), CAST(0 AS BIGINT)) AS STRING)) AS h " +
       "FROM global_temp.cw_parity"
+    // Round-15 verdict #5 (suite time-box): the full 288-query sweep is a
+    // round-close gate, not an inner-loop check — it alone doubled the
+    // suite wall (11m46s → 21m03s). Default: a deterministic 1-in-9
+    // stride sample (~32 queries, fixed offset so the set is stable
+    // across runs and spans every family file). GRAFT_CONNECT_FULL=1
+    // restores the full sweep; tools/round_close.sh sets it.
+    val sweep =
+      if (sys.env.get("GRAFT_CONNECT_FULL").contains("1")) SparkEntry.catalog
+      else SparkEntry.catalog.zipWithIndex.collect { case (q, i) if i % 9 == 4 => q }
     val mismatches = Seq.newBuilder[String]
     var n = 0
-    for (q <- SparkEntry.catalog) {
+    for (q <- sweep) {
       try {
         val df = SparkEntry.queries(q.name)(spark, sf)
         df.createOrReplaceGlobalTempView("cw_parity")
@@ -162,7 +171,7 @@ class ConnectWireSpec extends GraftSuite with BeforeAndAfterAll {
     val bad = mismatches.result()
     assert(bad.isEmpty, s"${bad.size}/$n catalog queries diverged over Connect:\n" +
       bad.mkString("\n"))
-    assert(n == SparkEntry.catalog.size)
+    assert(n == sweep.size && sweep.nonEmpty)
   }
 
   test("mid-query cancellation over Connect: Interrupt kills the running job, session stays usable") {

@@ -314,6 +314,16 @@ class PipelineSpec extends GraftSuite {
       val k = mutualNnCells(n).toLong
       assert(k * n <= 70000L * n && n / k <= n / 16)
     }
+    // round-15 verdict #1 (cap regime guard): the √n guarantee ends
+    // exactly where ⌈√n⌉ crosses the 2¹⁶ cap — n = 2³². Pin the
+    // boundary predicate that drives the loud stderr warn so the
+    // regime change can never again go silent.
+    import graft.queries.PipelineQueries.mutualNnCellsCapBinds
+    assert(!mutualNnCellsCapBinds(1L << 32))       // ⌈√n⌉ = 65536: in regime
+    assert(mutualNnCellsCapBinds((1L << 32) + 1))  // first super-linear n
+    assert(mutualNnCellsCapBinds(1000000000000L))
+    assert(!mutualNnCellsCapBinds(200000L))        // tested corpora: quiet
+    assert(!mutualNnCellsCapBinds(0L))
   }
 
   test("nndescentStride bounds the sample at ~2000 vectors at every decade") {

@@ -101,4 +101,50 @@ class SpillSpec extends GraftSuite {
       assert(got.toSeq == want, "spilled aggregation produced wrong sums")
     } finally dispose(s2)
   }
+
+  test("unbounded-state object agg past the raised 2^17 threshold still falls back to sort") {
+    // Round-15 ADVICE: every graft session raises
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold to 2^17
+    // for the BOUNDED-state typed aggregates (bounded_min_*, sketches —
+    // ~600 B/group by design, ≈75 MB worst per task). The threshold is
+    // key-count-based, not memory-based, so the safety valve for
+    // genuinely UNBOUNDED-state aggregates (collect_list-style postings)
+    // is that they still trip the sort fallback once a task's partial
+    // agg exceeds 2^17 groups. Regression-pin exactly that: a
+    // collect_list over >2^17 per-task groups under the raised threshold
+    // must (a) record numTasksFallBacked > 0 on an ObjectHashAggregate
+    // node — i.e. the graceful-degradation path still engages — and
+    // (b) aggregate exactly.
+    SparkTestBase.reset()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-objagg-fallback")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      s2.sparkContext.setLogLevel("WARN")
+      val engine = new Engine(s2)
+      // 2 input tasks x 300k distinct groups per task (id % 300000 hits
+      // every group once per 300k-id half, so each task's partial map
+      // alone crosses 131072), 2 rows/group, a 64-char payload per row —
+      // the fat-state shape the threshold analysis does NOT cover.
+      val df = s2.range(0L, 600000L, 1L, 2)
+        .selectExpr("id % 300000 AS g", "repeat('x', 64) AS v")
+        .groupBy("g").agg(org.apache.spark.sql.functions.collect_list("v").as("vs"))
+        .selectExpr("g", "size(vs) AS n")
+      val analyzed = engine.explainAnalyze(df)
+      val fellBack = analyzed.linesIterator.exists(l =>
+        l.contains("ObjectHashAggregate") &&
+          "numTasksFallBacked=(\\d+)".r.findFirstMatchIn(l).exists(_.group(1).toLong > 0))
+      assert(fellBack,
+        s"no ObjectHashAggregate sort fallback under the raised threshold in:\n$analyzed")
+      val counts = df.groupBy("n").count().collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(counts == Map(2 -> 300000L),
+        s"fallback aggregation lost/duplicated rows: $counts")
+    } finally dispose(s2)
+  }
 }

@@ -14,7 +14,9 @@ JSON line; this script joins the flags against the sentinel windows:
   - a flag in a quiet window is annotated REAL? and deserves a plan look.
 
 Usage: tools/bench_flags.py BENCH_rNN.json [--threshold 2.0]
-Exit status: 0 if no REAL? flags, 1 otherwise (usable as a gate).
+Exit status: 0 if no flags at all; 1 if any REAL? flag; 2 if every flag
+is LOAD-attributed (not green — a mandatory quiet-box re-run is printed:
+a genuine regression co-occurring with box load would otherwise pass).
 """
 import json
 import re
@@ -26,8 +28,16 @@ BASELINE = "BASELINE.md"
 def baseline_walls():
     walls = {}
     lines = open(BASELINE).read().split("\n")
-    start = next(i for i, l in enumerate(lines) if l.startswith("| query | sf |"))
-    end = next(i for i in range(start, len(lines)) if lines[i].startswith("###"))
+    try:
+        start = next(i for i, l in enumerate(lines) if l.startswith("| query | sf |"))
+    except StopIteration:
+        sys.exit(f"{BASELINE}: no '| query | sf |' table header found — "
+                 "the baseline table marker was renamed or removed")
+    try:
+        end = next(i for i in range(start, len(lines)) if lines[i].startswith("###"))
+    except StopIteration:
+        sys.exit(f"{BASELINE}: no '###' heading terminates the baseline "
+                 "table — the section structure changed")
     for l in lines[start + 2:end]:
         m = re.match(r"\| (q[\w]*) \| [\d.]+ \| ([\d.]+) \|", l)
         if m:
@@ -53,8 +63,10 @@ def main():
         print(f"{path} has no sentinel series (pre-round-15 bench); "
               "flags cannot be machine-adjudicated", file=sys.stderr)
     # sentinel window w spans catalog indexes [w*every, (w+1)*every);
-    # readings times[w] (before) and times[w+1] (after) bound it
-    names = list(queries)  # catalog order is preserved in the JSON line
+    # readings times[w] (before) and times[w+1] (after) bound it.
+    # Prefer the explicit run-order array (round-16 bench JSON) over
+    # assuming the queries object's key order survived parsing.
+    names = bench.get("order") or list(queries)
     loads = {}
     if sent:
         times = [t for t in sent["times"] if t >= 0]
@@ -65,6 +77,7 @@ def main():
             loads[n] = (max(window) / ref) if window and ref > 0 else float("nan")
 
     real = 0
+    load_flags = 0
     for n in names:
         v = queries[n]
         base = walls.get(n)
@@ -78,15 +91,25 @@ def main():
         if load is not None and load > thr:
             print(f"LOAD  {n}: {v:.2f}s vs baseline {base:.2f}s "
                   f"({v / base:.1f}x) — sentinel window at {load:.1f}x its minimum")
+            load_flags += 1
         else:
             tag = f"sentinel window quiet ({load:.1f}x)" if load is not None \
                 else "no sentinel data"
             print(f"REAL? {n}: {v:.2f}s vs baseline {base:.2f}s "
                   f"({v / base:.1f}x) — {tag}")
             real += 1
+    if real == 0 and load_flags == 0:
+        print("bench_flags: clean — no flags")
+        sys.exit(0)
     if real == 0:
-        print("bench_flags: no unattributed flags")
-    sys.exit(1 if real else 0)
+        # LOAD is an attribution, not an acquittal: the box was loaded, so
+        # the readings say nothing either way about the flagged plans.
+        print(f"bench_flags: {load_flags} LOAD-attributed flag(s), none REAL? — "
+              "MANDATORY: re-run the flagged queries on a quiet box "
+              "(SPARK_GRAFT_BENCH_ONLY=<names> tools/run_verify.sh graft.Bench) "
+              "before treating this bench as green")
+        sys.exit(2)
+    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,11 @@
 #
 # Usage: tools/round_close.sh [round-number]
 # With no args, checks; with a round number, stages + commits the artifacts.
+#
+# Round-close test gate: the Connect parity sweep samples 1-in-9 by
+# default (suite time-box); the FULL 288-query sweep is expected once per
+# round via
+#   GRAFT_CONNECT_FULL=1 sbt -batch "testOnly graft.ConnectWireSpec"
 set -e
 cd "$(dirname "$0")/.."
 
