@@ -36,12 +36,20 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     GraftMetrics.register(spark) // graft_* drop counters go to stderr, not the JSON line
 
+    // Per-query progress to stderr (SPARK_GRAFT_BENCH_PROGRESS=1): decade
+    // runs at 100× SF hang SILENTLY on a scale wall otherwise — the
+    // warm-up pass prints nothing and the JSON line only exists at exit.
+    val progress = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROGRESS", "0") == "1"
     def runOnce(name: String): Double = {
+      if (progress) System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (progress)
+          System.err.println(String.format(java.util.Locale.ROOT, "[bench] done  %s %.2f s", name, Double.box(t)))
+        t
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -6909,11 +6909,16 @@ object PipelineQueries {
       // the same instant (delta −1 < +1) — back-to-back sessions don't
       // overlap, and the convention is pinned identically in both
       // engines. Sessions come from the same lag-gap sessionizer as
-      // q_events_sessionize. The delta sweep is the gate spelling's
-      // one-partition window (2 rows per session); the 100 TB path is
-      // the two-pass day-partitioned prefix sum with carry-in — the
-      // q_cur_token_budget discipline — since day boundaries give the
-      // natural repartition key.
+      // q_events_sessionize. The delta sweep is the two-pass
+      // DAY-PARTITIONED prefix sum with carry-in (the q_cur_token_budget
+      // discipline): the global (ts, delta) order is the concatenation
+      // of the per-day orders, so conc = (broadcast carry-in: running
+      // sum of whole prior days' delta totals, a ≤|days|-row frame) +
+      // (within-day ROWS cumsum, a day-keyed window). Round-16 decade
+      // fix: the old spelling ran the sweep as ONE unpartitioned window
+      // — a single task sorting 2 rows/session (≈4M at sf10, 8.6× at
+      // 10× data; unbounded at 100 TB where day keys give the natural
+      // parallelism).
       val ev = t(s, d, "events")
         .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -6926,14 +6931,26 @@ object PipelineQueries {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
         .agg(min("ts").as("st"), max("ts").as("en"))
+      // dl feeds TWO consumers (the per-day carry totals and the
+      // within-day cumsum) — persist it for the one job, or the whole
+      // sessionizer window runs twice (the Qh.materializedWith
+      // discipline; dl is 2 rows/session, orders smaller than events)
       val dl = sess.select(col("st").as("ts"), lit(1).as("delta"))
         .unionAll(sess.select(col("en").as("ts"), lit(-1).as("delta")))
-      dl.withColumn("conc", sum("delta").over(
-          Window.orderBy(col("ts"), col("delta"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"))
-        .groupBy(expr("unix_millis(ts) div 86400000").as("d"))
-        .agg(max("conc").as("peak_concurrency"))
-        .orderBy("d")
+        .withColumn("d", expr("unix_millis(ts) div 86400000"))
+      val carryW = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = dl.groupBy("d").agg(sum("delta").as("dw"))
+        .withColumn("carry", coalesce(sum("dw").over(carryW), lit(0L)))
+        .select(col("d"), col("carry"))
+      val intraW = Window.partitionBy("d").orderBy(col("ts"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Qh.materializedWith(dl)(
+        dl.join(broadcast(carry), Seq("d"))
+          .withColumn("conc", (col("carry") + sum("delta").over(intraW)).cast("bigint"))
+          .groupBy(col("d"))
+          .agg(max("conc").as("peak_concurrency"))
+          .orderBy("d"))
     },
 
     // --- inter-event gap profile (log2-bucketed, integer-exact) ---------

@@ -762,4 +762,26 @@ class CurationSpec extends GraftSuite {
         ((nDocs, nPairs, nOv)), s"source=$s")
     }
   }
+
+  test("semanticDecontamMod bounds the eval slice at ~400 vectors at every decade") {
+    // round-16 decade fix: the eval slice must be SIZE-bounded, never a
+    // fixed fraction — a fixed `% 50` made |eval| ∝ N and the audit's
+    // pair work quadratic (26.6× at 10× data). Gate/sf1 corpora must
+    // keep the historical modulus 50 so their oracle rows stay
+    // bit-identical to the pre-fix recording.
+    import graft.queries.CurationQueries.semanticDecontamMod
+    assert(semanticDecontamMod(200L) == 50)     // sf0.01
+    assert(semanticDecontamMod(2000L) == 50)    // sf0.1
+    assert(semanticDecontamMod(20000L) == 50)   // sf1: boundary, still 50
+    assert(semanticDecontamMod(200000L) == 500)     // sf10
+    assert(semanticDecontamMod(2000000L) == 5000)   // sf100
+    (3 to 12).foreach { dec =>
+      val n = math.pow(10, dec).toLong
+      val m = semanticDecontamMod(n)
+      // |eval| ≈ n/m ≤ ~400 at every decade; and the modulus never
+      // exceeds what leaves at least one eval vector on real corpora
+      assert(n / m <= 400, s"n=$n m=$m eval=${n / m}")
+      assert(m % 50 == 0)
+    }
+  }
 }

@@ -1436,14 +1436,34 @@ class StreamingSpec extends GraftSuite {
     // recompute exactly: closed-at-end = total sessions (lag-gap count)
     // minus one still-open session per user. Env-conditional on the
     // ScaleUp artifact (the sf-decade convention).
-    val srcDir = "/tmp/graft_sf1/events.parquet"
+    sessionizeSoak("/tmp/graft_sf1")
+  }
+
+  test("decade soak at sf10: sessionize streams 10M events, state still ∝ users (GRAFT_DECADE=1)") {
+    // Round-15 verdict item #6: the sf1 soak proved state ∝ users at 1M
+    // events; this is the same protocol one decade up (10M events —
+    // RocksDB compaction behavior only shows at this state-churn
+    // volume). Gated behind GRAFT_DECADE=1: it is a round-close gate,
+    // not an inner-loop test (the sf-decade convention + the round-15
+    // suite time-box).
+    assume(sys.env.get("GRAFT_DECADE").contains("1"),
+      "sf10 soak is a round-close gate — set GRAFT_DECADE=1")
+    sessionizeSoak("/tmp/graft_sf10")
+  }
+
+  /** The sessionize decade-soak protocol, parameterized by ScaleUp
+    * corpus: slice the real events table into chronological 3-day
+    * parquet files, replay them as micro-batches on the RocksDB
+    * provider, pin peak state ≤ |users| and stream ≡ batch exactly. */
+  private def sessionizeSoak(sfDir: String): Unit = {
+    val srcDir = s"$sfDir/events.parquet"
     assume(new java.io.File(srcDir).exists(), s"$srcDir absent — run graft.ScaleUp")
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{lag, unix_millis}
     val gapMs = 30L * 60 * 1000
-    val ev = Tables.df(s, "/tmp/graft_sf1", "events")
+    val ev = Tables.df(s, sfDir, "events")
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
     // batch truth: a session starts at a user's first event or after a
@@ -1491,6 +1511,8 @@ class StreamingSpec extends GraftSuite {
       q.processAllAvailable()
       val progresses = q.recentProgress.toSeq
       val maxState = progresses.flatMap(_.stateOperators).map(_.numRowsTotal).max
+      info(s"soak $sfDir: peak state $maxState rows, $users users, " +
+        s"${closed.sum()} sessions closed, ${progresses.count(_.numInputRows > 0)} non-empty batches")
       assert(maxState <= users,
         s"peak state $maxState rows exceeds $users users — state is accreting with events")
       assert(progresses.count(_.numInputRows > 0) >= slices.length - 1,
