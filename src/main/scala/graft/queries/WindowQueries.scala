@@ -122,19 +122,36 @@ object WindowQueries {
       // "SUM over 2 GROUPS PRECEDING" = sum of the current day's orders
       // plus the two preceding distinct days', peer rows included —
       // which a ROWS frame cannot express when group sizes vary (~2.4
-      // rows per (status, day) here). Two window passes over the SAME
-      // partition key = one shuffle, second pass reuses the sort. This
-      // closes the one SURVEY §2 row previously documented out as a
-      // Spark engine gap (PARITY.md Known gaps).
-      val drW = Window.partitionBy("o_orderstatus")
-        .orderBy(col("o_orderdate").cast("date"))
+      // rows per (status, day) here). This closes the one SURVEY §2 row
+      // previously documented out as a Spark engine gap (PARITY.md).
+      //
+      // PLAN (round-16 core decade): a GROUPS-frame AGGREGATE depends
+      // only on the peer-group KEY — grp_sum is a function of (status,
+      // day), never of the individual row — so the corpus never needs
+      // window-sorting at all. Collapse to per-(status, day) decimal
+      // totals (map-side partial agg to |statuses|×|days| cells), run
+      // dense_rank + the RANGE window over that model-sized frame
+      // (identical dr: dense_rank of distinct days ≡ dense_rank over
+      // their member rows), broadcast-join the (dr, grp_sum) pair back.
+      // The old spelling ran two window passes over the full corpus
+      // with |statuses| = 3 sort tasks — parallelism bounded by the
+      // partition key's cardinality (7.5× at 10× data; at 100 TB a
+      // 3-way sort of the corpus). q_window_groups_sql keeps the
+      // general two-window rewrite — it exercises the injected-parser
+      // GROUPS surface for arbitrary (incl. non-decomposable) frames;
+      // this twin is the scale path for decomposable aggregates, and
+      // CurationSpec pins its semantics against brute force.
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
+      val drW = Window.partitionBy("o_orderstatus").orderBy("day")
       val sumW = Window.partitionBy("o_orderstatus").orderBy(col("dr"))
         .rangeBetween(-2, Window.currentRow)
-      t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          dense_rank().over(drW).as("dr"), col("o_totalprice"))
-        .withColumn("grp_sum",
-          sum(col("o_totalprice").cast(Qh.D12)).over(sumW).cast("double"))
+      val days = o.groupBy(col("o_orderstatus"), col("day"))
+        .agg(sum(col("o_totalprice").cast(Qh.D12)).as("day_sum"))
+        .withColumn("dr", dense_rank().over(drW))
+        .withColumn("grp_sum", sum(col("day_sum")).over(sumW).cast("double"))
+        .select(col("o_orderstatus"), col("day"), col("dr"), col("grp_sum"))
+      o.join(broadcast(days), Seq("o_orderstatus", "day"))
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("dr").cast("int").as("dr"), col("grp_sum"))
         .orderBy("o_orderkey")
