@@ -11,17 +11,23 @@ measurement: per-query wall = max over the supplied co-run bench JSONs
 driver invocation), and the solo-record caveats are stripped.
 
 Usage: tools/rebaseline.py corun1.json [corun2.json ...]
-       tools/rebaseline.py --quiet-rerecord quiet1.json quiet2.json
+       tools/rebaseline.py --quiet-rerecord [--deflate-below X] q1.json q2.json
 
 --quiet-rerecord (round-14 verdict item #8): the max-fold convention
 only ever RATCHETS rows UP — a co-run load spike permanently inflates
 its row, and after three phantom-flag episodes (rounds 2, 8/9, 14) the
 >2x gate has lost teeth on the inflated rows. This mode re-records DOWN:
-any row where BOTH supplied quiet readings sit below 0.6x the recorded
-baseline is reset to the max of the quiet readings (still the co-run
-max-fold convention, just fed honest inputs); all other rows are kept
-untouched. Run it on two quiet-box full benches after a round's flags
-are adjudicated.
+any row where BOTH supplied quiet readings sit below --deflate-below
+(default 0.6) times the recorded baseline is reset to the max of the
+quiet readings (still the co-run max-fold convention, just fed honest
+inputs); all other rows are kept untouched. Run it on two quiet-box
+full benches after a round's flags are adjudicated.
+
+--deflate-below 1.0 (round-15 verdict item #3) re-records EVERY row
+where both quiet readings sit below the recorded value — the full
+teeth-restoration pass. Safe now that the interleaved sentinel + the
+bench_flags LOAD protocol machine-adjudicate co-run inflation at gate
+time instead of the baseline absorbing it forever.
 """
 import json
 import re
@@ -56,6 +62,11 @@ NEW_ROWS = {
 def main():
     args = sys.argv[1:]
     quiet = "--quiet-rerecord" in args
+    deflate_below = 0.6
+    if "--deflate-below" in args:
+        i = args.index("--deflate-below")
+        deflate_below = float(args[i + 1])
+        del args[i:i + 2]
     if quiet:
         args = [a for a in args if a != "--quiet-rerecord"]
         assert len(args) >= 2, "--quiet-rerecord needs two quiet bench jsons"
@@ -95,7 +106,7 @@ def main():
         if quiet:
             # only deflate rows that BOTH quiet readings call inflated
             old = float(_old)
-            if name in wall and wall[name] < 0.6 * old:
+            if name in wall and wall[name] < deflate_below * old:
                 seen.add(name)
                 print(f"deflated: {name} {old:.2f} -> {wall[name]:.2f}")
                 out.append(f"| {name} | {sf} | {wall[name]:.2f} | {cfg} | {notes} |")
