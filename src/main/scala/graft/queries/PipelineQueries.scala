@@ -6931,26 +6931,28 @@ object PipelineQueries {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "session_id")
         .agg(min("ts").as("st"), max("ts").as("en"))
-      // dl feeds TWO consumers (the per-day carry totals and the
-      // within-day cumsum) — persist it for the one job, or the whole
-      // sessionizer window runs twice (the Qh.materializedWith
-      // discipline; dl is 2 rows/session, orders smaller than events)
+      // The carry-in needs no second pass and no join-back: within a
+      // day the carry is CONSTANT, so the day's peak of the global
+      // curve = carry + max(within-day cumsum), and the day's delta
+      // total (= the next carry contribution) is just sum(delta). Both
+      // collapse out of the one day-keyed window pass in a single
+      // pipelined aggregate; the carry cumsum then runs on the
+      // ≤|days|-row frame. One corpus-scale exchange total — same
+      // count as the old single-partition spelling, but day-parallel.
       val dl = sess.select(col("st").as("ts"), lit(1).as("delta"))
         .unionAll(sess.select(col("en").as("ts"), lit(-1).as("delta")))
         .withColumn("d", expr("unix_millis(ts) div 86400000"))
-      val carryW = Window.orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val carry = dl.groupBy("d").agg(sum("delta").as("dw"))
-        .withColumn("carry", coalesce(sum("dw").over(carryW), lit(0L)))
-        .select(col("d"), col("carry"))
       val intraW = Window.partitionBy("d").orderBy(col("ts"), col("delta"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Qh.materializedWith(dl)(
-        dl.join(broadcast(carry), Seq("d"))
-          .withColumn("conc", (col("carry") + sum("delta").over(intraW)).cast("bigint"))
-          .groupBy(col("d"))
-          .agg(max("conc").as("peak_concurrency"))
-          .orderBy("d"))
+      val byDay = dl.withColumn("run", sum("delta").over(intraW))
+        .groupBy("d").agg(max("run").as("mx"), sum("delta").as("tot"))
+      val carryW = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byDay
+        .withColumn("peak_concurrency",
+          (coalesce(sum("tot").over(carryW), lit(0L)) + col("mx")).cast("bigint"))
+        .select(col("d"), col("peak_concurrency"))
+        .orderBy("d")
     },
 
     // --- inter-event gap profile (log2-bucketed, integer-exact) ---------
