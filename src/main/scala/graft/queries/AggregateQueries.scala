@@ -27,43 +27,61 @@ object AggregateQueries {
     * (`SUM(w) OVER (PARTITION BY grp ORDER BY ord)`) funnels each
     * group's ENTIRE row set through one window task, so a 3-value group
     * column sorts the whole fact table in 3 tasks — fine at gate SF,
-    * fatal at 100 TB. Here: range-repartition on (grp, ord) so every
-    * partition holds a contiguous slice of each group's sort order; one
-    * metadata-sized aggregation yields per-(pid, grp) totals, whose
+    * fatal at 100 TB.
+    *
+    * Round-16 decade rework: the original spelling (range-repartition
+    * on (grp, ord) + spark_partition_id + a FULL-CORPUS localCheckpoint
+    * to pin the sampled partition assignment across its two consumers)
+    * measured 10–14× at 10× data — graft.Profile attributed the wall to
+    * the checkpoint materialization of the whole fact table PLUS a
+    * second full-corpus exchange, because the (pid, grp) window's hash
+    * requirement cannot reuse a range partitioning. The slice id is now
+    * VALUE-DETERMINISTIC instead of layout-dependent: one map-side-
+    * partial pass takes per-group equi-depth bounds of `ord`
+    * (percentile_approx, a |groups|-row frame — the ONLY thing
+    * checkpointed, to pin the sketch across the two consumers), and
+    * pid = #bounds strictly below `ord` — a pure monotone function of
+    * the row, so correctness needs no corpus checkpoint at all (any
+    * monotone bucketing yields the same cum; bound quality only affects
+    * balance). The plan's single corpus-scale shuffle is the
+    * hashpartitioning(pid, grp) window exchange. Per-(pid, grp) totals'
     * running sum over pid order (a ≤ partitions×|groups|-row window —
     * the only unpartitioned-by-pid window in the plan) gives each
-    * slice's group offset; a broadcast join plus an intra-(pid, grp)
-    * ROWS cumsum then completes the exact global prefix sum with no
-    * task ever holding more than one partition slice. ROWS vs the
-    * oracle's RANGE frame: ties differ per ROW, but every
-    * value-threshold selector ("MIN(ord) WHERE cum ≥ t" and rank-range
-    * sums over equal values) is tie-order invariant — the LAST row of a
-    * tie run carries the full RANGE cum, and trimming a different
-    * duplicate of an equal value cannot change any sum. Returns the
-    * input columns plus `pid` and `cum`. */
+    * slice's offset; a broadcast join plus the intra-(pid, grp) ROWS
+    * cumsum completes the exact global prefix sum. Tie runs of equal
+    * `ord` can never straddle a slice (equal values get equal pids —
+    * strictly cleaner than range partitioning, which could split
+    * them). ROWS vs the oracle's RANGE frame: ties differ per ROW, but
+    * every value-threshold selector ("MIN(ord) WHERE cum ≥ t" and
+    * rank-range sums over equal values) is tie-order invariant — the
+    * LAST row of a tie run carries the full RANGE cum, and trimming a
+    * different duplicate of an equal value cannot change any sum.
+    * Returns the input columns plus `pid` and `cum`. */
   private def groupedPrefix(
       df: DataFrame, grp: String, ord: String, w: org.apache.spark.sql.Column,
       pin: Boolean = true): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint pins ONE partition assignment: the range exchange
-    // samples bounds per evaluation, and this frame feeds two subplans
-    // (offsets + the cumsum) — unpinned, their pids can disagree and the
-    // offsets silently misalign (caught by the oracle on first wiring).
-    // Same discipline as q_cur_token_budget's persisted ranged frame;
-    // at 100 TB this is the documented checkpoint the two-pass
-    // algorithm pays. `pin = false` only for the plan probe, which must
-    // show the pre-checkpoint exchange structure.
-    val ranged0 = df.repartitionByRange(parts, col(grp), col(ord))
-      .withColumn("pid", spark_partition_id())
-    val ranged = if (pin) ranged0.localCheckpoint(eager = true) else ranged0
+    val probs = array((1 until parts).map(i => lit(i.toDouble / parts)): _*)
+    // `pin = false` only for the plan probe, which needs the full
+    // lazy structure (and never executes, so bounds divergence between
+    // the two consumers cannot matter there). Accuracy 1000 is plenty:
+    // the bounds only steer BALANCE, never correctness (any monotone
+    // bucketing yields the same cum), and callers should persist `df`
+    // BEFORE calling so this eager pass populates their cache.
+    val bounds0 = df.groupBy(grp)
+      .agg(percentile_approx(col(ord), probs, lit(1000)).as("bnds"))
+    val bounds = if (pin) bounds0.localCheckpoint(eager = true) else bounds0
+    val withPid = df.join(broadcast(bounds), Seq(grp))
+      .withColumn("pid", expr(s"size(filter(bnds, b -> b < $ord))"))
+      .drop("bnds")
     val offsW = Window.partitionBy(grp).orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("pid", grp).agg(sum(w).as("pw"))
+    val offsets = withPid.groupBy("pid", grp).agg(sum(w).as("pw"))
       .withColumn("off", coalesce(sum("pw").over(offsW), lit(0L)))
       .select(col("pid"), col(grp), col("off"))
     val intraW = Window.partitionBy("pid", grp).orderBy(ord)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), Seq("pid", grp))
+    withPid.join(broadcast(offsets), Seq("pid", grp))
       .withColumn("cum", col("off") + sum(w).over(intraW))
   }
 
@@ -72,24 +90,49 @@ object AggregateQueries {
     * q_agg_weighted_percentile (the sketch's certification baseline):
     * smallest value whose cumulative weight reaches half the group
     * total. Quantities are integral, so the running sums are exact
-    * BIGINTs on both engines. */
+    * BIGINTs on both engines.
+    *
+    * Round-16 decade rework: the prefix machinery now runs on the
+    * VALUE-DISTINCT frame (the q_cur_mad_outliers discipline) — per
+    * (group, value) weight totals collapse map-side before any
+    * order-statistics work, so the windowed pass sorts |distinct
+    * values|, not |rows| (the 10× decade read 10–14× when the corpus
+    * itself flowed through the prefix sum: a full-table checkpoint plus
+    * two corpus exchanges). The collapsed cum is exactly the RANGE cum
+    * at each tie-run's last row, and the median selector ("MIN(value)
+    * WHERE cum·2 ≥ tot") is tie-order invariant, so the answer is
+    * bit-identical. The collapsed frame is persisted across
+    * groupedPrefix's consumers and the model-sized result checkpointed
+    * (the Qh.materializedWith discipline); `pin = false` returns the
+    * raw lazy frame for the plan probe. */
   private def weightedMedianExact(
       s: SparkSession, d: String, pin: Boolean = true): DataFrame = {
-    val li = t(s, d, "lineitem").select(col("l_returnflag"),
-      col("l_extendedprice"), col("l_quantity").cast("long").as("w"))
-    val tot = li.groupBy("l_returnflag").agg(sum("w").as("tot"))
-    groupedPrefix(li, "l_returnflag", "l_extendedprice", col("w"), pin)
-      .join(broadcast(tot), "l_returnflag")
-      .filter(col("cum") * 2 >= col("tot"))
-      .groupBy("l_returnflag")
-      .agg(min(col("l_extendedprice")).as("w_median_price"))
+    val coll = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("l_returnflag", "l_extendedprice")
+      .agg(sum("w").as("w"))
+    // persist BEFORE groupedPrefix: its eager bounds pass is the first
+    // job and populates this cache, so the collapse runs exactly once
+    // across bounds/offsets/final (inlined materializedWith discipline)
+    if (pin) coll.persist()
+    try {
+      val tot = coll.groupBy("l_returnflag").agg(sum("w").as("tot"))
+      val res = groupedPrefix(coll, "l_returnflag", "l_extendedprice", col("w"), pin)
+        .join(broadcast(tot), "l_returnflag")
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("w_median_price"))
+      if (pin) res.localCheckpoint(eager = true) else res
+    } finally if (pin) coll.unpersist()
   }
 
   /** Formatted plan of the weighted-median prefix sum (the *PlanProbe
-    * convention): PlanShapeSpec pins the range exchange on the (group,
-    * value) pair and that every corpus-scale window partitions on pid —
-    * no single-partition / whole-group window survives in the exact
-    * quantile path. */
+    * convention): PlanShapeSpec pins that every corpus-scale window
+    * partitions on pid — no single-partition / whole-group window and
+    * no range exchange + corpus checkpoint survive in the exact
+    * quantile path (round-16 rework: pid is value-derived from the
+    * broadcast equi-depth bounds). */
   private[graft] def weightedMedianPlanProbe(s: SparkSession, d: String): String =
     weightedMedianExact(s, d, pin = false).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -437,32 +480,46 @@ object AggregateQueries {
       // values, so which duplicate gets trimmed cannot change the sum —
       // deterministic in both engines with no tiebreak column at all.
       // Sums are decimal-exact; the single double division comes last.
-      // Scale path (round 14): ranks come from the distributed
-      // groupedPrefix machinery (weight 1 ⇒ cum IS the per-group row
-      // number) instead of a whole-group ROW_NUMBER window, so exact
-      // trimming never funnels a group through one task; the oracle
-      // keeps the window spelling (DuckDB-side scale is not the
-      // contract). Group sizes arrive by broadcast join — a second
-      // corpus aggregation, both map-side-partial.
-      val base = t(s, d, "lineitem")
-        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v_raw"),
-          col("l_extendedprice").cast(D12).as("v"))
-      val sizes = base.groupBy("rf").agg(count(lit(1)).as("n"))
-      groupedPrefix(base, "rf", "v_raw", lit(1L))
-        .withColumnRenamed("cum", "rn")
+      // Scale path (round 16, superseding the round-14 row-rank form):
+      // the rank math runs on the VALUE-DISTINCT frame (the
+      // q_cur_mad_outliers discipline). Per (rf, value): cnt collapses
+      // map-side; cum = count of rows ≤ value (groupedPrefix with
+      // w = cnt); the kept-band overlap per value is then pure integer
+      // interval math — inc = max(0, min(cum, n−k) − max(cum−cnt, k)) —
+      // and the winsor boundaries are "min value with cum ≥ k+1 /
+      // ≥ n−k". Identical sums by the tie-invariance argument (rank
+      // ties only occur between equal values, and every selector here
+      // is a sum/boundary over whole tie runs). The round-14 row-rank
+      // spelling pushed the CORPUS through the prefix sum — a
+      // full-table checkpoint + two corpus exchanges + a 60M-row
+      // window sort, 11.4× at 10× data; values, not rows, are what
+      // order statistics need.
+      val coll = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("v_raw"))
+        .groupBy("rf", "v_raw").agg(count(lit(1)).as("cnt"))
+      coll.persist() // groupedPrefix's eager bounds pass populates it
+      try {
+      val sizes = coll.groupBy("rf").agg(sum("cnt").as("n"))
+      val res = groupedPrefix(coll, "rf", "v_raw", col("cnt"))
         .join(broadcast(sizes), "rf")
         .withColumn("k", expr("n div 20"))
+        .withColumn("v", col("v_raw").cast(D12))
+        .withColumn("inc",
+          greatest(lit(0L), least(col("cum"), col("n") - col("k"))
+            - greatest(col("cum") - col("cnt"), col("k"))))
         .groupBy("rf")
         .agg(
           max("n").cast("bigint").as("n"),
           max("k").cast("bigint").as("k"),
-          (sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), col("v")))
-            .cast("double") / (max("n") - lit(2) * max("k"))).as("trimmed_mean"),
-          ((sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), col("v")))
-            + max("k") * max(when(col("rn") === col("k") + 1, col("v")))
-            + max("k") * max(when(col("rn") === col("n") - col("k"), col("v"))))
+          (sum(col("v") * col("inc")).cast("double")
+            / (max("n") - lit(2) * max("k"))).as("trimmed_mean"),
+          ((sum(col("v") * col("inc"))
+            + max("k") * min(when(col("cum") >= col("k") + 1, col("v")))
+            + max("k") * min(when(col("cum") >= col("n") - col("k"), col("v"))))
             .cast("double") / max("n")).as("winsor_mean"))
         .orderBy("rf")
+      res.localCheckpoint(eager = true)
+      } finally coll.unpersist()
     },
 
     // --- incremental aggregate maintenance (partial-agg state merge) ----

@@ -155,15 +155,18 @@ class PlanShapeSpec extends GraftSuite {
     assert(p.contains("hashpartitioning(pid"), p)
   }
 
-  test("exact weighted median: range exchange on (group, value), no whole-group window") {
+  test("exact weighted median: value-derived pid slices, no whole-group window, no corpus checkpoint") {
     // round-13 verdict item #6: the exact quantile path must not funnel
     // each group through one window task (l_returnflag has 3 values —
-    // a whole-group window is 3 tasks at any corpus size). The
-    // distributed spelling range-partitions on (group, value) and keys
-    // every corpus-scale window on pid; the only window NOT keyed on pid
-    // runs over the ≤|partitions|×|groups|-row offset frame.
+    // a whole-group window is 3 tasks at any corpus size). Round-16
+    // rework: pid is a VALUE-derived bucket (broadcast equi-depth
+    // bounds, pid = #bounds below the value), so the plan's only
+    // corpus-scale exchange is the hashpartitioning(pid, grp) window
+    // shuffle — the old range exchange + full-corpus localCheckpoint
+    // (10–14× at 10× data) must be gone. The only window NOT keyed on
+    // pid runs over the ≤|partitions|×|groups|-row offset frame.
     val p = graft.queries.AggregateQueries.weightedMedianPlanProbe(spark, sf)
-    assert(p.contains("rangepartitioning(l_returnflag"), p)
+    assert(!p.contains("rangepartitioning(l_returnflag"), p)
     assert(p.contains("hashpartitioning(pid"), p)
     // the old shape — a window partitioned by the group alone, ordered
     // by the value (= per-group corpus sort) — must be gone
