@@ -34,7 +34,21 @@ class ArtifactRaceSpec extends GraftSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("lsh_idx3_")).toSeq
   }
 
+  /** Recursive delete for the test corpus' private cache dir. */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+
   test("a second JVM's prune respects this JVM's live read lease; dead leases lapse on the next build") {
+    // Cross-RUN hygiene (round-16 flake): this corpus' cache survives
+    // between suite runs, and a dir whose dead lease pid has been
+    // RECYCLED by a live process looks leased forever — dirs then
+    // accumulate until the "exactly one child-built dir" assertion
+    // trips. The lease contract under test is within-run (live lease
+    // respected, dead lease lapses); pid-recycling longevity is the
+    // documented trade of pid-file leases. Start from a clean cache.
+    rmTree(new java.io.File(graft.queries.SourceQueries.cacheDir(corpus)))
     reingest()
     val baseV1 = graft.queries.PipelineQueries.ensureLshIndex(spark, corpus)
     val v1 = new java.io.File(baseV1)
