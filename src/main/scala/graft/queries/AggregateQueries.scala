@@ -57,7 +57,7 @@ object AggregateQueries {
     * LAST row of a tie run carries the full RANGE cum, and trimming a
     * different duplicate of an equal value cannot change any sum.
     * Returns the input columns plus `pid` and `cum`. */
-  private def groupedPrefix(
+  private[graft] def groupedPrefix(
       df: DataFrame, grp: String, ord: String, w: org.apache.spark.sql.Column,
       pin: Boolean = true): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

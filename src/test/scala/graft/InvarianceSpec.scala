@@ -104,8 +104,16 @@ class InvarianceSpec extends GraftSuite {
     "q_agg_jackknife",      // round 11: LOO integer means + exact
                             //   squared-deviation sums at any
                             //   parallelism
-    "q_events_active_incremental") // round 11: stored sketch readback +
+    "q_events_active_incremental", // round 11: stored sketch readback +
                             //   delta union across layouts
+    "q_agg_weighted_exact", // round 16: groupedPrefix's bucket count now
+                            //   DERIVES from shuffle.partitions (value-
+                            //   derived pid slices) — a different count
+                            //   means different slicing, and the median
+                            //   must not move
+    "q_agg_trimmed")        // round 16: trimmed/winsor interval math over
+                            //   the same value-distinct cums across
+                            //   slicings
 
   private def canon(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq // every catalog query ends in ORDER BY
@@ -135,5 +143,41 @@ class InvarianceSpec extends GraftSuite {
         assert(canon(SparkEntry.queries(q)(spark, sf)) == baseline(q), s"$q changed at 7 partitions")
       }
     }
+  }
+
+  test("groupedPrefix equals the naive RANGE window on adversarial value shapes") {
+    // Round-16 machinery pin: the value-derived slicing must yield the
+    // exact RANGE cumulative weight per (group, value) — the contract
+    // every consumer (median selector, trim bands, winsor boundaries)
+    // relies on — on shapes the lineitem oracle rows never exercise:
+    // one value repeated massively (a single bucket swallows the
+    // group), a group smaller than the slice count, 90/10 group skew,
+    // and negative/duplicated weights. Comparison is at the VALUE
+    // level (max cum per (g, v)): ROWS ties inside a run differ by
+    // design; the run's last row carrying the full RANGE cum is the
+    // invariant.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq.tabulate(5000) { i =>
+      val g = if (i % 10 < 9) "big" else "small"
+      val v =
+        if (g == "big") { if (i % 3 == 0) 7.0 else (i % 50).toDouble - 25.0 }
+        else i.toDouble
+      (g, v, (i % 7 + 1).toLong)
+    } ++ Seq.tabulate(3)(_ => ("tiny", 42.0, 5L)) // all-equal, < |slices| values
+    val df = rows.toDF("g", "v", "w")
+    val got = graft.queries.AggregateQueries.groupedPrefix(df, "g", "v", col("w"))
+      .groupBy("g", "v").agg(max("cum").as("cum"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted
+    val rangeW = Window.partitionBy("g").orderBy("v")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("w").over(rangeW))
+      .groupBy("g", "v").agg(max("cum").as("cum"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).sorted
+    assert(got.length == want.length && got.sameElements(want),
+      s"groupedPrefix diverged from the RANGE window: " +
+        got.zip(want).filter(p => p._1 != p._2).take(5).mkString(";"))
   }
 }
