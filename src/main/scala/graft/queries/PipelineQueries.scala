@@ -3669,18 +3669,24 @@ object PipelineQueries {
         .select(col("lang").as("cand"), col("tg"))
       // SCORE: per-doc distinct trigrams joined against the BROADCAST
       // profile (|langs|×20 rows), overlap counted per (doc, candidate),
-      // argmax by a per-doc window over ≤|langs| rows. Alternative
-      // scoring forms were MEASURED at sf0.1 before keeping this one:
-      // row-local array_intersect against profile literals (zero joins)
-      // ran 3.8× slower — Catalyst re-evaluates the 600-substring
-      // transform once per candidate lang — and materialize-then-
-      // explode(array_distinct(...)) ran ~1.4× slower than this
-      // streamed explode + distinct(), whose map-side partial aggregate
-      // is the same row-local dedup plus a shuffle of only the deduped
-      // (doc, trigram) pairs.
-      val dt = tri(docs)
-        .select(col("doc_id"), col("lang").as("true_lang"), col("tg"))
-        .distinct()
+      // argmax by a per-doc window over ≤|langs| rows. The per-doc
+      // dedup is ROW-LOCAL (array_distinct before the explode): every
+      // doc's trigrams come from ONE input row, so a global distinct()
+      // buys nothing — and at sf10 it was the query's wall
+      // (graft.Profile: a 300M-row dedup exchange spilling 13.5 GB,
+      // 80% of task time; the round-15 sf0.1 measurement that preferred
+      // streamed explode + distinct() by 1.4× inverts completely once
+      // the dedup hash map exceeds memory). Post-join, only trigrams in
+      // the 200-row profile survive, so the one remaining shuffle is
+      // the docs×|langs| count cells — model-sized, never corpus-sized.
+      // (Row-local array_intersect against profile literals stays
+      // rejected: 3.8× slower at any SF — Catalyst re-evaluates the
+      // 600-substring transform once per candidate lang.)
+      val dt = docs.filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          explode(expr(
+            "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"))
+            .as("tg"))
       val best = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
       dt.join(broadcast(prof), "tg")
         .groupBy("doc_id", "true_lang", "cand")
