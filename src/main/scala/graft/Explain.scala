@@ -27,11 +27,14 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      // noop sink, not collect(): AQE finalization only needs the plan to
-      // EXECUTE — materializing the full frame on the driver can OOM it
-      // for large results where the bench's noop write of the same plan
-      // would not (round-15 ADVICE).
-      if (exec) df.write.format("noop").mode("overwrite").save()
+      // Execute the SAME QueryExecution that gets explained (round-16
+      // ADVICE): a noop write wraps the logical plan in a NEW
+      // QueryExecution, so the explain below would print the
+      // never-executed adaptive plan (isFinalPlan=false, no codegen-id
+      // stamps) — defeating --exec's purpose. toRdd.foreach finalizes
+      // THIS plan without materializing the frame on the driver
+      // (OOM-safe, the Engine.explainAnalyze discipline).
+      if (exec) df.queryExecution.toRdd.foreach(_ => ())
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     spark.stop()

@@ -47,9 +47,29 @@ import org.apache.spark.sql.functions._
   *    (the negated replica's hyperplane bits are complements — the
   *    cells stay spread).
   *
-  * Usage: `sbt "runMain graft.ScaleUp [srcDir dstDir reps]"`, defaults
-  * `/root/testdata/sf0.1 /tmp/graft_sf1 10`; then
-  * `SPARK_GRAFT_SF_DIR=/tmp/graft_sf1 ... runMain graft.Bench`.
+  * LEVEL-2 derivation (round-17, the sf100 = 1000× decade): deriving
+  * from an ALREADY-DERIVED corpus (sf10 = 100× with keys spanning
+  * [0, 10⁹)) needs (a) a larger key offset so outer replicas stay
+  * disjoint from the inner key space, and (b) a fresh orthogonal-
+  * transform family for embeddings — the (rotation, global-negation)
+  * family has only 2·dim = 128 members, and composing outer rotations
+  * onto inner ones collides by pigeonhole (inner r=1/outer 0 vs inner
+  * 0/outer 1 would be EXACT duplicate replicas — degenerate for every
+  * near-dup/ANN workload). The level-2 transform is rotate(r % dim)
+  * composed with a per-coordinate HASHED SIGN FLIP (a ±1 diagonal
+  * matrix — orthogonal, so within-replica dots/norms/L2/cosines are
+  * preserved exactly, the same honesty argument as rotation): with a
+  * seeded hash the composite (permutation, sign-vector) transforms are
+  * distinct across all (inner, outer) pairs — equal outer seeds share
+  * a sign pattern only at equal outer r, where inner distinctness
+  * takes over — and cross-replica dots are ±-randomized
+  * autocorrelations, near zero: no near-coincident twins, no frozen
+  * LSH sign bits.
+  *
+  * Usage: `sbt "runMain graft.ScaleUp [srcDir dstDir reps [keyOffset
+  * signSeed]]"`, defaults `/root/testdata/sf0.1 /tmp/graft_sf1 10`;
+  * level-2: `runMain graft.ScaleUp /tmp/graft_sf10 /tmp/graft_sf100 10
+  * 1000000000 17`; then `SPARK_GRAFT_SF_DIR=... runMain graft.Bench`.
   */
 object ScaleUp {
   private val Off = 10000000L
@@ -58,6 +78,8 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 10
+    val off = if (args.length > 3) args(3).toLong else Off
+    val signSeed = if (args.length > 4) Some(args(4).toInt) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scaleup")
@@ -74,7 +96,7 @@ object ScaleUp {
     }
     def t(name: String): DataFrame = Tables.df(spark, src, name)
     def shifted(df: DataFrame, r: Int, keys: String*): DataFrame =
-      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * Off)))
+      keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(r * off)))
 
     // dimensions stay unscaled (TPC-H keeps region/nation fixed too)
     Seq("region", "nation").foreach { n =>
@@ -88,23 +110,39 @@ object ScaleUp {
     write("lineitem")(r =>
       shifted(t("lineitem"), r, "l_orderkey", "l_partkey", "l_suppkey"))
     write("events")(r => shifted(t("events"), r, "event_id", "user_id"))
+    // Level-2 replicas suffix with 'y', not 'z': reusing the inner
+    // alphabet would make (inner r=1, outer 0) and (inner 0, outer 1)
+    // EXACT text duplicates ("wordz1 ..." both ways) — every dup
+    // cluster ×reps wide, a data artifact. Distinct alphabets keep the
+    // composite suffix space ("z3", "y2", "z3y2") collision-free.
+    val sfx = if (signSeed.isDefined) "y" else "z"
     write("documents") { r =>
       val base = shifted(t("documents"), r, "doc_id")
       if (r == 0) base
       else base
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1z$r"))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1$sfx$r"))
         .withColumn("n_chars", length(col("text")))
     }
     val dim = t("embeddings").selectExpr("size(embedding)").head().getInt(0)
-    require(reps <= 2 * dim,
-      s"reps=$reps > 2*dim=${2 * dim}: the (rotation, sign) transform family is exhausted")
+    if (signSeed.isEmpty) require(reps <= 2 * dim,
+      s"reps=$reps > 2*dim=${2 * dim}: the (rotation, sign) transform family is exhausted — pass a signSeed for the hashed-sign family")
     write("embeddings") { r =>
       val base = shifted(t("embeddings"), r, "vec_id")
       val rot = r % dim
-      val sign = if ((r / dim) % 2 == 1) "-" else ""
-      if (rot == 0 && sign.isEmpty) base
-      else base.withColumn("embedding",
-        expr(s"transform(embedding, (x, i) -> ${sign}element_at(embedding, ((i + $rot) % $dim) + 1))"))
+      signSeed match {
+        case _ if r == 0 => base // identity: the base replica is verbatim
+        case None =>
+          val sign = if ((r / dim) % 2 == 1) "-" else ""
+          base.withColumn("embedding",
+            expr(s"transform(embedding, (x, i) -> ${sign}element_at(embedding, ((i + $rot) % $dim) + 1))"))
+        case Some(seed) =>
+          // diagonal ±1 from a seeded hash — orthogonal, deterministic
+          val signs = (0 until dim).map { i =>
+            if (scala.util.hashing.MurmurHash3.productHash((seed, r, i)) % 2 == 0) "1.0" else "-1.0"
+          }
+          base.withColumn("embedding",
+            expr(s"transform(embedding, (x, i) -> CAST(element_at(embedding, ((i + $rot) % $dim) + 1) * element_at(array(${signs.mkString(",")}), i + 1) AS FLOAT))"))
+      }
     }
     spark.stop()
   }

@@ -194,8 +194,16 @@ object GroupsFrames {
   private val WindowBody = java.util.regex.Pattern.compile(
     "(?is)^\\s*(?:PARTITION\\s+BY\\s+(.+?)\\s+)?ORDER\\s+BY\\s+(.+?)\\s*" +
       "GROUPS\\s+BETWEEN\\s+" + BoundLo + "\\s+AND\\s+" + BoundHi + "\\s*$")
+  private val BareWindow = java.util.regex.Pattern.compile(
+    "(?is)^\\s*(?:PARTITION\\s+BY\\s+(.+?)\\s+)?ORDER\\s+BY\\s+(.+?)\\s*$")
 
   private case class Spec(partition: Option[String], order: String, alias: String)
+
+  /** Normalized (partition, order) window identity — two OVER clauses
+    * with the same key share one synthetic rank / one cells subquery. */
+  private def normKey(partition: Option[String], order: String): String =
+    partition.map(_.toLowerCase.replaceAll("\\s+", " ")).getOrElse("") +
+      "|" + order.toLowerCase.replaceAll("\\s+", " ")
 
   /** (start of OVER, open-paren index, close-paren index) for every OVER
     * clause visible in this select block. */
@@ -209,6 +217,65 @@ object GroupsFrames {
         val open = body.indexOf('(', i)
         (i, open, matchParen(body, open))
       }
+  }
+
+  /** True when the select list carries a top-level projection star
+    * (`*` / `alias.*`) — a shape both rewrite paths must refuse, since
+    * their synthetic columns would silently join the star's expansion.
+    * A projection star is a depth-0 `*` whose next visible depth-0
+    * character is `,` or end-of-list; a multiplication star is always
+    * followed by an operand (`a * b`, `2 * (x+y)`). */
+  private def hasStarProjection(selectPart: String): Boolean = {
+    var starProj = false
+    var prevWasStar = false
+    scan(selectPart) { (i, d) =>
+      val ch = selectPart.charAt(i)
+      if (!ch.isWhitespace) {
+        if (prevWasStar && ch == ',') starProj = true
+        prevWasStar = d == 0 && ch == '*'
+      }
+    }
+    starProj || prevWasStar // trailing `*` = last select item
+  }
+
+  /** close-paren index -> matching open-paren index for every
+    * EXPRESSION paren visible to [[scan]] (quoted spans, comments, and
+    * subquery parens are opaque, same as everywhere else). */
+  private def parenPairs(s: String): Map[Int, Int] = {
+    val stack = scala.collection.mutable.Stack[Int]()
+    val m = Map.newBuilder[Int, Int]
+    scan(s) { (i, _) =>
+      s.charAt(i) match {
+        case '(' => stack.push(i)
+        case ')' => if (stack.nonEmpty) m += (i -> stack.pop())
+        case _   => ()
+      }
+    }
+    m.result()
+  }
+
+  /** Split a balanced expression-list fragment at its top-level commas
+    * (outside quotes/comments/parens/subqueries). */
+  private def splitTop(frag: String): Seq[String] = {
+    val cuts = Seq.newBuilder[Int]
+    scan(frag)((i, d) => if (d == 0 && frag.charAt(i) == ',') cuts += i)
+    val bounds = (-1 +: cuts.result()) :+ frag.length
+    bounds.sliding(2).collect { case Seq(a, b) => frag.substring(a + 1, b) }.toSeq
+  }
+
+  /** Split one ORDER BY item into (expression, direction suffix) where
+    * the suffix keeps any `ASC|DESC [NULLS FIRST|LAST]` text verbatim. */
+  private def parseOrderItem(item: String): (String, String) = {
+    var e = item.trim
+    var suffix = ""
+    for (m <- "(?is)\\s+NULLS\\s+(FIRST|LAST)\\s*$".r.findFirstMatchIn(e)) {
+      suffix = e.substring(m.start).trim; e = e.substring(0, m.start)
+    }
+    for (m <- "(?is)\\s+(ASC|DESC)\\s*$".r.findFirstMatchIn(e)) {
+      suffix = (e.substring(m.start).trim + " " + suffix).trim
+      e = e.substring(0, m.start)
+    }
+    (e.trim, suffix)
   }
 
   /** Pre-pass: recursively rewrite GROUPS frames inside every
@@ -239,11 +306,210 @@ object GroupsFrames {
     sb.toString
   }
 
+  private val DecompFns = Set("SUM", "COUNT", "MIN", "MAX")
+
+  /** Peer-group COLLAPSE rewrite (round-16 verdict item #2) — the scale
+    * path for DECOMPOSABLE GROUPS-frame aggregates. A GROUPS-frame
+    * aggregate's value depends only on the peer-group KEY (every row of
+    * a peer group sees the same frame), so instead of the general
+    * two-window form — which window-sorts the full corpus with
+    * parallelism bounded by the PARTITION BY key's cardinality (3 sort
+    * tasks forever on a 3-value key; 7.5× at 10× data) — the statement
+    * collapses to: per-(partition, order)-cell partial aggregates
+    * (map-side combine to a model-sized frame), dense_rank + the RANGE
+    * window over the CELLS, and an equi-join back on the peer keys
+    * (null-safe, so NULL order/partition keys still pair with their
+    * cell; AQE broadcasts the cells side when small). Same-keyed bare
+    * `DENSE_RANK()` calls route to the cells' rank column too
+    * (dense_rank of distinct cells ≡ dense_rank over their member
+    * rows), so no corpus-scale window remains. This is exactly the plan
+    * q_window_groups_emul hand-builds; GroupsFramesSpec pins the
+    * composition ≡ collapse across the bounds grid.
+    *
+    * Decomposition per function: SUM → SUM of cell SUMs; COUNT → SUM of
+    * cell COUNTs (COALESCE 0 on an empty frame, matching COUNT's
+    * never-NULL contract); MIN/MAX → MIN/MAX of cell MIN/MAX. AVG and
+    * every other aggregate fall back to the general two-window form:
+    * AVG's type-exact decomposition (SUM/COUNT) depends on the engine's
+    * decimal-typing rules, which a pre-parse text rewrite cannot see.
+    * Values are identical to the row-level window; intermediate DECIMAL
+    * precision may widen (SUM-of-SUMs), never the values.
+    *
+    * Returns None — falling back to the general rewrite, which also
+    * owns every loud-failure shape — when any GROUPS span is not a
+    * plain decomposable call (DISTINCT/FILTER modifiers, multi-arg,
+    * non-decomposable fn), or the statement shape is outside the
+    * supported SELECT...FROM grid. The collapse evaluates the FROM core
+    * twice (outer scan + cells scan, both column-pruned) — two cheap
+    * scans for zero corpus sorts; a nondeterministic FROM core (rand())
+    * would see independent draws, same as re-running the statement. */
+  private def tryCollapse(
+      prefix: String, body: String, spans: Seq[(Int, Int, Int)]): Option[String] = {
+    val pairs = parenPairs(body)
+
+    /** The plain `FN(args)` call whose result the OVER at `overStart`
+      * windows: (fn name start, NAME, arg text). None when anything but
+      * whitespace sits between the call and OVER (FILTER clauses,
+      * comments — not collapsible). */
+    def fnBefore(overStart: Int): Option[(Int, String, String)] = {
+      var j = overStart - 1
+      while (j >= 0 && body.charAt(j).isWhitespace) j -= 1
+      if (j < 0 || body.charAt(j) != ')') return None
+      val open = pairs.getOrElse(j, return None)
+      var k = open - 1
+      while (k >= 0 && body.charAt(k).isWhitespace) k -= 1
+      val end = k
+      while (k >= 0 && (body.charAt(k).isLetterOrDigit || body.charAt(k) == '_')) k -= 1
+      if (end == k || (k >= 0 && body.charAt(k) == '.')) return None
+      Some((k + 1, body.substring(k + 1, end + 1).toUpperCase,
+        body.substring(open + 1, j)))
+    }
+
+    case class CSpec(part: Seq[String], ord: Seq[(String, String)])
+    case class GAgg(fnStart: Int, close: Int, fn: String, arg: String,
+        lo: String, hi: String, key: String)
+    val specs = scala.collection.mutable.LinkedHashMap[String, CSpec]()
+    val gaggs = scala.collection.mutable.ArrayBuffer[GAgg]()
+    val plain = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    spans.foreach { case (i, open, close) =>
+      val win = body.substring(open + 1, close)
+      if (hasGroupsFrame(win)) {
+        val m = WindowBody.matcher(win)
+        if (!m.matches()) return None
+        val partTxt = Option(m.group(1)).map(_.trim)
+        val ordTxt = m.group(2).trim
+        val (fnStart, name, arg) = fnBefore(i).getOrElse(return None)
+        if (!DecompFns(name)) return None
+        if (arg.matches("(?is)\\s*DISTINCT\\b[\\s\\S]*")) return None
+        val key = normKey(partTxt, ordTxt)
+        specs.getOrElseUpdate(key, CSpec(
+          partTxt.map(p => splitTop(p).map(_.trim)).getOrElse(Nil),
+          splitTop(ordTxt).map(parseOrderItem)))
+        gaggs += GAgg(fnStart, close,
+          name, arg,
+          m.group(3).replaceAll("\\s+", " ").toUpperCase,
+          m.group(4).replaceAll("\\s+", " ").toUpperCase, key)
+      } else plain += ((i, open, close))
+    }
+    if (gaggs.isEmpty) return None
+    // Bare same-keyed DENSE_RANK calls ride the cells' rank column; any
+    // other plain window simply stays on the (unwrapped) outer block.
+    case class DRoute(fnStart: Int, close: Int, key: String)
+    val droutes = scala.collection.mutable.ArrayBuffer[DRoute]()
+    plain.foreach { case (i, open, close) =>
+      val win = body.substring(open + 1, close)
+      val framed = java.util.regex.Pattern
+        .compile("(?is)\\b(ROWS|RANGE|GROUPS)\\b").matcher(win).find()
+      fnBefore(i) match {
+        case Some((fnStart, "DENSE_RANK", arg)) if arg.trim.isEmpty && !framed =>
+          val m = BareWindow.matcher(win)
+          if (m.matches()) {
+            val key = normKey(Option(m.group(1)).map(_.trim), m.group(2).trim)
+            if (specs.contains(key)) droutes += DRoute(fnStart, close, key)
+          }
+        case _ => ()
+      }
+    }
+
+    // Statement surgery: same supported grid as the general path (which
+    // owns the loud failures — None here lands there).
+    val fromIdx = topLevel(body, "FROM").headOption.getOrElse(return None)
+    val selectPart = body.substring(0, fromIdx)
+    if (topLevel(selectPart, "DISTINCT").nonEmpty) return None
+    if (hasStarProjection(selectPart)) return None
+    val fromTail = body.substring(fromIdx + 4)
+    Seq("GROUP\\s+BY", "HAVING", "UNION", "INTERSECT", "EXCEPT", "WINDOW")
+      .foreach(k => if (topLevel(fromTail, k).nonEmpty) return None)
+    val tailIdx = (topLevel(fromTail, "ORDER\\s+BY") ++
+      topLevel(fromTail, "LIMIT") ++ topLevel(fromTail, "OFFSET")).sorted.headOption
+    val (fromCore, outerTail) = tailIdx match {
+      case Some(ix) => (fromTail.substring(0, ix), fromTail.substring(ix))
+      case None     => (fromTail, "")
+    }
+    val whereIdx = topLevel(fromCore, "WHERE").headOption
+    val (relPart, whereTail) = whereIdx match {
+      case Some(ix) => (fromCore.substring(0, ix), fromCore.substring(ix))
+      case None     => (fromCore, "")
+    }
+
+    val specIdx = specs.keys.zipWithIndex.toMap
+    def cellsAlias(key: String) = s"__gcells${specIdx(key)}"
+    // per-spec ordinal of each collapsed aggregate
+    val gaggIdx: Map[GAgg, Int] = gaggs.groupBy(_.key).values
+      .flatMap(_.zipWithIndex).toMap
+
+    // Splices: replace [fnStart, close] with the cells-column reference.
+    // Valid SQL puts window calls only in the select list or the outer
+    // ORDER BY tail — anything else (or a span straddling FROM) bails.
+    case class Spl(s: Int, e: Int, t: String)
+    val tailAbs = fromIdx + 4 + tailIdx.getOrElse(fromTail.length)
+    val spl = (gaggs.map(g =>
+        Spl(g.fnStart, g.close, s"${cellsAlias(g.key)}.__gw${specIdx(g.key)}_${gaggIdx(g)}")) ++
+      droutes.map(d =>
+        Spl(d.fnStart, d.close, s"${cellsAlias(d.key)}.__gdrc${specIdx(d.key)}")))
+      .sortBy(_.s)
+    if (!spl.forall(p => p.e < fromIdx || p.s >= tailAbs)) return None
+    def splice(frag: String, off: Int): String = {
+      val sb = new StringBuilder
+      var cur = 0
+      spl.filter(p => p.s >= off && p.e < off + frag.length).foreach { p =>
+        sb.append(frag.substring(cur, p.s - off)).append(p.t)
+        cur = p.e - off + 1
+      }
+      sb.append(frag.substring(cur)).toString
+    }
+
+    val joins = specs.map { case (key, sp) =>
+      val k = specIdx(key)
+      val gs = gaggs.filter(_.key == key)
+      val gps = sp.part.zipWithIndex.map { case (p, j) => s"($p) AS __gp${k}_$j" }
+      val gos = sp.ord.zipWithIndex.map { case ((o, _), j) => s"($o) AS __go${k}_$j" }
+      val cas = gs.map(g => s"${g.fn}(${g.arg}) AS __ca${k}_${gaggIdx(g)}")
+      val nKeys = sp.part.size + sp.ord.size
+      // GROUP BY ordinals: the key exprs are select items 1..nKeys, so
+      // no expression text is re-parsed twice (groupByOrdinal is on by
+      // default and every graft session keeps it)
+      val inner = s"SELECT ${(gps ++ gos ++ cas).mkString(", ")} FROM " +
+        s"$relPart $whereTail GROUP BY ${(1 to nKeys).mkString(", ")}"
+      val partSql =
+        if (sp.part.isEmpty) ""
+        else "PARTITION BY " + sp.part.indices.map(j => s"__gp${k}_$j").mkString(", ") + " "
+      val ordSql = sp.ord.zipWithIndex.map { case ((_, sfx), j) =>
+        s"__go${k}_$j" + (if (sfx.nonEmpty) s" $sfx" else "")
+      }.mkString(", ")
+      val mid = s"SELECT *, DENSE_RANK() OVER (${partSql}ORDER BY $ordSql) " +
+        s"AS __gdrc$k FROM ($inner) __gci$k"
+      val gws = gs.map { g =>
+        val w = s"${partSql}ORDER BY __gdrc$k RANGE BETWEEN ${g.lo} AND ${g.hi}"
+        val cell = s"__ca${k}_${gaggIdx(g)}"
+        val aggd = g.fn match {
+          case "SUM"   => s"SUM($cell) OVER ($w)"
+          case "COUNT" => s"COALESCE(SUM($cell) OVER ($w), 0)"
+          case "MIN"   => s"MIN($cell) OVER ($w)"
+          case "MAX"   => s"MAX($cell) OVER ($w)"
+        }
+        s"$aggd AS __gw${k}_${gaggIdx(g)}"
+      }
+      val top = s"SELECT *, ${gws.mkString(", ")} FROM ($mid) __gcm$k"
+      val on = (sp.part.zipWithIndex.map { case (p, j) =>
+          s"($p) <=> ${cellsAlias(key)}.__gp${k}_$j"
+        } ++ sp.ord.zipWithIndex.map { case ((o, _), j) =>
+          s"($o) <=> ${cellsAlias(key)}.__go${k}_$j"
+        }).mkString(" AND ")
+      s"JOIN ($top) ${cellsAlias(key)} ON $on"
+    }.mkString(" ")
+
+    val selectPart2 = splice(selectPart, 0)
+    val outerTail2 = splice(outerTail, tailAbs)
+    Some(s"$prefix$selectPart2 FROM $relPart $joins $whereTail $outerTail2")
+  }
+
   /** Rewrite GROUPS frames into the dense_rank composition; identity for
     * statements without a GROUPS frame. Throws on unsupported shapes.
     * Recurses into subquery and CTE-body select blocks first — each block
     * is rewritten against its own dense_rank column — then handles the
-    * outermost block. */
+    * outermost block. Decomposable aggregates take [[tryCollapse]]'s
+    * peer-group cells form instead of the general two-window form. */
   def rewrite(sql: String): String = {
     if (!hasGroupsFrame(sql)) return sql
     val pre = rewriteSubqueries(sql)
@@ -261,6 +527,16 @@ object GroupsFrames {
     // but never inside a subquery) and match its parens.
     val spans = overSpans(body)
 
+    // Scale path first: decomposable aggregates collapse to the
+    // peer-group cells form; anything it can't take falls through to
+    // the general two-window rewrite below (which owns loud failures).
+    tryCollapse(prefix, body, spans).foreach { out =>
+      val leftover = overSpans(out.substring(prefix.length))
+        .exists { case (_, o, c) => hasGroupsFrame(out.substring(o + 1, c)) }
+      if (leftover) fail("GROUPS frame left unrewritten after collapse", sql)
+      return out
+    }
+
     val specs = scala.collection.mutable.LinkedHashMap[String, Spec]()
     var rewrittenAny = false
     val sb = new StringBuilder
@@ -276,8 +552,7 @@ object GroupsFrames {
         val order = m.group(2).trim
         val (lo, hi) = (m.group(3).replaceAll("\\s+", " ").toUpperCase,
           m.group(4).replaceAll("\\s+", " ").toUpperCase)
-        val key = part.map(_.toLowerCase.replaceAll("\\s+", " ")).getOrElse("") +
-          "|" + order.toLowerCase.replaceAll("\\s+", " ")
+        val key = normKey(part, order)
         val spec = specs.getOrElseUpdate(key,
           Spec(part, order, s"__gdr${specs.size}"))
         sb.append(body.substring(cursor, i))
@@ -306,19 +581,8 @@ object GroupsFrames {
     // Star projections: the wrapper subquery appends synthetic __gdr
     // columns, so a top-level `*` (or `alias.*`) would silently expand
     // to include them — a schema change, violating the never-misparse
-    // contract. A projection star is a depth-0 `*` whose next visible
-    // depth-0 character is `,` or end-of-list; a multiplication star is
-    // always followed by an operand (`a * b`, `2 * (x+y)`).
-    var starProj = false
-    var prevWasStar = false
-    scan(selectPart) { (i, d) =>
-      val ch = selectPart.charAt(i)
-      if (!ch.isWhitespace) {
-        if (prevWasStar && ch == ',') starProj = true
-        prevWasStar = d == 0 && ch == '*'
-      }
-    }
-    if (starProj || prevWasStar) // trailing `*` = last select item
+    // contract.
+    if (hasStarProjection(selectPart))
       fail("star projection (`*` / `alias.*`) with a GROUPS frame — the " +
         "rewrite wrapper adds synthetic __gdr columns that the star would " +
         "silently absorb; list the columns explicitly", sql)

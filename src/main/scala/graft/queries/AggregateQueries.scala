@@ -60,7 +60,20 @@ object AggregateQueries {
   private[graft] def groupedPrefix(
       df: DataFrame, grp: String, ord: String, w: org.apache.spark.sql.Column,
       pin: Boolean = true): DataFrame = {
+    // backtick-quoted column ref (round-16 ADVICE): a caller-supplied
+    // name with dots/spaces/reserved words must reach the resolver as
+    // ONE identifier, not be re-parsed as nested-field access
+    def qc(n: String) = col("`" + n.replace("`", "``") + "`")
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // parts <= 1: a single slice needs no bounds at all — short-circuit
+    // to pid = 0 rather than feeding percentile_approx an EMPTY probs
+    // array (round-16 ADVICE: an untested degenerate edge)
+    if (parts <= 1) {
+      val intraW1 = Window.partitionBy(qc(grp)).orderBy(qc(ord))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn("pid", lit(0))
+        .withColumn("cum", sum(w).over(intraW1))
+    }
     val probs = array((1 until parts).map(i => lit(i.toDouble / parts)): _*)
     // `pin = false` only for the plan probe, which needs the full
     // lazy structure (and never executes, so bounds divergence between
@@ -69,17 +82,17 @@ object AggregateQueries {
     // bucketing yields the same cum), and callers should persist `df`
     // BEFORE calling so this eager pass populates their cache.
     val bounds0 = df.groupBy(grp)
-      .agg(percentile_approx(col(ord), probs, lit(1000)).as("bnds"))
+      .agg(percentile_approx(qc(ord), probs, lit(1000)).as("bnds"))
     val bounds = if (pin) bounds0.localCheckpoint(eager = true) else bounds0
     val withPid = df.join(broadcast(bounds), Seq(grp))
-      .withColumn("pid", expr(s"size(filter(bnds, b -> b < $ord))"))
+      .withColumn("pid", size(filter(col("bnds"), b => b < qc(ord))))
       .drop("bnds")
-    val offsW = Window.partitionBy(grp).orderBy("pid")
+    val offsW = Window.partitionBy(qc(grp)).orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withPid.groupBy("pid", grp).agg(sum(w).as("pw"))
+    val offsets = withPid.groupBy(col("pid"), qc(grp)).agg(sum(w).as("pw"))
       .withColumn("off", coalesce(sum("pw").over(offsW), lit(0L)))
-      .select(col("pid"), col(grp), col("off"))
-    val intraW = Window.partitionBy("pid", grp).orderBy(ord)
+      .select(col("pid"), qc(grp), col("off"))
+    val intraW = Window.partitionBy(col("pid"), qc(grp)).orderBy(qc(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withPid.join(broadcast(offsets), Seq("pid", grp))
       .withColumn("cum", col("off") + sum(w).over(intraW))

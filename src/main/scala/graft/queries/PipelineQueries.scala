@@ -1102,10 +1102,36 @@ object PipelineQueries {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
+    // Lease identity is (pid, process-start-millis) — round-16 verdict
+    // item #5: a bare-pid lease leaks under pid RECYCLING (a dead
+    // lease whose pid any live process reuses looks leased forever, so
+    // stale dirs accumulate until manual wiping). With the start time
+    // in the marker name, a recycled pid's start instant cannot match
+    // the dead leaseholder's, so the lease lapses. Legacy bare-pid
+    // markers (pre-round-17 writers) keep the old alive-pid check.
+    def leaseHeld(name: String): Boolean = {
+      val body = name.stripPrefix("_IN_USE_")
+      body.split('_') match {
+        case Array(p, s) => (p.toLongOption, s.toLongOption) match {
+          case (Some(pid), Some(start)) =>
+            ProcessHandle.of(pid).map[Boolean] { h =>
+              // start == 0: the WRITER couldn't read its own start
+              // instant — fall back to the alive-pid check; likewise
+              // when the CHECKER can't read the handle's instant
+              // (conservative: treat as held)
+              h.isAlive && (start == 0L || h.info().startInstant()
+                .map[Boolean](_.toEpochMilli == start).orElse(true))
+            }.orElse(false)
+          case _ => false
+        }
+        case Array(p) => p.toLongOption
+          .exists(pid => ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false))
+        case _ => false
+      }
+    }
     def leasedByLiveProcess(f: java.io.File): Boolean =
       Option(f.listFiles((_, n) => n.startsWith("_IN_USE_"))).getOrElse(Array.empty)
-        .exists(_.getName.stripPrefix("_IN_USE_").toLongOption
-          .exists(pid => ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)))
+        .exists(m => leaseHeld(m.getName))
     if (dir.isDirectory)
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith(prefix) && f.getName != keep)
@@ -1115,17 +1141,27 @@ object PipelineQueries {
   }
 
   /** Drop this process's read lease on `base` (see the cache contract
-    * above): an empty `_IN_USE_<pid>` marker, created at RESOLUTION time
-    * — before any build or read — so a sibling JVM's pruner always sees
-    * the lease before this one depends on the files. Best-effort: on a
-    * filesystem refusing the touch, the pruner's commit/grace rules
-    * still make any failure loud, never silently wrong. */
+    * above): an empty `_IN_USE_<pid>_<startMillis>` marker, created at
+    * RESOLUTION time — before any build or read — so a sibling JVM's
+    * pruner always sees the lease before this one depends on the files.
+    * The start-time component makes the lease identity survive pid
+    * recycling (round-16 verdict item #5): a recycled pid has a
+    * different start instant, so the dead lease lapses instead of
+    * pinning the dir forever. Best-effort: on a filesystem refusing the
+    * touch, the pruner's commit/grace rules still make any failure
+    * loud, never silently wrong. */
+  private[graft] def leaseMarkerName: String = {
+    val self = ProcessHandle.current()
+    val start = self.info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(0L)
+    s"_IN_USE_${self.pid()}_$start"
+  }
+
   private def markInUse(base: String): Unit = {
     val dir = new java.io.File(base)
     dir.mkdirs()
     try {
-      new java.io.File(dir, s"_IN_USE_${ProcessHandle.current().pid()}")
-        .createNewFile(): Unit
+      new java.io.File(dir, leaseMarkerName).createNewFile(): Unit
     } catch { case _: java.io.IOException => () }
   }
 

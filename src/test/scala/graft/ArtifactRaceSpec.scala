@@ -34,26 +34,29 @@ class ArtifactRaceSpec extends GraftSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("lsh_idx3_")).toSeq
   }
 
-  /** Recursive delete for the test corpus' private cache dir. */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(); ()
-  }
-
   test("a second JVM's prune respects this JVM's live read lease; dead leases lapse on the next build") {
-    // Cross-RUN hygiene (round-16 flake): this corpus' cache survives
-    // between suite runs, and a dir whose dead lease pid has been
-    // RECYCLED by a live process looks leased forever — dirs then
-    // accumulate until the "exactly one child-built dir" assertion
-    // trips. The lease contract under test is within-run (live lease
-    // respected, dead lease lapses); pid-recycling longevity is the
-    // documented trade of pid-file leases. Start from a clean cache.
-    rmTree(new java.io.File(graft.queries.SourceQueries.cacheDir(corpus)))
+    // Round-17 (verdict item #5): lease identity is now
+    // (pid, process-start-millis), so a dead lease whose pid was
+    // RECYCLED by a live process lapses instead of pinning its dir
+    // forever — the round-16 wipe-workaround (start from a clean cache
+    // because recycled-pid leases accumulate dirs across runs) is gone,
+    // and the recycled-pid lapse is pinned explicitly below.
+    //
+    // One-time migration sweep: dirs left by PRE-round-17 runs carry
+    // legacy bare-pid markers, which the pruner still honors on an
+    // alive (possibly recycled) pid — drop only those markers so the
+    // "exactly one child-built dir" assertion can't trip on
+    // transitional debris. This deletes lease FILES, never artifact
+    // dirs: nothing here re-introduces the wipe.
+    lshDirs().foreach { d =>
+      Option(d.listFiles((_, n) => n.matches("_IN_USE_\\d+")))
+        .getOrElse(Array.empty).foreach(_.delete())
+    }
     reingest()
     val baseV1 = graft.queries.PipelineQueries.ensureLshIndex(spark, corpus)
     val v1 = new java.io.File(baseV1)
-    assert(new java.io.File(v1, s"_IN_USE_${ProcessHandle.current().pid()}").exists,
-      "resolution must drop this JVM's read lease")
+    assert(new java.io.File(v1, graft.queries.PipelineQueries.leaseMarkerName).exists,
+      "resolution must drop this JVM's (pid, start-time) read lease")
     // a frame this JVM holds against the v1 artifact, Spark-lazy like any
     // pipeline intermediate (file list resolved, data not yet read)
     val pairsV1 = spark.read.parquet(s"$baseV1/pairs")
@@ -93,18 +96,28 @@ class ArtifactRaceSpec extends GraftSuite {
       .getOrElse(Array.empty).toSeq
     assert(childLeases.nonEmpty, "child JVM left no read lease")
     assert(childLeases.forall { m =>
-      val pid = m.getName.stripPrefix("_IN_USE_").toLong
+      val pid = m.getName.stripPrefix("_IN_USE_").split('_')(0).toLong
       pid != ProcessHandle.current().pid() &&
         !ProcessHandle.of(pid).map[Boolean](_.isAlive).orElse(false)
     }, s"expected only dead foreign leases on ${v2.getName}, got $childLeases")
 
+    // RECYCLED-PID lapse pin (the round-16 leak): plant a lease whose
+    // pid is THIS live JVM's but whose start time is not — exactly what
+    // a dead leaseholder's marker looks like after the OS recycles its
+    // pid into a live process. Under the bare-pid protocol this kept v2
+    // leased forever; under (pid, start-time) identity it must lapse.
+    val recycled = new java.io.File(v2,
+      s"_IN_USE_${ProcessHandle.current().pid()}_12345")
+    assert(recycled.createNewFile(), "could not plant the recycled-pid lease")
+
     // ...so a THIRD resolution (corpus rewritten again) prunes v2 - dead
-    // leases lapse, GC is not wedged - while v1 still survives on this
-    // JVM's live lease
+    // and recycled-pid leases lapse, GC is not wedged - while v1 still
+    // survives on this JVM's live lease
     reingest()
     val baseV3 = graft.queries.PipelineQueries.ensureLshIndex(spark, corpus)
     assert(baseV3 != baseV1 && baseV3 != v2.getAbsolutePath)
-    assert(!v2.exists, "a committed stale dir with only dead leases must be GC'd")
+    assert(!v2.exists,
+      "a committed stale dir with only dead/recycled-pid leases must be GC'd")
     assert(v1.exists, "the live-leased dir must survive every prune")
     assert(pairsV1.count() == c1, "v1 pairs must stay readable for this JVM's lifetime")
   }

@@ -64,14 +64,18 @@ class GroupsFramesSpec extends GraftSuite {
     }
   }
 
-  test("two GROUPS windows over the same spec share one dense_rank column") {
+  test("two GROUPS windows over the same spec share one cells subquery (collapse)") {
     fixture()
+    // Round-17: decomposable aggregates take the peer-group COLLAPSE —
+    // one cells join per (partition, order) spec, both frames windowed
+    // over the same model-sized cells frame, no corpus window at all.
     val rewritten = GroupsFrames.rewrite(
       """SELECT id,
         |  SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a,
         |  COUNT(*) OVER (ORDER BY k GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW) AS b
         |FROM gf_t""".stripMargin)
-    assert(rewritten.contains("__gdr0") && !rewritten.contains("__gdr1"), rewritten)
+    assert(rewritten.contains("__gcells0") && !rewritten.contains("__gcells1"), rewritten)
+    assert(rewritten.contains("__gw0_0") && rewritten.contains("__gw0_1"), rewritten)
     assert(spark.sql(rewritten).count() == 7)
   }
 
@@ -209,7 +213,71 @@ class GroupsFramesSpec extends GraftSuite {
         |  SELECT id, SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
         |  FROM c) d""".stripMargin)
     assert(rw.trim.startsWith("SELECT a FROM ("), rw)
-    assert(rw.contains("__gdr0"), rw)
+    assert(rw.contains("__gcells0"), rw) // inner block took the collapse
+  }
+
+  test("collapse semantics: NULL keys, DESC order, dense_rank routing, AVG fallback") {
+    fixture()
+    // NULL order keys form their own peer group; the null-safe (<=>)
+    // join-back must pair those rows with their cell
+    spark.sql(
+      """SELECT id, CASE WHEN k = 5 THEN NULL ELSE k END AS k, v FROM gf_t"""
+    ).createOrReplaceTempView("gf_n")
+    val coll = spark.sql(
+      """SELECT id, SUM(v) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_n ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val general = spark.sql(
+      """WITH r AS (SELECT id, v, DENSE_RANK() OVER (ORDER BY k) AS g FROM gf_n)
+        |SELECT id, SUM(v) OVER (ORDER BY g RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM r ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(coll.toSeq == general.toSeq,
+      s"null-key collapse: ${coll.mkString(",")} vs ${general.mkString(",")}")
+    assert(coll.count(_ => true) == 7)
+
+    // DESC order direction carries into the cells rank + window
+    val desc = spark.sql(
+      """SELECT id, SUM(v) OVER (ORDER BY k DESC
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_t ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val descWant = spark.sql(
+      """WITH r AS (SELECT id, v, DENSE_RANK() OVER (ORDER BY k DESC) AS g FROM gf_t)
+        |SELECT id, SUM(v) OVER (ORDER BY g RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM r ORDER BY id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(desc.toSeq == descWant.toSeq, desc.mkString(","))
+
+    // a bare same-keyed DENSE_RANK routes to the cells' rank column —
+    // no outer corpus window survives in the rewritten text
+    val routed = GroupsFrames.rewrite(
+      """SELECT id, DENSE_RANK() OVER (ORDER BY k) AS dr,
+        |  SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_t""".stripMargin)
+    assert(routed.contains("__gcells0.__gdrc0"), routed)
+    assert(!routed.contains("DENSE_RANK() OVER (ORDER BY k)"), routed)
+    assert(spark.sql(routed).count() == 7)
+
+    // an UNRELATED window (different keys / non-rank fn) just stays on
+    // the outer block — collapse still applies to the GROUPS frame
+    val mixed = spark.sql(
+      """SELECT id, ROW_NUMBER() OVER (ORDER BY id) AS rn,
+        |  SUM(v) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s
+        |FROM gf_t ORDER BY id""".stripMargin).collect()
+    assert(mixed.length == 7 && mixed.map(_.getInt(1)).toSeq == (1 to 7),
+      mixed.mkString(","))
+
+    // AVG is NOT decomposed (type-exact SUM/COUNT decomposition is
+    // engine-typing-dependent): falls back to the general two-window
+    // form — and still computes the right values there
+    val avgRw = GroupsFrames.rewrite(
+      """SELECT id, AVG(v) OVER (ORDER BY k
+        |  GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS a
+        |FROM gf_t""".stripMargin)
+    assert(avgRw.contains("__gdr0") && !avgRw.contains("__gcells"), avgRw)
+    assert(spark.sql(avgRw).count() == 7)
   }
 
   test("'groups' as an identifier is untouched; statements without GROUPS frames are identity") {

@@ -44,17 +44,33 @@ class PlanShapeSpec extends GraftSuite {
     assert(!readSchema.contains("l_tax"), s"column pruning failed: $readSchema")
   }
 
-  test("q_window_groups_sql: the rewrite's dense_rank and GROUPS windows share ONE hash shuffle") {
-    // The GROUPS parser rewrite hoists a dense_rank subquery; a naive
-    // plan would shuffle on o_orderstatus twice (once per Window). Both
-    // windows share the partition key, so Catalyst must plan a single
-    // hashpartitioning exchange feeding both passes (the final ORDER BY
-    // adds its own rangepartitioning — that one is expected).
+  test("q_window_groups_sql: the SQL path takes the peer-group collapse — no corpus window") {
+    // Round-17 (verdict item #2): the parser rewrite routes decomposable
+    // GROUPS aggregates to the peer-group cells form, the plan
+    // q_window_groups_emul hand-builds. The scale property pinned here:
+    // every Window operator runs over the CELLS frame (fed by the
+    // per-(status, day) HashAggregate), never over the orders corpus —
+    // the old two-window form sorted the whole table in |statuses| = 3
+    // tasks (7.5× at 10× data). The corpus is scanned twice (outer side
+    // + cells side, both column-pruned) and joined back on the peer
+    // keys; no third window (the select's dense_rank rides the cells'
+    // rank column).
     val p = plan("q_window_groups_sql")
-    val hashEx = "hashpartitioning\\(".r.findAllIn(p).size
-    assert(hashEx == 1, s"expected 1 hashpartitioning exchange, found $hashEx:\n$p")
-    assert("\\(\\d+\\) Window".r.findAllIn(p).size >= 3,
-      s"expected three window passes (dense_rank + dr + grp_sum) over the one shuffle:\n$p")
+    val tree = p.linesIterator.takeWhile(!_.startsWith("(1)")).toSeq
+    val lastWin = tree.lastIndexWhere(_.contains("Window"))
+    assert(lastWin >= 0, s"no Window in plan:\n$p")
+    val below = tree.drop(lastWin + 1)
+    val aggIdx = below.indexWhere(_.contains("HashAggregate"))
+    val scanIdx = below.indexWhere(_.contains("Scan parquet"))
+    assert(aggIdx >= 0 && (scanIdx < 0 || aggIdx < scanIdx),
+      s"deepest Window must sit above the cells HashAggregate, not the corpus scan:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).size == 2,
+      s"expected exactly two cells windows (rank + frame agg):\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected the cells join-back:\n$p")
+    // map-side combine: a partial_sum runs BEFORE the cells exchange,
+    // so only |statuses|x|days| rows cross the wire
+    assert(p.contains("partial_sum"), s"expected map-side partial agg:\n$p")
   }
 
   test("q_join_semi/anti compile to semi/anti hash joins, not inner+distinct") {

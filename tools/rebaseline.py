@@ -64,8 +64,17 @@ def main():
     quiet = "--quiet-rerecord" in args
     deflate_below = 0.6
     if "--deflate-below" in args:
+        # round-16 ADVICE: --deflate-below only has meaning in
+        # --quiet-rerecord mode (silently ignoring it elsewhere hides a
+        # typo'd invocation), and a value > 1.0 would rewrite rows whose
+        # quiet readings are HIGHER than the record — inflation under
+        # the 'deflate' banner.
+        if not quiet:
+            sys.exit("--deflate-below requires --quiet-rerecord")
         i = args.index("--deflate-below")
         deflate_below = float(args[i + 1])
+        if not (0 < deflate_below <= 1.0):
+            sys.exit(f"--deflate-below must be in (0, 1.0], got {deflate_below}")
         del args[i:i + 2]
     if quiet:
         args = [a for a in args if a != "--quiet-rerecord"]
