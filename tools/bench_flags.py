@@ -14,9 +14,15 @@ JSON line; this script joins the flags against the sentinel windows:
   - a flag in a quiet window is annotated REAL? and deserves a plan look.
 
 Usage: tools/bench_flags.py BENCH_rNN.json [--threshold 2.0]
+                                           [--emit-flags FILE]
 Exit status: 0 if no flags at all; 1 if any REAL? flag; 2 if every flag
 is LOAD-attributed (not green — a mandatory quiet-box re-run is printed:
 a genuine regression co-occurring with box load would otherwise pass).
+
+--emit-flags FILE (round-16 verdict item #3) writes the flag lists as
+JSON ({"real": [...], "load": [...], "errored": [...]}) so
+tools/round_close.sh can auto-re-bench the flagged queries solo and
+append the adjudication record without a human in the loop.
 """
 import json
 import re
@@ -50,6 +56,9 @@ def main():
     thr = 2.0
     if "--threshold" in sys.argv:
         thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    emit = None
+    if "--emit-flags" in sys.argv:
+        emit = sys.argv[sys.argv.index("--emit-flags") + 1]
     bench = json.load(open(path))
     if "queries" not in bench and "parsed" in bench:
         bench = bench["parsed"]  # driver-written BENCH_rNN.json wrapper
@@ -78,11 +87,13 @@ def main():
 
     real = 0
     load_flags = 0
+    flag_lists = {"real": [], "load": [], "errored": []}
     for n in names:
         v = queries[n]
         base = walls.get(n)
         if v < 0:
             print(f"FAIL  {n}: errored run")
+            flag_lists["errored"].append(n)
             real += 1
             continue
         if base is None or base <= 0 or v <= thr * base:
@@ -91,13 +102,18 @@ def main():
         if load is not None and load > thr:
             print(f"LOAD  {n}: {v:.2f}s vs baseline {base:.2f}s "
                   f"({v / base:.1f}x) — sentinel window at {load:.1f}x its minimum")
+            flag_lists["load"].append(n)
             load_flags += 1
         else:
             tag = f"sentinel window quiet ({load:.1f}x)" if load is not None \
                 else "no sentinel data"
             print(f"REAL? {n}: {v:.2f}s vs baseline {base:.2f}s "
                   f"({v / base:.1f}x) — {tag}")
+            flag_lists["real"].append(n)
             real += 1
+    if emit:
+        with open(emit, "w") as fh:
+            json.dump(flag_lists, fh)
     if real == 0 and load_flags == 0:
         print("bench_flags: clean — no flags")
         sys.exit(0)

@@ -12,6 +12,13 @@ driver invocation), and the solo-record caveats are stripped.
 
 Usage: tools/rebaseline.py corun1.json [corun2.json ...]
        tools/rebaseline.py --quiet-rerecord [--deflate-below X] q1.json q2.json
+       tools/rebaseline.py --only qa,qb [...] run1.json [run2.json ...]
+
+--only qa,qb (round-16 verdict item #4): restrict the re-record to the
+named queries — the surgical mode for folding a KNOWN structural drift
+(a deliberate plan rework whose honest gate-SF wall moved) without
+touching any other row. Max-fold convention over the supplied runs,
+like the default mode.
 
 --quiet-rerecord (round-14 verdict item #8): the max-fold convention
 only ever RATCHETS rows UP — a co-run load spike permanently inflates
@@ -79,6 +86,12 @@ def main():
     if quiet:
         args = [a for a in args if a != "--quiet-rerecord"]
         assert len(args) >= 2, "--quiet-rerecord needs two quiet bench jsons"
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        assert not quiet, "--only and --quiet-rerecord are separate modes"
+        only = set(args[i + 1].split(","))
+        del args[i:i + 2]
     runs = [json.load(open(p))["queries"] for p in args]
     assert runs, "need at least one co-run bench json"
     wall = {}
@@ -93,7 +106,12 @@ def main():
             continue
         if quiet and len(vals) < 2:
             continue  # down-rerecord needs BOTH quiet readings to agree
+        if only is not None and q not in only:
+            continue
         wall[q] = max(vals)
+    if only is not None:
+        for q in sorted(only - set(wall)):
+            print(f"WARNING: --only {q} has no reading in the supplied runs")
 
     lines = open(FILE).read().split("\n")
     # main table: starts after the '| query | sf |' header, ends at first '###'
@@ -129,7 +147,7 @@ def main():
             print(f"WARNING: {name} has a baseline row but no bench reading; kept as-is")
             out.append(l)
     # new queries get fresh rows (alphabetical insertion not required; append)
-    missing = [] if quiet else sorted(set(wall) - seen)
+    missing = [] if quiet or only is not None else sorted(set(wall) - seen)
     for name in missing:
         note = NEW_ROWS.get(name, "new query, co-run record")
         out.append(f"| {name} | 0.1 | {wall[name]:.2f} | {CONFIG} | {note} |")
