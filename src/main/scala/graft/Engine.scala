@@ -229,7 +229,25 @@ class Engine(val spark: SparkSession) {
         spark.sparkContext.setJobGroup(jobId, s"graft job $jobId", interruptOnCancel = true)
         if (cancelRequested.contains(jobId))
           throw new RuntimeException("cancelled before start")
-        val n = df.count()
+        // Execute the frame's OWN QueryExecution (not df.count(), which
+        // builds a fresh one): after the run its CollectMetrics
+        // accumulators hold any `observe()` counters the plan published
+        // — the graft_* no-silent-caps drop totals — so a 100 TB
+        // operator's caps are queryable per job through the API
+        // (round-16 verdict item #7), not just stderr lines. The row
+        // count from the plan's RDD equals df.count().
+        val qe = df.queryExecution
+        val n = qe.toRdd.count()
+        val drops = qe.observedMetrics.iterator.flatMap { case (name, row) =>
+          if (!name.startsWith("graft_")) Iterator.empty
+          else row.schema.fieldNames.zipWithIndex.iterator.map { case (f, i) =>
+            s"$name.$f" -> (if (row.isNullAt(i)) 0L else row.get(i) match {
+              case v: Number => v.longValue()
+              case _         => 0L
+            })
+          }
+        }.toMap
+        if (drops.nonEmpty) jobObserved.put(jobId, drops)
         jobs.replace(jobId, Running, Finished(n))
       } catch {
         case e: Throwable =>
@@ -254,10 +272,19 @@ class Engine(val spark: SparkSession) {
       jobs.iterator
         .collect { case (id, st) if st != Running => id }
         .take(jobs.size - maxJobHistory + 1)
-        .foreach(jobs.remove)
+        .foreach { id => jobs.remove(id); jobObserved.remove(id) }
     }
   def jobStatus(jobId: String): Option[JobState] = jobs.get(jobId)
   def listJobs(): Map[String, JobState] = jobs.toMap
+
+  private val jobObserved = TrieMap.empty[String, Map[String, Long]]
+
+  /** The job's published `observe()` counters (`graft_*` no-silent-caps
+    * drop totals), flattened to `metricName.field -> value`. Empty for
+    * running/failed jobs and for plans that publish nothing. Evicted
+    * with the job record. */
+  def jobMetrics(jobId: String): Map[String, Long] =
+    jobObserved.getOrElse(jobId, Map.empty)
 
   /** Per-stage progress for a running job (reference
     * `GET /api/job/{id}/stages` with per-stage input/output rows,
