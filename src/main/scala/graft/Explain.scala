@@ -24,18 +24,32 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Inner-plan probes (the *PlanProbe convention): several catalog
+    // queries eagerly checkpoint, so their PUBLIC plan is a checkpoint
+    // scan — `probe_<name>` prints the pre-checkpoint pipeline plan the
+    // plan-shape pins (and the r17 plan files) actually audit.
+    val probes: Map[String, (SparkSession, String) => String] = Map(
+      "probe_pagerank" -> graft.queries.PipelineQueries.pageRankPlanProbe,
+      "probe_minhash" -> graft.queries.PipelineQueries.minhashPlanProbe,
+      "probe_ngram" -> graft.queries.PipelineQueries.ngramPlanProbe,
+      "probe_sweep" -> graft.queries.PipelineQueries.sweepPlanProbe,
+      "probe_weighted_median" -> graft.queries.AggregateQueries.weightedMedianPlanProbe)
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      // Execute the SAME QueryExecution that gets explained (round-16
-      // ADVICE): a noop write wraps the logical plan in a NEW
-      // QueryExecution, so the explain below would print the
-      // never-executed adaptive plan (isFinalPlan=false, no codegen-id
-      // stamps) — defeating --exec's purpose. toRdd.foreach finalizes
-      // THIS plan without materializing the frame on the driver
-      // (OOM-safe, the Engine.explainAnalyze discipline).
-      if (exec) df.queryExecution.toRdd.foreach(_ => ())
-      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      probes.get(n) match {
+        case Some(p) => println(p(spark, sfDir))
+        case None =>
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          // Execute the SAME QueryExecution that gets explained (round-16
+          // ADVICE): a noop write wraps the logical plan in a NEW
+          // QueryExecution, so the explain below would print the
+          // never-executed adaptive plan (isFinalPlan=false, no codegen-id
+          // stamps) — defeating --exec's purpose. toRdd.foreach finalizes
+          // THIS plan without materializing the frame on the driver
+          // (OOM-safe, the Engine.explainAnalyze discipline).
+          if (exec) df.queryExecution.toRdd.foreach(_ => ())
+          println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+      }
     }
     spark.stop()
   }

@@ -1339,24 +1339,47 @@ object PipelineQueries {
     } finally e.unpersist()
   }
 
-  private[graft] def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
+  /** Formatted plan of the pagerank DAG over the artifact-backed edge
+    * frame, WITHOUT the final eager checkpoint (the *PlanProbe
+    * convention — the catalog query's public plan is a checkpoint
+    * scan): shows the round-17 shape — pairs come from ONE parquet scan
+    * of the persisted LSH pair artifact (no shingle/band/verify
+    * rebuild), and each iteration attaches the per-src contribution
+    * via a single edge-scale join. */
+  private[graft] def pageRankPlanProbe(s: SparkSession, d: String): String = {
+    val pairs = minhashPairsShared(s, d).select("i", "j")
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .union(pairs.select(col("j").as("src"), col("i").as("dst")))
+    pageRankScaled(edges, 3, pin = false).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private[graft] def pageRankScaled(
+      edges: DataFrame, iters: Int, pin: Boolean = true): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    edges.persist(); deg.persist()
+    if (pin) { edges.persist(); deg.persist() }
     try {
       val n = deg.count()
       val Scale = 1000000000000000L
       val base = 15L * Scale / (100L * n)
       var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
       for (_ <- 1 to iters) {
-        r = edges.join(deg, "src").join(r, col("src") === col("v"))
-          .select(col("dst"), expr("(r * 85) div (100 * od)").as("c"))
+        // Round 17 (optimization, guide §2.4/§3): the per-src
+        // contribution (r*85) div (100*od) is constant across a vertex's
+        // out-edges, so compute it on the VERTEX-scale r⋈deg join and
+        // attach it to edges in ONE edge-scale join — the previous
+        // edges⋈deg⋈r chain paid two edge-scale joins per iteration.
+        // Identical sums: every (dst ← src) term is the same integer.
+        val contrib = r.join(deg, col("v") === col("src"))
+          .select(col("src"), expr("(r * 85) div (100 * od)").as("c"))
+        r = edges.join(contrib, "src")
           .groupBy("dst").agg(sum(col("c")).as("rc"))
           .select(col("dst").as("v"), (lit(base) + col("rc")).as("r"))
       }
-      r.join(deg, col("v") === col("src"))
+      val res = r.join(deg, col("v") === col("src"))
         .select(col("v"), col("od"), col("r"))
-        .localCheckpoint(eager = true)
-    } finally { edges.unpersist(); deg.unpersist() }
+      if (pin) res.localCheckpoint(eager = true) else res
+    } finally if (pin) { edges.unpersist(); deg.unpersist() }
   }
 
   private[graft] def retentionMatrix(ev: DataFrame): DataFrame = {
@@ -1588,6 +1611,9 @@ object PipelineQueries {
       // a repartition on (i, j) is satisfied by the distinct's own
       // hash(i, j) partitioning and gets elided — leaving the coalescable
       // ENSURE_REQUIREMENTS exchange as the stage boundary again.
+      // (Round 17: repartition-before-dedup measured 1.7× WORSE here —
+      // see the note in sweepPairsFrom; distinct's map-side partial
+      // dedup is load-bearing.)
       .repartition(sp, col("i"))
     // |a∩b| via the codegen'd IntersectCount (one hash-probe pass, no
     // intersection/union array materialization); |a∪b| is then pure
@@ -2016,6 +2042,13 @@ object PipelineQueries {
           |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
           .stripMargin)).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
+      // Round 17 note: a repartition(i)-then-dropDuplicates fusion (one
+      // exchange instead of distinct + repartition) was MEASURED AND
+      // REJECTED — losing distinct's map-side partial dedup ships the
+      // raw enumerated pair stream and builds the full dedup hash in the
+      // reduce tasks; the subset bench read 14.2 s vs 3.0 s with the
+      // sentinel itself inflating 1.5× from the session-wide GC
+      // pressure (guide §2.3: aggregate BEFORE you shuffle).
       .distinct()
       .repartition(sp, col("i"))
     // hybrid verify joins — SMJ on i, shuffle_hash on j; see
@@ -2864,7 +2897,14 @@ object PipelineQueries {
       // model-state scalar, the BM25 convention. The symmetric graph has
       // no dangling vertices (every vertex has out-degree >= 1), so no
       // redistribution term is needed.
-      val pairs = minhashPairs(s, d, LshBucketCap).select("i", "j")
+      // Round 17 (optimization): read the PERSISTED pair artifact like
+      // every other graph consumer — this query was the last caller of
+      // the lazy per-call pipeline rebuild (shingle + band + verify over
+      // the full corpus on every invocation; ~2 s of the query's 3.9 s
+      // at gate SF, O(corpus) at 100 TB vs the artifact's O(pairs) scan).
+      // Identical pairs by construction: the artifact IS
+      // minhashPairsFrom(shingled, LshBucketCap) under a commit marker.
+      val pairs = minhashPairsShared(s, d).select("i", "j")
       val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
         .union(pairs.select(col("j").as("src"), col("i").as("dst")))
       pageRankScaled(edges, 3)
