@@ -84,8 +84,16 @@ object AggregateQueries {
     val bounds0 = df.groupBy(grp)
       .agg(percentile_approx(qc(ord), probs, lit(1000)).as("bnds"))
     val bounds = if (pin) bounds0.localCheckpoint(eager = true) else bounds0
+    // Round 17 (optimization, guide §1.2 per-task work): pid via the
+    // codegen'd LowerBoundCount instead of size(filter(bnds, b -> b <
+    // ord)) — the HOF spelling is an interpreted per-row lambda over the
+    // (partitions−1)-element bounds array, evaluated in BOTH prefix
+    // passes (offsets + final); identical count semantics (strictly-<,
+    // null elements don't count), so pid and every downstream cum are
+    // bit-identical.
     val withPid = df.join(broadcast(bounds), Seq(grp))
-      .withColumn("pid", size(filter(col("bnds"), b => b < qc(ord))))
+      .withColumn("pid",
+        graft.functions.LowerBoundCount.lower_bound_count(col("bnds"), qc(ord)))
       .drop("bnds")
     val offsW = Window.partitionBy(qc(grp)).orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
