@@ -35,6 +35,27 @@ object PipelineQueries {
     shingleDf(spread)
   }
 
+  /** A corpus table with its scan parallelism floored at the session
+    * default — SCALE-ADAPTIVE (round 17, guide §2.5 "input skew:
+    * repartition immediately after the read" + the §2 mandate that
+    * partitioning derive from input size, not a constant): the gate
+    * corpus is ONE small parquet file = one row group = one scan task,
+    * so a CPU-heavy row-local pass (trigram explode, tokenization,
+    * per-doc scoring) runs SERIALLY on a 32-core session — measured
+    * 2.8 s of single-task CPU on q_text_langid at sf0.1. The repartition
+    * fires ONLY when the scan actually has fewer splits than cores
+    * (tested on the map-only scan plan — never wrapped by AQE, so the
+    * probe is metadata, not a job); at 100 TB the input is thousands of
+    * splits and this is a no-op decision, costing nothing. The exchange
+    * it inserts at gate SF carries the RAW corpus rows once — the same
+    * trade the dedup family's prePartition idiom already makes. */
+  private[queries] def spreadT(s: SparkSession, d: String, table: String): DataFrame = {
+    val df = t(s, d, table)
+    val target = s.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target)
+    else df
+  }
+
   /** (doc_id, sh): distinct word-3-gram shingles of a (doc_id, text) frame. */
   private def shingleDf(docs: DataFrame): DataFrame =
     docs
@@ -2410,7 +2431,7 @@ object PipelineQueries {
     * top-bigram fractions via two-phase (doc_id, gram) counts — the
     * shuffle carries counts, never text. */
   private[queries] def repetitionSignals(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("w"))
+    val docs = spreadT(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("w"))
     val tw = docs.select(col("doc_id"), explode(col("w")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
@@ -3577,7 +3598,7 @@ object PipelineQueries {
       // feeds both the count and the probe: materializedWith computes
       // the window pass once and drops the cache before returning.
       val L = 10
-      val wins = t(s, d, "documents")
+      val wins = spreadT(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= L)
         .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
@@ -3731,7 +3752,11 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           explode(expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
             .as("tg"))
-      val docs = t(s, d, "documents")
+      // spreadT (round 17): both the train and score passes are
+      // CPU-heavy row-local trigram explodes — serial on the gate
+      // corpus' one-split scan without the adaptive spread (2.8 s of
+      // single-task CPU measured); no-op at 100 TB split counts.
+      val docs = spreadT(s, d, "documents")
       // TRAIN on a deterministic 20% hash sample (same Knuth filter as
       // q_cur_sample_hash): trigram profiles converge on a fraction of
       // the corpus, so the training explode need never see all 100 TB —
@@ -4220,7 +4245,7 @@ object PipelineQueries {
       // The one corpus-scale exploded frame feeds both the model counts
       // and the scoring stream — persisted for the one materializing
       // job, dropped on return.
-      val docs = t(s, d, "documents")
+      val docs = spreadT(s, d, "documents")
       val tok = docs.select(explode(split(col("text"), " ")).as("a"))
       val uni = tok.groupBy("a").agg(count(lit(1)).as("ca"))
       val vs = uni.agg(count(lit(1)).as("v"))
@@ -4299,7 +4324,7 @@ object PipelineQueries {
       // aggregatable min(struct(-score, label)) with the deterministic
       // smallest-label tie-break, not a per-doc window. The training
       // token stream feeds three model counts — one materializing job.
-      val docs = t(s, d, "documents")
+      val docs = spreadT(s, d, "documents")
       val tr = docs.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id"), col("lang").as("label"), split(col("text"), " ").as("w"))
       val te = docs.filter(col("doc_id") % 5 === 0)
@@ -4444,7 +4469,7 @@ object PipelineQueries {
       // vocabulary encode: same seq representation, same merge chain,
       // carrying the word key through bpeApply's column passthrough
       val venc = bpeVocabEncode(wf)
-      val dw = t(s, d, "documents")
+      val dw = spreadT(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
@@ -4483,7 +4508,7 @@ object PipelineQueries {
       // are single divisions of exact integer sums, round9'd.
       val wf = bpeWordFreq(s, d)
       val venc = bpeVocabEncode(wf)
-      val dw = t(s, d, "documents")
+      val dw = spreadT(s, d, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("lang", "word").agg(count(lit(1)).as("c"))
@@ -5277,7 +5302,7 @@ object PipelineQueries {
       // passage guarantee and the density bound through it directly.
       // fps ships as to_json text (nested-output rule, q_mm_features
       // precedent): the gate's comparator can't sort/hash an array cell.
-      winnowFps(t(s, d, "documents"))
+      winnowFps(spreadT(s, d, "documents"))
         .select(col("doc_id"), col("n_fp"), to_json(col("fps")).as("fps"))
         .orderBy("doc_id")
     },
@@ -6454,7 +6479,7 @@ object PipelineQueries {
       // — materialized once, dropped on return. Sub-3-word docs have no
       // 3-grams and are excluded (a caller's length gate catches them
       // long before this filter).
-      val occ = t(s, d, "documents")
+      val occ = spreadT(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
@@ -7151,7 +7176,7 @@ object PipelineQueries {
       // fingerprint HOF into an interpreted per-row Filter where the
       // inner hash transform re-evaluates per window position —
       // O(words²) per document, measured 224 s vs 0.5 s at sf0.1.
-      val idx = winnowFps(t(s, d, "documents"))
+      val idx = winnowFps(spreadT(s, d, "documents"))
         .select(col("doc_id"), col("fps"))
         .localCheckpoint(true)
       val fps = idx.select(col("doc_id"), explode(col("fps")).as("fp"))
