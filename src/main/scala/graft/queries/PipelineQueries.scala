@@ -2101,14 +2101,31 @@ object PipelineQueries {
     val lm = edges.select(col("src")).distinct().orderBy("src").limit(3)
       .select(col("src").as("lm"))
     var b = lm.select(col("lm"), col("lm").as("v"), lit(0L).as("dist"))
+    // Round 17 (optimization, guide §2.4): FRONTIER-only expansion —
+    // round t joins only the vertices first reached at t-1 against the
+    // edge list, not the whole assigned set. Exact by the BFS
+    // invariant (every vertex at distance t neighbors one at t-1;
+    // neighbors of older vertices are already assigned and the
+    // anti-join removed them anyway), and the frontier frame is the
+    // `fresh` anti-join output each round already computed. On the
+    // gate's clique components rounds 2-3 re-joined the ENTIRE ball
+    // after the frontier had emptied; at 100 TB this is the standard
+    // frontier-BFS join-input bound.
+    var frontier = b.select(col("lm"), col("v"))
     val perRound = Seq.newBuilder[DataFrame]
     perRound += b
     for (t <- 1 to rounds) {
-      val n = b.select(col("lm"), col("v"))
+      val n = frontier
         .join(edges, col("v") === col("src"))
         .select(col("lm"), col("dst").as("v")).distinct()
       val fresh = n.join(b.select(col("lm"), col("v")), Seq("lm", "v"), "left_anti")
       b = b.unionAll(fresh.withColumn("dist", lit(t.toLong)))
+      frontier = fresh.select(col("lm"), col("v"))
+      // persist the frontier too: it feeds BOTH b (via the union) and
+      // the next round's edge join, and only cached frames are shared —
+      // an uncached frontier would recompute the whole anti-join chain
+      // once per remaining round
+      perRound += frontier
       perRound += b
     }
     Qh.materializedWith(perRound.result(): _*)(
