@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (round 17, guide §5): local[32] runs 32 concurrent tasks
+  // in ONE heap — at 8g the execution pool guaranteed ~72 MB/task and the
+  // heavy co-run queries paid seconds of GC (heavy-subset bench 23.8 s at
+  // 8g vs 21.6 s at 16g on a 128 GiB box). Parameterized: a cluster
+  // deployment sizes executors instead, and SPARK_DRIVER_MEM still
+  // overrides for constrained boxes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
