@@ -26,6 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Shuffle/spill local dir on RAM-backed storage when available
+  // (round 17, guide §2.1: "local disk bandwidth for shuffle files can
+  // be the tighter limit on machines with slow disks — check both").
+  // This box's virtual disk charges ~100-400 ms PER MAP TASK just to
+  // create/commit the (often near-empty) shuffle file pair — measured
+  // 67 s of shuffle-write time against 10 s of CPU on one query, and a
+  // 12-query mixed bench read 43.8 s on disk vs 26.6 s on tmpfs. The
+  // production analog is provisioning fast local storage for shuffle.
+  // SPARK_LOCAL_DIRS still takes precedence over spark.local.dir (Spark
+  // semantics), so decade-scale runs whose spill exceeds RAM can point
+  // back at disk with SPARK_LOCAL_DIRS=/tmp.
+  s"-Dspark.local.dir=${
+    if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft_spark_local"
+    else sys.props("java.io.tmpdir")}",
   // 16g default (round 17, guide §5): local[32] runs 32 concurrent tasks
   // in ONE heap — at 8g the execution pool guaranteed ~72 MB/task and the
   // heavy co-run queries paid seconds of GC (heavy-subset bench 23.8 s at
