@@ -357,7 +357,7 @@ object MultimodalQueries {
       // in, binary out, metadata columns updated in the same row-local
       // pass, content integrity pinned by hash — at 100 TB this is a
       // map-only stage at scan speed with no shuffle at all.
-      t(s, d, "documents").select(
+      PipelineQueries.spreadT(s, d, "documents").select(
         col("doc_id"),
         (lit(16) + col("doc_id") % 64).cast("int").as("width"),
         (lit(16) + col("doc_id") % 48).cast("int").as("height"),

@@ -3551,7 +3551,7 @@ object PipelineQueries {
       // NOT survive 100 TB). The occurrences frame feeds both the owner
       // aggregate and the join probe: materializedWith computes the
       // chunking once.
-      val occ = cdcChunks(t(s, d, "documents"))
+      val occ = cdcChunks(spreadT(s, d, "documents"))
       val owners = occ.groupBy("chunk_hash")
         .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
       val dup = !(col("doc_id") === col("first.doc_id") &&
