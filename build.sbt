@@ -40,6 +40,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Dspark.local.dir=${
     if (new java.io.File("/dev/shm").canWrite) "/dev/shm/graft_spark_local"
     else sys.props("java.io.tmpdir")}",
+  // Disable the bypass-merge shuffle writer (round 17, guide §2.1): with
+  // ≤200 reducers it opens one file PER REDUCER per map task — at the
+  // gate's 32 reducers that was ~26 ms of file churn per task, 24 s of
+  // the 35 s task time on one 917-task query, 1000× the sort-writer's
+  // 0.02 s. Routing everything through the serialized sort writer
+  // (UnsafeShuffleWriter) is exactly what every >200-reducer production
+  // shuffle does anyway, so this is scale-neutral by construction.
+  "-Dspark.shuffle.sort.bypassMergeThreshold=1",
   // 16g default (round 17, guide §5): local[32] runs 32 concurrent tasks
   // in ONE heap — at 8g the execution pool guaranteed ~72 MB/task and the
   // heavy co-run queries paid seconds of GC (heavy-subset bench 23.8 s at
