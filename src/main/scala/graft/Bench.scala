@@ -115,12 +115,45 @@ object Bench {
       val a = runOnce(sentinelName); val b = runOnce(sentinelName)
       if (a < 0 || b < 0) -1.0 else math.min(a, b)
     }
-    val results = names.zipWithIndex.map { case (n, i) =>
+    val results0 = names.zipWithIndex.map { case (n, i) =>
       if (i % sentinelEvery == 0) sentinel += sentinelReading()
       val times = (1 to runs).map(_ => runOnce(n))
       n -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     sentinel += sentinelReading() // closing reading bounds the last window
+    // Artifact-build visibility (round-17 verdict item #7): the LSH pair
+    // artifact is built once per corpus fingerprint and served from disk
+    // thereafter, so its build cost never appeared in any timed row. This
+    // ADDED row (additions are allowed by the driver contract; existing
+    // rows are untouched) wipes the artifact and times a full rebuild.
+    // It runs LAST so the wipe/rebuild cannot perturb any timed consumer,
+    // and the rebuild is fingerprint-identical, leaving the artifact
+    // exactly as the warm-up pass left it. Subset runs skip it unless
+    // asked for, like any other row.
+    val buildRow = "q_dedup_minhash_build"
+    val results =
+      if (only.forall(_.contains(buildRow))) {
+        def buildOnce(): Double = {
+          if (progress) System.err.println(s"[bench] start $buildRow (cold rebuild)")
+          val t0 = System.nanoTime()
+          try {
+            graft.queries.PipelineQueries.rebuildLshIndex(spark, sfDir)
+            val t = (System.nanoTime() - t0) / 1e9
+            if (progress) System.err.println(
+              String.format(java.util.Locale.ROOT, "[bench] done  %s %.2f s", buildRow, Double.box(t)))
+            t
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $buildRow FAILED: ${e.getMessage}")
+              -1.0
+          } finally {
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
+        }
+        val times = (1 to runs).map(_ => buildOnce())
+        results0 :+ (buildRow -> (if (times.exists(_ < 0)) -1.0 else times.min))
+      } else results0
     // Locale.ROOT: the default-locale f-interpolator would print decimal
     // commas on e.g. a de_DE JVM and corrupt the JSON line.
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -134,20 +167,38 @@ object Bench {
     // Explicit run order (round-15 ADVICE): bench_flags.py maps queries to
     // sentinel windows by run index — give it the order outright instead
     // of relying on JSON-object key order surviving every parser.
-    val orderJson = names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val orderJson = (names ++ results.drop(names.size).map(_._1))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Round 18 (r17 verdict item #2): the driver keeps only a ~2000-char
+    // stdout TAIL, and the printed line with `order` + `sentinel` grew to
+    // ~15 KB at 288 queries — every BENCH_r*.json since r13 recorded
+    // `parsed: null` because the tail starts mid-JSON. The PRINTED line
+    // now carries only the contract fields (metric/value/unit/queries/
+    // sf/n_ok/n_fail — `order` duplicated the queries key order and
+    // `sentinel` is diagnostics); both still go to the dump file below,
+    // which is what tools/bench_flags.py reads. The sentinel line prints
+    // BEFORE the contract line (stderr), so the contract line stays the
+    // final stdout line.
+    System.err.println(s"""[bench] sentinel $sentJson""")
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"order":$orderJson,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size},"sentinel":$sentJson}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size}}"""
     println(line)
-    // The driver keeps only the log TAIL; at 94 queries the JSON line is
-    // ~2.5 KB and its head can be cut off (BENCH_r04 recorded
-    // `parsed: null` for exactly this reason). Persist the full line to
-    // a file in the working directory so the numbers always survive.
-    // Subset runs (local iteration) must not clobber the committed
-    // full-catalog record — route them to a scratch file instead.
-    val outFile = if (only.isDefined) "bench_scratch.json" else "bench_last.json"
+    val fullLine =
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"order":$orderJson,"sf":"$sfDir","n_ok":${ok.size},"n_fail":${results.size - ok.size},"sentinel":$sentJson}"""
+    // Persist the full record (with order + sentinel) to a file so the
+    // numbers always survive the driver's tail window. Subset runs (local
+    // iteration) must not clobber the committed full-catalog record —
+    // route them to a scratch file. A non-default core count (the
+    // driver's scaling run) gets its own file too: in round 17 the 8-CPU
+    // scaling run OVERWROTE the 32-core record and destroyed the round's
+    // only per-query evidence (r17 verdict item #2).
+    val outFile =
+      if (only.isDefined) "bench_scratch.json"
+      else if (cpus == "32") "bench_last.json"
+      else s"bench_last_c$cpus.json"
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
     spark.stop()
   }

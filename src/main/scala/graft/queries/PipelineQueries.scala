@@ -1247,6 +1247,28 @@ object PipelineQueries {
     base
   }
 
+  /** Wipe the committed LSH artifact for `d`'s corpus and rebuild it from
+    * the parquet inputs — the timed body of the bench's
+    * `q_dedup_minhash_build` row (round-17 verdict item #7: the artifact
+    * is build-once/serve-forever, so its cost was invisible to every
+    * bench run after the first; this makes it a measured row). Deleting
+    * the commit marker first means a crash mid-wipe can only leave an
+    * UNCOMMITTED dir, which [[SourceQueries.materialize]] rebuilds —
+    * never a stale-but-committed artifact. */
+  private[graft] def rebuildLshIndex(s: SparkSession, d: String): String = {
+    val base = new java.io.File(
+      s"${SourceQueries.cacheDir(d)}/lsh_idx3_${corpusFingerprint(d)}")
+    SourceQueries.cacheLock.synchronized {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base, "commit")) // uncommit first (crash-safe order)
+      rm(base)
+    }
+    ensureLshIndex(s, d)
+  }
+
   private[queries] def lshDeltaProbe(s: SparkSession, d: String): DataFrame = {
     val base = ensureLshIndex(s, d)
     val delta = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
