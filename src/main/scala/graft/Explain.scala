@@ -33,7 +33,8 @@ object Explain {
       "probe_minhash" -> graft.queries.PipelineQueries.minhashPlanProbe,
       "probe_ngram" -> graft.queries.PipelineQueries.ngramPlanProbe,
       "probe_sweep" -> graft.queries.PipelineQueries.sweepPlanProbe,
-      "probe_weighted_median" -> graft.queries.AggregateQueries.weightedMedianPlanProbe)
+      "probe_weighted_median" -> graft.queries.AggregateQueries.weightedMedianPlanProbe,
+      "probe_mad_outliers" -> graft.queries.CurationQueries.madOutliersPlanProbe)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       probes.get(n) match {
