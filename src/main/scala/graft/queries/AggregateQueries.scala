@@ -77,12 +77,17 @@ object AggregateQueries {
     val probs = array((1 until parts).map(i => lit(i.toDouble / parts)): _*)
     // `pin = false` only for the plan probe, which needs the full
     // lazy structure (and never executes, so bounds divergence between
-    // the two consumers cannot matter there). Accuracy 1000 is plenty:
-    // the bounds only steer BALANCE, never correctness (any monotone
-    // bucketing yields the same cum), and callers should persist `df`
-    // BEFORE calling so this eager pass populates their cache.
+    // the two consumers cannot matter there). Accuracy 120 (round 18;
+    // was 1000): the bounds only steer BALANCE, never correctness (any
+    // monotone bucketing yields the same cum) — rank error 1/120 ≈ 0.8%
+    // against a 1/32 ≈ 3% slice target keeps slices within ±25% of
+    // ideal, while the sketch insert/compress cost scales with accuracy
+    // and this pass was the trio's single largest measured CPU stage
+    // (Profile: 6.7 s of the 19 s total on q_agg_weighted_exact at
+    // accuracy 1000). Callers should persist `df` BEFORE calling so
+    // this eager pass populates their cache.
     val bounds0 = df.groupBy(grp)
-      .agg(percentile_approx(qc(ord), probs, lit(1000)).as("bnds"))
+      .agg(percentile_approx(qc(ord), probs, lit(120)).as("bnds"))
     val bounds = if (pin) bounds0.localCheckpoint(eager = true) else bounds0
     // Round 17 (optimization, guide §1.2 per-task work): pid via the
     // codegen'd LowerBoundCount instead of size(filter(bnds, b -> b <
@@ -95,6 +100,15 @@ object AggregateQueries {
       .withColumn("pid",
         graft.functions.LowerBoundCount.lower_bound_count(col("bnds"), qc(ord)))
       .drop("bnds")
+    // Round 18 — exchange-fold MEASURED AND REJECTED (r17 verdict item
+    // #5): spelling both consumers over one repartition(pid, grp)
+    // (offsets aggregate exchange-free on it, window reusing it) was
+    // 2x SLOWER at gate SF (trio solo 5.7 -> 10.3 s): column pruning
+    // gives the two branches DIFFERENT projects under their exchanges,
+    // so they never canonicalize equal and ReuseExchange does not fire —
+    // the corpus-scale shuffle ran twice carrying raw rows, while this
+    // spelling's offsets pass shuffles only the map-side-collapsed
+    // <= slices x |groups| partial rows off the cached input.
     val offsW = Window.partitionBy(qc(grp)).orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = withPid.groupBy(col("pid"), qc(grp)).agg(sum(w).as("pw"))
