@@ -3238,13 +3238,30 @@ object PipelineQueries {
       e.persist()
       try {
         val p = e.select(col("vec_id"), expr(RpProjExpr).as("p"))
+        // Pair distance via the CODEGEN'D DotProduct norm expansion
+        // d = |a|² + |b|² − 2·a·b with per-VECTOR norms precomputed
+        // (round 18; the same fix the mutual-NN pair distance got in
+        // round 15): the zip_with+aggregate spelling is an interpreted
+        // HOF allocating a fresh array per evaluated PAIR — Profile
+        // attributed 5.4 s of GC against 1.2 s of CPU to the all-pairs
+        // stage. Exact bit-for-bit: quantized coords |q_i| ≤ 1024 and
+        // projections |p_k| ≤ 64·1024, so every product, dot and norm
+        // is an integer ≪ 2^53 — each double op is exact and the final
+        // long cast returns the same integer the long arithmetic did.
         def allPairs(df: DataFrame, vcol: String, dcol: String): DataFrame = {
-          val a = df.select(col("vec_id").as("u"), col(vcol).as("va"))
-          val b = df.select(col("vec_id").as("w"), col(vcol).as("vb"))
+          import graft.functions.DotProduct.dot_product
+          val withN = df.select(col("vec_id"),
+            col(vcol).cast("array<double>").as("vd"),
+            expr(s"cast(aggregate($vcol, 0L, (acc, x) -> acc + x * x) as double)")
+              .as("nrm"))
+          val a = withN.select(col("vec_id").as("u"), col("vd").as("va"),
+            col("nrm").as("na"))
+          val b = withN.select(col("vec_id").as("w"), col("vd").as("vb"),
+            col("nrm").as("nb"))
           a.join(b, col("u") =!= col("w"))
             .select(col("u"), col("w"),
-              expr("aggregate(zip_with(va, vb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
-                .as(dcol))
+              (col("na") + col("nb") - lit(2.0) * dot_product(col("va"), col("vb")))
+                .cast("long").as(dcol))
         }
         val dt = allPairs(e, "q", "d64").persist()
         try {
