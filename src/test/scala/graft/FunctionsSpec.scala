@@ -160,6 +160,41 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  test("word_ngrams equals the HOF shingle spelling and a Scala model on random token arrays") {
+    // drives WordNgrams through the real codegen path (DataFrame scan)
+    // and pins the exact-equality contract with the
+    // array_distinct(transform(sequence(...), concat_ws(...))) spelling
+    // it replaced — values AND first-occurrence order — on arrays with
+    // repeats (clone runs force dedup) at the guarded sizes (>= n)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "cc", "d", "ee")
+    val rows = (1 to 200).map { i =>
+      val n = 3 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("id", "w")
+    val hof = expr(
+      "array_distinct(transform(sequence(0, size(w) - 3), i -> " +
+        "concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))")
+    val got = df.select(col("id"),
+        graft.functions.WordNgrams.word_ngrams(col("w"), lit(3)).as("g"),
+        hof.as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getSeq[String](2)))).toMap
+    rows.foreach { case (id, w) =>
+      val model = w.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      val (g, h) = got(id)
+      assert(g == h && g == model, s"row $id w=$w got=$g hof=$h model=$model")
+    }
+    // below the guard size: empty array, never null
+    val small = Seq((1L, Seq("x", "y"))).toDF("id", "w")
+      .select(graft.functions.WordNgrams.word_ngrams(col("w"), lit(3)).as("g"))
+      .collect()(0).getSeq[String](0)
+    assert(small.isEmpty)
+  }
+
   test("NfcNormalize composes decomposed sequences, is idempotent, and agrees with the JDK") {
     val s = spark
     import s.implicits._
