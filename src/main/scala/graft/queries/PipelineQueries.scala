@@ -56,15 +56,16 @@ object PipelineQueries {
     else df
   }
 
-  /** (doc_id, sh): distinct word-3-gram shingles of a (doc_id, text) frame. */
+  /** (doc_id, sh): distinct word-3-gram shingles of a (doc_id, text)
+    * frame — via the codegen'd [[graft.functions.WordNgrams]] (round 18;
+    * the HOF spelling it replaces is documented there, equality pinned
+    * in FunctionsSpec). */
   private def shingleDf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(w) - 3),
-          |  i -> concat_ws(' ', element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))"""
-          .stripMargin).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.WordNgrams.word_ngrams(col("w"), lit(3)).as("sh"))
 
   /** (doc_id, band, h1, h2) LSH band keys of a shingled frame: 32
     * per-seed min-hashes (hash-once-then-per-seed — the 10× HOF trap
