@@ -1517,11 +1517,10 @@ object PipelineQueries {
       .observe("graft_lsh_bucket_cap",
         sum(when(col("bsz") > bucketCap, lit(1)).otherwise(lit(0))).as("oversized_buckets"),
         sum(when(col("bsz") > bucketCap, col("bsz") - bucketCap).otherwise(lit(0))).as("dropped_ids"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  a -> transform(sequence(a + 1, size(ids) - 1),
-          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
-          .stripMargin)).as("p"))
+      // codegen'd pair enumeration (round 18) — see [[OrderedPairs]] for
+      // the exact-equality contract with the nested-HOF spelling
+      .select(explode(
+        graft.functions.OrderedPairs.ordered_pairs(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
     cand
@@ -1642,11 +1641,10 @@ object PipelineQueries {
         sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
       .select(col("bs.ids").as("ids"))
     val cand = postings
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  a -> transform(sequence(a + 1, size(ids) - 1),
-          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
-          .stripMargin)).as("p"))
+      // codegen'd pair enumeration (round 18) — see [[OrderedPairs]] for
+      // the exact-equality contract with the nested-HOF spelling
+      .select(explode(
+        graft.functions.OrderedPairs.ordered_pairs(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
       // Candidate verification is CPU-heavy per row (two 60-element set
@@ -2012,11 +2010,10 @@ object PipelineQueries {
         sum(when(col("bs.n") > cap, lit(1)).otherwise(lit(0))).as("truncated_keys"),
         sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
       .select(col("bs.ids").as("ids"))
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  a -> transform(sequence(a + 1, size(ids) - 1),
-          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
-          .stripMargin)).as("p"))
+      // codegen'd pair enumeration (round 18) — see [[OrderedPairs]] for
+      // the exact-equality contract with the nested-HOF spelling
+      .select(explode(
+        graft.functions.OrderedPairs.ordered_pairs(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       .distinct()
       .repartition(sp, col("i")) // keep the verify stage wide under AQE
@@ -2082,11 +2079,10 @@ object PipelineQueries {
         sum(when(col("bs.n") > cap, col("bs.n") - cap).otherwise(lit(0))).as("dropped_ids"))
       .select(col("bs.ids").as("ids"))
     val cand = postings
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  a -> transform(sequence(a + 1, size(ids) - 1),
-          |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
-          .stripMargin)).as("p"))
+      // codegen'd pair enumeration (round 18) — see [[OrderedPairs]] for
+      // the exact-equality contract with the nested-HOF spelling
+      .select(explode(
+        graft.functions.OrderedPairs.ordered_pairs(col("ids"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"))
       // Round 17 note: a repartition(i)-then-dropDuplicates fusion (one
       // exchange instead of distinct + repartition) was MEASURED AND

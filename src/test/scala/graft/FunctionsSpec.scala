@@ -195,6 +195,37 @@ class FunctionsSpec extends GraftSuite {
     assert(small.isEmpty)
   }
 
+  test("ordered_pairs equals the nested-HOF pair enumeration on random id arrays") {
+    // codegen-path equality with the flatten(transform(transform))
+    // spelling it replaced — values AND (a, b) lexicographic order —
+    // including the degenerate sizes (0, 1, 2)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(8))(rnd.nextInt(1000).toLong))
+    }
+    val hof = expr(
+      """flatten(transform(sequence(0, size(ids) - 2),
+        |  a -> transform(sequence(a + 1, size(ids) - 1),
+        |    b -> struct(element_at(ids, a + 1) AS i, element_at(ids, b + 1) AS j))))"""
+        .stripMargin)
+    val got = rows.toDF("id", "ids")
+      .select(col("id"),
+        graft.functions.OrderedPairs.ordered_pairs(col("ids")).as("g"), hof.as("h"))
+      .collect()
+      .map { r =>
+        def pairs(idx: Int) = r.getSeq[org.apache.spark.sql.Row](idx)
+          .map(p => (p.getLong(0), p.getLong(1)))
+        r.getLong(0) -> ((pairs(1), pairs(2)))
+      }.toMap
+    rows.foreach { case (id, ids) =>
+      val model = for { a <- ids.indices; b <- a + 1 until ids.size } yield (ids(a), ids(b))
+      val (g, h) = got(id)
+      assert(g == h && g == model, s"row $id ids=$ids got=$g hof=$h model=$model")
+    }
+  }
+
   test("NfcNormalize composes decomposed sequences, is idempotent, and agrees with the JDK") {
     val s = spark
     import s.implicits._
