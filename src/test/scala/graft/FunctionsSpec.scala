@@ -199,11 +199,15 @@ class FunctionsSpec extends GraftSuite {
     // codegen-path equality with the flatten(transform(transform))
     // spelling it replaced — values AND (a, b) lexicographic order —
     // including the degenerate sizes (0, 1, 2)
+    // sizes >= 2 only: every call site guards size(ids) > 1, and BELOW
+    // that the HOF spelling is undefined-ish (sequence(0, -1) walks
+    // backwards and element_at probes out of range) while ordered_pairs
+    // returns the empty array — checked against the model at the end
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(17)
     val rows = (1 to 100).map { i =>
-      (i.toLong, Seq.fill(rnd.nextInt(8))(rnd.nextInt(1000).toLong))
+      (i.toLong, Seq.fill(2 + rnd.nextInt(7))(rnd.nextInt(1000).toLong))
     }
     val hof = expr(
       """flatten(transform(sequence(0, size(ids) - 2),
@@ -224,6 +228,11 @@ class FunctionsSpec extends GraftSuite {
       val (g, h) = got(id)
       assert(g == h && g == model, s"row $id ids=$ids got=$g hof=$h model=$model")
     }
+    // degenerate sizes (below every call site's guard): empty, not null
+    val degen = Seq((0L, Seq.empty[Long]), (1L, Seq(7L))).toDF("id", "ids")
+      .select(graft.functions.OrderedPairs.ordered_pairs(col("ids")).as("g"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0))
+    assert(degen.forall(_.isEmpty))
   }
 
   test("NfcNormalize composes decomposed sequences, is idempotent, and agrees with the JDK") {
