@@ -75,7 +75,7 @@ object PipelineQueries {
     * exposed so q_dedup_sig_estimate can certify the raw estimator. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val hs = sh.select(col("doc_id"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("h"))
+      explode(graft.functions.XxHash64Array.xxhash64_array(col("sh"))).as("h"))
     hs.groupBy("doc_id")
       .agg(min(xxhash64(col("h"), lit(0))).as("s0"),
         (1 until 32).map(k => min(xxhash64(col("h"), lit(k))).as(s"s$k")): _*)
@@ -1593,7 +1593,7 @@ object PipelineQueries {
     // catch one as a hash mismatch).
     // hashed ARRAYS only where the array itself is joined (verify step;
     // no explode) — 5000 narrow rows
-    val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    val sh = shStr.select(col("doc_id"), graft.functions.XxHash64Array.xxhash64_array(col("sh")).as("sh"))
     // postings use the FUSED explode(transform(...)): projecting the
     // hashed array first and exploding in a second select makes Generate
     // materialize the 60-long array per row and measured 5x slower
@@ -1603,7 +1603,7 @@ object PipelineQueries {
     // expressions; |sh| is recovered from the per-doc window that exists
     // anyway.
     val posts = shStr.select(col("doc_id"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+      explode(graft.functions.XxHash64Array.xxhash64_array(col("sh"))).as("g"))
     // Global-rarity prefix filter (the canonical ssjoin/PPJoin probing
     // prefix): order each doc's grams by (global df, gram) and index only
     // the first floor((1-t)*n)+1 — a pair at jaccard >= t MUST collide
@@ -1787,9 +1787,9 @@ object PipelineQueries {
     containmentPairsFrom(shingleDf(df), sp, cap)
 
   private def containmentPairsFrom(shStr: DataFrame, sp: Int, cap: Int): DataFrame = {
-    val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    val sh = shStr.select(col("doc_id"), graft.functions.XxHash64Array.xxhash64_array(col("sh")).as("sh"))
     val posts = shStr.select(col("doc_id"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+      explode(graft.functions.XxHash64Array.xxhash64_array(col("sh"))).as("g"))
     val dfg = posts.groupBy("g").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))
@@ -2059,9 +2059,9 @@ object PipelineQueries {
   }
 
   private def sweepPairsFrom(shStr: DataFrame, sp: Int, cap: Int): DataFrame = {
-    val sh = shStr.select(col("doc_id"), expr("transform(sh, x -> xxhash64(x))").as("sh"))
+    val sh = shStr.select(col("doc_id"), graft.functions.XxHash64Array.xxhash64_array(col("sh")).as("sh"))
     val posts = shStr.select(col("doc_id"),
-      explode(expr("transform(sh, x -> xxhash64(x))")).as("g"))
+      explode(graft.functions.XxHash64Array.xxhash64_array(col("sh"))).as("g"))
     val dfg = posts.groupBy("g").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("g"))

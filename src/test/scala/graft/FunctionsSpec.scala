@@ -235,6 +235,26 @@ class FunctionsSpec extends GraftSuite {
     assert(degen.forall(_.isEmpty))
   }
 
+  test("xxhash64_array equals the transform+xxhash64 spelling on random string arrays") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 100).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(6))(
+        Iterator.fill(rnd.nextInt(12))((rnd.nextInt(95) + 32).toChar).mkString))
+    }
+    val got = rows.toDF("id", "sh")
+      .select(col("id"),
+        graft.functions.XxHash64Array.xxhash64_array(col("sh")).as("g"),
+        expr("transform(sh, x -> xxhash64(x))").as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    rows.foreach { case (id, sh) =>
+      val (g, h) = got(id)
+      assert(g == h, s"row $id sh=$sh got=$g hof=$h")
+    }
+  }
+
   test("NfcNormalize composes decomposed sequences, is idempotent, and agrees with the JDK") {
     val s = spark
     import s.implicits._
