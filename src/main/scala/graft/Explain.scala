@@ -34,7 +34,11 @@ object Explain {
       "probe_ngram" -> graft.queries.PipelineQueries.ngramPlanProbe,
       "probe_sweep" -> graft.queries.PipelineQueries.sweepPlanProbe,
       "probe_weighted_median" -> graft.queries.AggregateQueries.weightedMedianPlanProbe,
-      "probe_mad_outliers" -> graft.queries.CurationQueries.madOutliersPlanProbe)
+      "probe_mad_outliers" -> graft.queries.CurationQueries.madOutliersPlanProbe,
+      "probe_bloom_decontam" -> ((s: SparkSession, d: String) =>
+        graft.queries.CurationQueries.bloomDecontam(s, d, materialize = false)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))),
+      "probe_mutual_nn" -> graft.queries.PipelineQueries.mutualNnPlanProbe)
     names.foreach { n =>
       println(s"\n========== $n ==========")
       probes.get(n) match {
