@@ -1330,13 +1330,11 @@ object PipelineQueries {
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 6)
-      .withColumn("gs", transform(sequence(lit(0), size(col("w")) - 3),
-        i => graft.functions.RollingHash.rolling_hash(concat_ws(" ",
-          element_at(col("w"), i + 1), element_at(col("w"), i + 2),
-          element_at(col("w"), i + 3)))))
+      // codegen'd gram-hash + window-min + sort/distinct in one loop
+      // (round 18) — see [[graft.functions.WinnowFps]] for the
+      // exact-equality contract with the two-transform HOF spelling
       .select(col("doc_id"),
-        array_sort(array_distinct(transform(sequence(lit(1), size(col("gs")) - 3),
-          j => array_min(slice(col("gs"), j, lit(4)))))).as("fps"))
+        graft.functions.WinnowFps.winnow_fps(col("w")).as("fps"))
       .select(col("doc_id"), size(col("fps")).cast("bigint").as("n_fp"), col("fps"))
 
   /** Fixed-point PageRank over a (src, dst) edge frame — the iteration

@@ -255,6 +255,32 @@ class FunctionsSpec extends GraftSuite {
     }
   }
 
+  test("winnow_fps equals the two-transform HOF winnowing spelling on random token arrays") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "b", "ccc", "dd", "e", "ff")
+    val rows = (1 to 150).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val gs = transform(sequence(lit(0), size(col("w")) - 3),
+      i => graft.functions.RollingHash.rolling_hash(concat_ws(" ",
+        element_at(col("w"), i + 1), element_at(col("w"), i + 2),
+        element_at(col("w"), i + 3))))
+    val got = rows.toDF("id", "w")
+      .withColumn("gs", gs)
+      .select(col("id"),
+        graft.functions.WinnowFps.winnow_fps(col("w")).as("g"),
+        array_sort(array_distinct(transform(sequence(lit(1), size(col("gs")) - 3),
+          j => array_min(slice(col("gs"), j, lit(4)))))).as("h"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getSeq[Long](2)))).toMap
+    rows.foreach { case (id, w) =>
+      val (g, h) = got(id)
+      assert(g == h, s"row $id w=$w got=$g hof=$h")
+    }
+  }
+
   test("NfcNormalize composes decomposed sequences, is idempotent, and agrees with the JDK") {
     val s = spark
     import s.implicits._
