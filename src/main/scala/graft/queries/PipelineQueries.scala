@@ -462,7 +462,8 @@ object PipelineQueries {
     * map-side, per-cell occupancy is √n so pass-1 candidates are
     * ≈ 4·n·√n, the cell key fans out over thousands of reducers, and
     * per-side state stays 4 pairs per vector, map-side partial. */
-  private[graft] def withMutualNnDist[A](s: SparkSession, d: String)(use: DataFrame => A): A = {
+  private[graft] def withMutualNnDist[A](s: SparkSession, d: String)(
+      use: (DataFrame, DataFrame) => A): A = {
     import graft.functions.BoundedMinPairs.bounded_min_pairs
     import graft.functions.DotProduct.dot_product
     import graft.functions.IvfIndex
@@ -648,18 +649,23 @@ object PipelineQueries {
             .select(col("x"), col("y"), d64c.as("d64"))
           // final exact per-side top-4 = top-4 over (pass-1 top-4 ∪
           // that side's pass-2 stream); emit both sides' lists as
-          // (x, y, d64) pairs — the same exact duplicate carries the
-          // same distance, so the groupBy is pure dedup
+          // (x, y, d64) pair frames. Round 18: the two sides are handed
+          // to `use` SEPARATELY — f0 IS side 0's exact (d64, y)-ordered
+          // top-4 per x and f1 side 1's (d64, x)-ordered top-4 per y
+          // (the refinement theorem: every vector at distance ≤ the
+          // current 4th-best lies in a probed cell, because cells with
+          // floored lower bound ≤ d4 are probed and the floor slack
+          // only ADDS probes), so the former downstream union + dedup
+          // + two row_number windows recomputed exactly these frames —
+          // three exchanges and two sorts of pure recomputation.
           val f0 = top4By(nnPairsBy(s0)
               .select(col("k").as("x"), col("o").as("y"), col("d64"))
               .unionByName(cand2x), "x", "y")
           val f1 = top4By(nnPairsBy(s1)
               .select(col("o").as("x"), col("k").as("y"), col("d64"))
               .unionByName(cand2y), "y", "x")
-          use(nnPairsBy(f0).select(col("k").as("x"), col("o").as("y"), col("d64"))
-            .unionByName(
-              nnPairsBy(f1).select(col("o").as("x"), col("k").as("y"), col("d64")))
-            .groupBy("x", "y").agg(min("d64").as("d64")))
+          use(nnPairsBy(f0).select(col("k").as("x"), col("o").as("y"), col("d64")),
+            nnPairsBy(f1).select(col("o").as("x"), col("k").as("y"), col("d64")))
         } finally { s0.unpersist(); s1.unpersist() }
       } finally binned.unpersist()
     } finally e.unpersist()
@@ -719,8 +725,9 @@ object PipelineQueries {
     * is a checkpoint scan, so the assertion lives on this inner frame,
     * the *PlanProbe convention). */
   private[graft] def mutualNnPlanProbe(s: SparkSession, d: String): String =
-    withMutualNnDist(s, d)(_.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    withMutualNnDist(s, d)((kx, ky) => kx.unionByName(ky).queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
 
   /** Last-touch attribution — the marketing-analytics staple: each
     * purchase's revenue is credited to the LATEST non-purchase event by
@@ -4089,28 +4096,26 @@ object PipelineQueries {
       // Candidate distances come from the exact IVF-refined generator
       // [[withMutualNnDist]] — never a label0×label1 crossJoin
       // (PlanShapeSpec pins no-cartesian on the candidate plan).
-      withMutualNnDist(s, d) { dist =>
-        dist.persist()
+      // Round 18 (guide §2.4 — remove recomputation shuffles): the
+      // helper's per-side frames ARE the exact (d64, id)-tiebroken top-4
+      // lists the two row_number windows used to recompute from the
+      // merged/deduped union (see the theorem note in withMutualNnDist);
+      // consuming them directly drops the union+dedup exchange and both
+      // window sorts from the final job. Oracle semantics unchanged —
+      // kx/ky below equal the old window outputs row-for-row.
+      withMutualNnDist(s, d) { (kx, ky) =>
+        kx.persist(); ky.persist()
         try {
-          val kx = dist.withColumn("rn", row_number().over(
-              Window.partitionBy("x").orderBy(col("d64"), col("y"))))
-            .filter(col("rn") <= 4).select("x", "y", "d64")
-          val ky = dist.withColumn("rn", row_number().over(
-              Window.partitionBy("y").orderBy(col("d64"), col("x"))))
-            .filter(col("rn") <= 4).select("x", "y", "d64")
-          kx.persist(); ky.persist()
-          try {
-            val akx = kx.groupBy("x").agg(expr("sum(d64) div 4").as("akx"))
-            val aky = ky.groupBy("y").agg(expr("sum(d64) div 4").as("aky"))
-            kx.join(ky.select("x", "y"), Seq("x", "y"))
-              .join(akx, "x").join(aky, "y")
-              .filter(col("d64") > 0)
-              .select(col("x"), col("y"), col("d64"),
-                expr("(1000 * (akx + aky)) div (2 * d64)").as("margin_milli"))
-              .orderBy("x", "y")
-              .localCheckpoint(eager = true)
-          } finally { kx.unpersist(); ky.unpersist() }
-        } finally dist.unpersist()
+          val akx = kx.groupBy("x").agg(expr("sum(d64) div 4").as("akx"))
+          val aky = ky.groupBy("y").agg(expr("sum(d64) div 4").as("aky"))
+          kx.join(ky.select("x", "y"), Seq("x", "y"))
+            .join(akx, "x").join(aky, "y")
+            .filter(col("d64") > 0)
+            .select(col("x"), col("y"), col("d64"),
+              expr("(1000 * (akx + aky)) div (2 * d64)").as("margin_milli"))
+            .orderBy("x", "y")
+            .localCheckpoint(eager = true)
+        } finally { kx.unpersist(); ky.unpersist() }
       }
     },
 
