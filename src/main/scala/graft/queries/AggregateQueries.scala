@@ -151,15 +151,27 @@ object AggregateQueries {
     // job and populates this cache, so the collapse runs exactly once
     // across bounds/offsets/final (inlined materializedWith discipline)
     if (pin) coll.persist()
-    try {
-      val tot = coll.groupBy("l_returnflag").agg(sum("w").as("tot"))
-      val res = groupedPrefix(coll, "l_returnflag", "l_extendedprice", col("w"), pin)
-        .join(broadcast(tot), "l_returnflag")
-        .filter(col("cum") * 2 >= col("tot"))
-        .groupBy("l_returnflag")
-        .agg(min(col("l_extendedprice")).as("w_median_price"))
-      if (pin) res.localCheckpoint(eager = true) else res
-    } finally if (pin) coll.unpersist()
+    try weightedMedianExactFrom(coll, pin)
+    finally if (pin) coll.unpersist()
+  }
+
+  /** The exact weighted-median machinery over an already-collapsed
+    * (l_returnflag, l_extendedprice, w) frame — split from
+    * [[weightedMedianExact]] (round 18) so q_agg_weighted_percentile can
+    * hand it the SAME persisted collapse its sketch side consumes,
+    * instead of scanning lineitem a second time (guide §2.3 "shuffle
+    * fewer bytes" / §2.4 — the two branches are keyed identically and
+    * differ only in which aggregate they fold over the collapsed rows).
+    * Caller owns persist/unpersist of `coll`. Bit-identical output: this
+    * is the exact code path q_agg_weighted_exact always ran, verbatim. */
+  private def weightedMedianExactFrom(coll: DataFrame, pin: Boolean): DataFrame = {
+    val tot = coll.groupBy("l_returnflag").agg(sum("w").as("tot"))
+    val res = groupedPrefix(coll, "l_returnflag", "l_extendedprice", col("w"), pin)
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("l_extendedprice")).as("w_median_price"))
+    if (pin) res.localCheckpoint(eager = true) else res
   }
 
   /** Formatted plan of the weighted-median prefix sum (the *PlanProbe
@@ -428,15 +440,47 @@ object AggregateQueries {
         |FROM e JOIN n USING (l_returnflag) ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       val wmedian = udaf(new graft.functions.WeightedPercentile(0.5),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Double)]())
-      val sk = t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(wmedian(col("l_extendedprice"), col("l_quantity")).as("wm"),
-          count(lit(1)).as("n"))
-      val exact = weightedMedianExact(s, d)
-      sk.join(exact, "l_returnflag")
-        .select(col("l_returnflag"), col("w_median_price"), col("n"),
-          (abs(col("wm") - col("w_median_price")) <=
-            abs(col("w_median_price")) * 0.01).as("wp_ok"))
-        .orderBy("l_returnflag")
+      // Round 18 (guide §2.3/§2.4 + §2.6): the sketch side used to scan
+      // lineitem a SECOND time (the exact path's collapse being the
+      // first) and the three jobs — bounds checkpoint, exact-median
+      // checkpoint, sketch+join — ran strictly sequentially, so the
+      // 32-core wall was job-chain latency (Profile: warm wall 3.7 s for
+      // 12 s summed CPU). Now (a) ONE collapse pass feeds both branches:
+      // the value-distinct (returnflag, price) frame carries the summed
+      // weight for the sketch/exact AND a row count for `n` (count(*) =
+      // sum of per-value counts, exact); (b) the sketch job overlaps the
+      // exact-median chain (guide §2.6 "overlap independent jobs" — the
+      // two branches share only the cached collapse). The sketch folds
+      // per-value totals instead of per-row weights — the same weighted
+      // multiset, so the estimate stays within its certified 1% band
+      // (wm feeds ONLY the wp_ok tolerance check, never the output
+      // values; oracle hash re-verified at sf0.001/0.01/0.1, and
+      // PipelineSpec holds the sketch within 1% of the exact median).
+      val coll = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy("l_returnflag", "l_extendedprice")
+        .agg(sum("w").as("w"), count(lit(1)).as("cnt"))
+      coll.persist()
+      try {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val skF = Future {
+          coll.groupBy("l_returnflag")
+            .agg(wmedian(col("l_extendedprice"), col("w").cast("double")).as("wm"),
+              sum("cnt").as("n"))
+            .localCheckpoint(eager = true)
+        }
+        val exact = weightedMedianExactFrom(
+          coll.select("l_returnflag", "l_extendedprice", "w"), pin = true)
+        val sk = Await.result(skF, Duration.Inf)
+        sk.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("w_median_price"), col("n"),
+            (abs(col("wm") - col("w_median_price")) <=
+              abs(col("w_median_price")) * 0.01).as("wp_ok"))
+          .orderBy("l_returnflag")
+      } finally coll.unpersist()
     },
 
     // Exact weighted median as a full oracle row: the discrete weighted
